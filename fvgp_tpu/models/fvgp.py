@@ -1,0 +1,159 @@
+"""fvGP — multi-task GP facade (parity target: /root/reference/fvgp/fvgp.py).
+
+A multi-task GP over X × {0..No-1} is a single-task GP over the Cartesian
+product of input and output space: each (V, No) observation row is flattened
+into task-augmented points [x, task], skipping NaN entries (missing tasks,
+ref fvgp.py:589-623).  Everything else — training, posteriors, metrics —
+is inherited from GP; posterior reshapes are task-major
+(k = point + V*task).
+"""
+
+import numpy as np
+
+from .gp import GP
+
+
+class fvGP(GP):
+    """Multi-task GP.  ``x_data`` has shape (V, D) (or is a list of
+    arbitrary objects for non-Euclidean inputs); ``y_data`` has shape
+    (V, No) and may contain np.nan for missing tasks.  The index-set
+    dimension seen by the kernel is D+1: the last column is the task index.
+    """
+
+    def __init__(self, x_data, y_data, init_hyperparameters=None,
+                 noise_variances=None, compute_device="cpu",
+                 kernel_function=None, kernel_function_grad=None,
+                 noise_function=None, noise_function_grad=None,
+                 prior_mean_function=None, prior_mean_function_grad=None,
+                 gp2Scale=False, dask_client=None, gp2Scale_batch_size=10000,
+                 gp2Scale_distribution="blockwise", linalg_mode=None,
+                 ram_economy=False, args=None):
+        if isinstance(y_data, np.ndarray) and y_data.ndim == 1:
+            raise ValueError("The output number is 1, you can use the GP class "
+                             "for single-task GPs")
+        self.output_num = y_data.shape[1]
+        if len(x_data) != len(y_data):
+            raise AssertionError("x_data and y_data have different lengths")
+
+        fvgp_x_data = x_data
+        fvgp_y_data = y_data
+        fvgp_noise_variances = noise_variances
+        x_data, y_data, noise_variances = self._transform_index_set2(
+            x_data, y_data, noise_variances)
+
+        super().__init__(
+            x_data, y_data, init_hyperparameters=init_hyperparameters,
+            noise_variances=noise_variances, compute_device=compute_device,
+            kernel_function=kernel_function,
+            kernel_function_grad=kernel_function_grad,
+            prior_mean_function=prior_mean_function,
+            prior_mean_function_grad=prior_mean_function_grad,
+            noise_function=noise_function,
+            noise_function_grad=noise_function_grad,
+            gp2Scale=gp2Scale, dask_client=dask_client,
+            gp2Scale_batch_size=gp2Scale_batch_size,
+            gp2Scale_distribution=gp2Scale_distribution,
+            linalg_mode=linalg_mode, ram_economy=ram_economy, args=args)
+
+        self.data.set_fvgp_data(fvgp_x_data, fvgp_y_data, fvgp_noise_variances,
+                                np.arange(0, self.output_num))
+
+    @property
+    def fvgp_x_data(self):
+        """Multi-task input data (without the task column), shape (V, D)."""
+        return self.data.fvgp_x_data
+
+    @property
+    def fvgp_y_data(self):
+        """Observed values in multi-task layout, shape (V, No)."""
+        return self.data.fvgp_y_data
+
+    @property
+    def fvgp_noise_variances(self):
+        """Point-wise noise variances in multi-task layout, or None."""
+        return self.data.fvgp_noise_variances
+
+    # ------------------------------------------------------------------
+    def update_gp_data(self, x_new, y_new, noise_variances_new=None,
+                       append=True, rank_n_update=None):
+        """Append/overwrite multi-task data; NaN entries in ``y_new`` mark
+        missing tasks (ref fvgp.py:514-586)."""
+        if not isinstance(x_new, (np.ndarray, list)):
+            raise AssertionError("Wrong format in x_new.")
+        if not isinstance(y_new, np.ndarray):
+            raise AssertionError("Wrong format in y_new.")
+        if len(x_new) != len(y_new):
+            raise AssertionError("updated x and y do not have the same lengths.")
+        if append:
+            if noise_variances_new is not None:
+                if not isinstance(noise_variances_new, np.ndarray):
+                    raise AssertionError("noise_variances_new must be np.ndarray")
+                fvgp_noise_variances = np.vstack([self.fvgp_noise_variances,
+                                                  noise_variances_new])
+            else:
+                fvgp_noise_variances = None
+            if isinstance(x_new, np.ndarray):
+                fvgp_x_data = np.vstack([self.fvgp_x_data, x_new])
+            else:
+                fvgp_x_data = self.fvgp_x_data + x_new
+            fvgp_y_data = np.vstack([self.fvgp_y_data, y_new])
+        else:
+            fvgp_noise_variances = noise_variances_new
+            fvgp_x_data = x_new
+            fvgp_y_data = y_new
+        self.data.set_fvgp_data(fvgp_x_data, fvgp_y_data, fvgp_noise_variances,
+                                np.arange(0, self.output_num))
+        x_data, y_data, noise_variances = self._transform_index_set2(
+            x_new, y_new, noise_variances_new)
+        super().update_gp_data(x_data, y_data, noise_variances, append=append,
+                               rank_n_update=rank_n_update)
+
+    # ------------------------------------------------------------------
+    def _transform_index_set2(self, x_data, y_data, noise_variances):
+        """Flatten (V, No) observations into task-augmented points [x, task],
+        skipping NaNs (ref fvgp.py:589-623)."""
+        if not isinstance(x_data, (np.ndarray, list)):
+            raise AssertionError("x_data must be np.ndarray or list")
+        if not isinstance(y_data, np.ndarray):
+            raise AssertionError("y_data must be np.ndarray")
+        if len(x_data) != len(y_data):
+            raise AssertionError("x_data and y_data have different lengths")
+        if noise_variances is not None and len(noise_variances) != len(y_data):
+            raise AssertionError("noise_variances and y_data have different lengths")
+        new_x_data, new_y_data = [], []
+        new_variances = [] if noise_variances is not None else None
+        output_indices = np.arange(0, self.output_num)
+        for i in range(self.output_num):
+            for j in range(len(x_data)):
+                if len(y_data[j]) != self.output_num:
+                    raise AssertionError(
+                        f"y_data row {j} length must equal output_num="
+                        f"{self.output_num}")
+                if noise_variances is not None and \
+                        len(noise_variances[j]) != self.output_num:
+                    raise AssertionError(
+                        f"noise_variances row {j} length must equal output_num="
+                        f"{self.output_num}")
+                if np.isnan(y_data[j, i]):
+                    continue
+                if isinstance(x_data, np.ndarray):
+                    new_x_data.append(np.append(x_data[j], output_indices[i]))
+                else:
+                    new_x_data.append([x_data[j], output_indices[i]])
+                new_y_data.append(y_data[j, i])
+                if new_variances is not None:
+                    new_variances.append(noise_variances[j, i])
+        if isinstance(x_data, np.ndarray):
+            new_x_data = np.asarray(new_x_data)
+        new_y_data = np.asarray(new_y_data)
+        if new_variances is not None:
+            new_variances = np.asarray(new_variances)
+        return new_x_data, new_y_data, new_variances
+
+    def __getstate__(self):
+        state = dict(output_num=self.output_num)
+        state.update(super().__getstate__())
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)

@@ -1,0 +1,552 @@
+"""Linear-algebra state machine (parity target: /root/reference/fvgp/gp_kv.py).
+
+Owns the K+V factorization state and the reuse policy.  Modes:
+
+* ``Chol`` / ``CholInv`` / ``Inv`` — dense device factorizations
+  (jax.lax.linalg on the MXU).
+* ``sparseCG`` / ``sparseMINRES`` / ``sparseCGpre`` / ``sparseMINRESpre`` —
+  matrix-free Krylov over a dense or block-sparse matvec, log-determinant by
+  stochastic Lanczos quadrature (ops.slq), block-Jacobi preconditioning.
+* ``sparseLU`` / ``sparseSolve`` — *direct* semantics.  A sparse LU
+  factorization is not TPU-idiomatic (SURVEY.md §2b): below
+  ``args['sparse_direct_dense_cutoff']`` (default 20000) these modes densify
+  and use exact Cholesky on the MXU; above it they fall back to
+  tight-tolerance preconditioned CG with a tight-rtol SLQ logdet.
+* a custom iterable ``[factor, solve, logdet]`` of callables.
+
+Carried over from the reference because the policy is hardware-independent:
+the O(nnz) matrix fingerprint (trace + Frobenius) and drift-based
+invalidation of cached preconditioners/warm starts (gp_kv.py:209-337), and
+the ``sequential_linalg_state`` gate restricting that reuse to MCMC
+(gp_kv.py:30-85).
+"""
+
+import contextlib
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..ops import dense as dops
+from ..ops import krylov, slq
+from ..parallel.block_sparse import BlockSparseMatrix, is_block_sparse
+from ..ops.precond import build_block_jacobi
+
+# ---------------------------------------------------------------------------
+# sequential-state gate (ref gp_kv.py:20-85)
+# ---------------------------------------------------------------------------
+_SEQUENTIAL_STATE_DEFAULTS = {
+    "sparse_krylov_warm_start": False,
+    "sparse_preconditioner_refresh_interval": 1,
+}
+_SEQUENTIAL_STATE_METHODS = {"mcmc"}
+
+
+@contextlib.contextmanager
+def sequential_linalg_state(args, method):
+    """Allow Krylov warm starts and preconditioner reuse only for
+    ``method='mcmc'`` — the one training method whose successive evaluations
+    are close enough for carried linalg state to be sound (ref gp_kv.py:30).
+    """
+    if not isinstance(args, dict) or method in _SEQUENTIAL_STATE_METHODS:
+        yield
+        return
+    overridden = {k: args[k] for k, safe in _SEQUENTIAL_STATE_DEFAULTS.items()
+                  if k in args and args[k] != safe}
+    if overridden:
+        warnings.warn(
+            f"method={method!r} disables sequential linear-algebra state for the "
+            f"duration of the run: {overridden}. Warm starts and preconditioner "
+            f"reuse assume successive evaluations are close, which holds for "
+            f"'mcmc' but not for non-local methods. Settings restored afterwards.")
+    saved = {k: args[k] for k in _SEQUENTIAL_STATE_DEFAULTS if k in args}
+    try:
+        args.update(_SEQUENTIAL_STATE_DEFAULTS)
+        yield
+    finally:
+        for k in _SEQUENTIAL_STATE_DEFAULTS:
+            if k in saved:
+                args[k] = saved[k]
+            else:
+                args.pop(k, None)
+
+
+_ALLOWED_MODES = ["Chol", "CholInv", "Inv", "sparseMINRES", "sparseCG",
+                  "sparseLU", "sparseMINRESpre", "sparseCGpre",
+                  "sparseMINRESpre_<type>", "sparseCGpre_<type>",
+                  "sparseSolve", "a set of callables"]
+
+_PRECOND_TYPES = ("block_jacobi", "ilu", "ichol", "ic", "incomplete_cholesky",
+                  "ichol0", "native_ic", "native_ichol", "legacy_ic",
+                  "legacy_ichol", "legacy_incomplete_cholesky", "schwarz",
+                  "additive_schwarz", "amg", "native_incomplete_cholesky")
+
+
+def resolve_linalg_mode(mode, args):
+    """``sparseCGpre_amg`` → mode ``sparseCGpre`` +
+    args['sparse_preconditioner_type']='amg' (ref gp_lin_alg.py:474-505)."""
+    if not isinstance(mode, str):
+        return mode, args
+    for base in ("sparseCGpre", "sparseMINRESpre"):
+        prefix = base + "_"
+        if mode.startswith(prefix):
+            ptype = mode[len(prefix):]
+            if ptype not in _PRECOND_TYPES:
+                raise Exception(f"Unknown preconditioner type alias: {ptype}")
+            args = dict(args or {})
+            args["sparse_preconditioner_type"] = ptype
+            return base, args
+    return mode, args
+
+
+class GPkv:
+    def __init__(self, data, prior, likelihood, linalg_mode=None):
+        self.data = data
+        self.prior = prior
+        self.likelihood = likelihood
+        self.last_logdet_variance = None
+        self.last_logdet_info = {}
+        self.Preconditioner_fingerprint = None
+        self.Warm_start_fingerprint = None
+        self.allowed_modes = _ALLOWED_MODES
+
+        if isinstance(linalg_mode, str):
+            linalg_mode, resolved = resolve_linalg_mode(linalg_mode, self.data.args)
+            self.data.args = resolved
+
+        self.linalg_mode = linalg_mode
+        self.KV = None
+        self.KVinv = None
+        self.Chol_factor = None
+        self.logdet_KV = None
+        self.custom_obj = None
+        self._reset_sparse_preconditioner()
+
+        K, V, m = self._get_KVm()
+        if self.gp2Scale:
+            self.mode = self._set_gp2Scale_mode(self.addKV(K, V))
+        elif linalg_mode is not None:
+            self.mode = linalg_mode
+        else:
+            self.mode = "Chol"
+        self._refresh(rank_n_update=False)
+
+    # -- plumbing ----------------------------------------------------------
+    @property
+    def args(self):
+        return self.data.args
+
+    @property
+    def x_data(self):
+        return self.data.x_data
+
+    @property
+    def y_data(self):
+        return self.data.y_data
+
+    @property
+    def K(self):
+        return self.prior.K
+
+    @property
+    def m(self):
+        return self.prior.m
+
+    @property
+    def V(self):
+        return self.likelihood.V
+
+    @property
+    def gp2Scale(self):
+        return self.data.gp2Scale
+
+    # ------------------------------------------------------------------
+    def _set_gp2Scale_mode(self, KV):
+        """Auto mode selection by N and sparsity (ref gp_kv.py:182-188)."""
+        n = len(self.x_data)
+        nnz = KV.nnz if is_block_sparse(KV) else int(np.prod(KV.shape))
+        sparsity = float(nnz) / float(n ** 2)
+        if self.linalg_mode is not None:
+            return self.linalg_mode
+        if n < 50001 and sparsity < 1e-4:
+            return "sparseLU"
+        if n < 2001 and sparsity >= 1e-4:
+            return "Chol"
+        return "sparseMINRES"
+
+    def _resolved_mode(self, KV):
+        if self.gp2Scale:
+            return self._set_gp2Scale_mode(KV)
+        return self.mode
+
+    # ------------------------------------------------------------------
+    # fingerprints + drift policy (ref gp_kv.py:209-337)
+    # ------------------------------------------------------------------
+    _PRECONDITIONED_MODES = {"sparseMINRESpre", "sparseCGpre"}
+
+    @staticmethod
+    def matrix_fingerprint(KV):
+        """O(nnz) summary (shape, nnz, trace, fro) used to detect that K+V
+        has moved (ref gp_kv.py:216-239)."""
+        if KV is None:
+            return None
+        if is_block_sparse(KV):
+            trace, fro = KV.trace_and_fro()
+            return (tuple(KV.shape), int(KV.nnz), float(trace), float(fro))
+        arr = KV
+        trace = float(jnp.trace(arr))
+        fro = float(jnp.linalg.norm(arr))
+        return (tuple(arr.shape), int(np.prod(arr.shape)), trace, fro)
+
+    @staticmethod
+    def _fingerprint_drift(old, new):
+        if old is None or new is None:
+            return np.inf
+        if old[0] != new[0]:
+            return np.inf
+        drift = 0.0
+        for ov, nv in ((old[2], new[2]), (old[3], new[3])):
+            scale = max(abs(ov), abs(nv), 1e-300)
+            drift = max(drift, abs(nv - ov) / scale)
+        return drift
+
+    def _matrix_drift(self, KV):
+        return self._fingerprint_drift(self.Preconditioner_fingerprint,
+                                       self.matrix_fingerprint(KV))
+
+    def _max_matrix_drift(self):
+        """Default 0.1 — calibrated in the reference against measured
+        preconditioner-benefit decay (gp_kv.py:259-285)."""
+        return float(self.args.get("sparse_preconditioner_max_matrix_drift", 0.1))
+
+    def _validated_warm_start(self, KV, x0):
+        """Drop a warm start computed for a materially different K+V
+        (ref gp_kv.py:287-308)."""
+        if x0 is None:
+            return None
+        if self.Warm_start_fingerprint is None:
+            return x0
+        if self._fingerprint_drift(self.Warm_start_fingerprint,
+                                   self.matrix_fingerprint(KV)) > self._max_matrix_drift():
+            return None
+        return x0
+
+    def _preconditioner_refresh_interval(self):
+        value = self.args.get("sparse_preconditioner_refresh_interval", None)
+        if value is None:
+            return None
+        return max(1, int(value))
+
+    def _preconditioner_signature(self):
+        relevant = {k: v for k, v in self.args.items()
+                    if k.startswith("sparse_preconditioner_")}
+        return tuple(sorted(relevant.items()))
+
+    def _reset_sparse_preconditioner(self):
+        self.Preconditioner_operator = None
+        self.Preconditioner_signature = None
+        self.Preconditioner_KV_shape = None
+        self.Preconditioner_fingerprint = None
+        self.Preconditioner_reuse_counter = 0
+        self.Last_preconditioner_error = None
+
+    def _can_reuse_sparse_preconditioner(self, KV):
+        if self.mode not in self._PRECONDITIONED_MODES:
+            return False
+        if self.Preconditioner_operator is None:
+            return False
+        if self.Preconditioner_KV_shape != tuple(KV.shape):
+            return False
+        if self.Preconditioner_signature != self._preconditioner_signature():
+            return False
+        interval = self._preconditioner_refresh_interval()
+        if interval is not None and self.Preconditioner_reuse_counter >= interval - 1:
+            return False
+        if self._matrix_drift(KV) > self._max_matrix_drift():
+            return False
+        return True
+
+    def _get_or_refresh_preconditioner(self, KV, force_refresh=False):
+        """Cached or fresh preconditioner callable for KV
+        (ref gp_kv.py:355-388).  All reference preconditioner families map
+        onto block-Jacobi over shard-local dense blocks — the TPU-idiomatic
+        choice for SPD covariance (SURVEY.md §2b)."""
+        if self.mode not in self._PRECONDITIONED_MODES:
+            return None
+        if not force_refresh and self._can_reuse_sparse_preconditioner(KV):
+            self.Preconditioner_reuse_counter += 1
+            return self.Preconditioner_operator
+        try:
+            operator = build_block_jacobi(KV, args=self.args)
+        except Exception as exc:
+            self.Last_preconditioner_error = f"{type(exc).__name__}: {exc}"
+            warnings.warn(
+                f"Failed to build preconditioner for mode {self.mode}; falling "
+                f"back to the unpreconditioned iterative solve. "
+                f"Reason: {self.Last_preconditioner_error}.")
+            self._reset_sparse_preconditioner()
+            return None
+        self.Preconditioner_operator = operator
+        self.Preconditioner_signature = self._preconditioner_signature()
+        self.Preconditioner_KV_shape = tuple(KV.shape)
+        self.Preconditioner_fingerprint = self.matrix_fingerprint(KV)
+        self.Preconditioner_reuse_counter = 0
+        self.Last_preconditioner_error = None
+        return operator
+
+    # ------------------------------------------------------------------
+    # state transitions (ref gp_kv.py:393-423)
+    # ------------------------------------------------------------------
+    def update_state_hyperparameters(self):
+        self._refresh(rank_n_update=False)
+
+    def update_state_data(self, append):
+        self._refresh(rank_n_update=append)
+
+    def _refresh(self, rank_n_update):
+        K, V, m = self._get_KVm()
+        KV = self.addKV(K, V)
+        if rank_n_update:
+            self.update_KV(KV)
+        else:
+            self.set_KV(KV)
+        y_mean = jnp.asarray(self.y_data, dtype=config.linalg_dtype(self.args)) - m[:, None]
+        x0 = self.KVinvY if rank_n_update else None
+        self.KVinvY = jnp.reshape(self.solve(y_mean, x0=x0), y_mean.shape)
+        self.logdet_KV = self.logdet()
+
+    # ------------------------------------------------------------------
+    def set_KV(self, KV):
+        """Full factorization refresh (ref gp_kv.py:425-460)."""
+        mode = self.mode
+        if not isinstance(mode, str):           # custom [factor, solve, logdet]
+            if callable(mode[0]):
+                self.custom_obj = mode[0](KV)
+                self.KV = KV
+                return
+            raise Exception(f"No Mode. Choose from: {self.allowed_modes}")
+        if mode in ("Chol", "CholInv", "Inv"):
+            KVd = self._densify(KV)
+            self.KV = KVd
+            if mode in ("Chol", "CholInv"):
+                self.Chol_factor = dops.cholesky_factor(KVd)
+            if mode == "CholInv":
+                self.KVinv = dops.inv_from_chol(self.Chol_factor)
+            if mode == "Inv":
+                self.KVinv = dops.calculate_inv(KVd)
+        elif mode in ("sparseCG", "sparseMINRES"):
+            self.KV = KV
+        elif mode in ("sparseCGpre", "sparseMINRESpre"):
+            self.KV = KV
+            self._get_or_refresh_preconditioner(KV, force_refresh=True)
+        elif mode in ("sparseLU", "sparseSolve"):
+            # direct semantics: exact MXU Cholesky below the dense cutoff
+            self.KV = KV
+            if self._direct_dense_ok(KV):
+                self.Chol_factor = dops.cholesky_factor(self._densify(KV))
+            else:
+                self.Chol_factor = None
+        else:
+            raise Exception(f"No Mode. Choose from: {self.allowed_modes}")
+
+    def update_KV(self, KV):
+        """Rank-n update after an append (ref gp_kv.py:462-508): blocked
+        trailing updates of the dense factor / explicit inverse; sparse
+        modes just swap the operator."""
+        mode = self.mode
+        if not isinstance(mode, str):
+            self.custom_obj = mode[0](KV)
+            self.KV = KV
+            return
+        if mode in ("Chol", "CholInv"):
+            KVd = self._densify(KV)
+            if KVd.shape[0] <= self.Chol_factor.shape[0]:
+                self.Chol_factor = dops.cholesky_factor(KVd)
+            else:
+                self.Chol_factor = dops.update_chol_factor(self.Chol_factor, KVd)
+            self.KV = KVd
+            if mode == "CholInv":
+                self.KVinv = dops.inv_from_chol(self.Chol_factor)
+        elif mode == "Inv":
+            KVd = self._densify(KV)
+            if KVd.shape[0] <= self.KVinv.shape[0]:
+                self.KVinv = dops.calculate_inv(KVd)
+            else:
+                self.KVinv = dops.update_inv(self.KVinv, KVd)
+            self.KV = KVd
+        else:
+            self.set_KV(KV)
+
+    # ------------------------------------------------------------------
+    # solve / logdet dispatch
+    # ------------------------------------------------------------------
+    @staticmethod
+    def addKV(K, V):
+        """K + V for dense/block-sparse K and vector/matrix V
+        (ref gp_kv.py:639-669)."""
+        if is_block_sparse(K):
+            V = jnp.asarray(V)
+            if V.ndim != 1:
+                raise AssertionError("K is block-sparse; expected a 1-d diagonal V")
+            return K.add_diagonal(V)
+        K = jnp.asarray(K)
+        if K.ndim != 2 or K.shape[0] != K.shape[1]:
+            raise AssertionError("K must be a square 2-d matrix")
+        V = jnp.asarray(V)
+        if V.ndim == 2:
+            return K + V
+        if V.ndim == 1:
+            return dops.add_diagonal(K, V)
+        raise Exception("K+V not possible with the given formats")
+
+    def _densify(self, KV):
+        return KV.to_dense() if is_block_sparse(KV) else jnp.asarray(KV)
+
+    def _matvec(self, KV):
+        if is_block_sparse(KV):
+            return KV.matmat
+        return krylov.make_dense_matvec(KV)
+
+    def _direct_dense_ok(self, KV):
+        cutoff = int(self.args.get("sparse_direct_dense_cutoff", 20000))
+        return KV.shape[0] <= cutoff
+
+    def _tols(self):
+        cg_tol = float(self.args.get("sparse_cg_tol", 1e-5))
+        mr_tol = float(self.args.get("sparse_minres_tol", 1e-5))
+        maxiter = self.args.get("sparse_krylov_maxiter", None)
+        cg_max = self.args.get("sparse_cg_maxiter", maxiter)
+        mr_max = self.args.get("sparse_minres_maxiter", maxiter)
+        return cg_tol, mr_tol, cg_max, mr_max
+
+    def _solve_with(self, mode, KV, b, x0=None, chol=None):
+        cg_tol, mr_tol, cg_max, mr_max = self._tols()
+        if mode in ("Chol", "CholInv"):
+            L = chol if chol is not None else dops.cholesky_factor(self._densify(KV))
+            return dops.cholesky_solve(L, b)
+        if mode == "Inv":
+            return dops.calculate_inv(self._densify(KV)) @ b
+        if mode == "sparseLU" or mode == "sparseSolve":
+            if self._direct_dense_ok(KV):
+                L = chol if chol is not None else dops.cholesky_factor(self._densify(KV))
+                return dops.cholesky_solve(L, b)
+            M = build_block_jacobi(KV, args=self.args)
+            return krylov.cg(self._matvec(KV), b, x0=x0, M=M, tol=1e-10)
+        if mode == "sparseCG":
+            return krylov.cg(self._matvec(KV), b, x0=x0, tol=cg_tol, maxiter=cg_max)
+        if mode == "sparseMINRES":
+            return krylov.minres(self._matvec(KV), b, x0=x0, tol=mr_tol, maxiter=mr_max)
+        if mode == "sparseCGpre":
+            M = self._get_or_refresh_preconditioner(KV)
+            return krylov.cg(self._matvec(KV), b, x0=x0, M=M, tol=cg_tol, maxiter=cg_max)
+        if mode == "sparseMINRESpre":
+            M = self._get_or_refresh_preconditioner(KV)
+            return krylov.minres(self._matvec(KV), b, x0=x0, M=M, tol=mr_tol, maxiter=mr_max)
+        raise Exception(f"No mode: {mode}")
+
+    def _logdet_with(self, mode, KV, chol=None):
+        if mode in ("Chol", "CholInv"):
+            L = chol if chol is not None else dops.cholesky_factor(self._densify(KV))
+            return float(dops.cholesky_logdet(L))
+        if mode == "Inv":
+            return float(dops.calculate_logdet(self._densify(KV)))
+        if mode in ("sparseLU", "sparseSolve") and self._direct_dense_ok(KV):
+            L = chol if chol is not None else dops.cholesky_factor(self._densify(KV))
+            return float(dops.cholesky_logdet(L))
+        return self._random_logdet(KV)
+
+    def _random_logdet(self, KV):
+        """SLQ log-determinant with variance capture (ref gp_kv.py:559-572)."""
+        info = {}
+        dtype = config.linalg_dtype(self.args)
+        result = slq.slq_logdet(
+            self._matvec(KV), KV.shape[0], dtype=dtype,
+            degree=int(self.args.get("random_logdet_lanczos_degree", 20)),
+            min_num_samples=int(self.args.get("random_logdet_min_num_samples", 10)),
+            max_num_samples=int(self.args.get("random_logdet_max_num_samples", 5000)),
+            error_rtol=float(self.args.get("random_logdet_error_rtol", 0.01)),
+            info_out=info)
+        self.last_logdet_variance = info.get("variance", None)
+        self.last_logdet_info = info
+        return result
+
+    # ------------------------------------------------------------------
+    def compute_new_KVinvY(self, KV, m, x0=None):
+        """KVinvY for a trial (KV, m) without committing state
+        (ref gp_kv.py:510-557)."""
+        x0 = self._validated_warm_start(KV, x0)
+        self.Warm_start_fingerprint = self.matrix_fingerprint(KV)
+        y_mean = jnp.asarray(self.y_data, dtype=config.linalg_dtype(self.args)) - m[:, None]
+        mode = self._resolved_mode(KV)
+        if not isinstance(mode, str):
+            factor = mode[0](KV)
+            return jnp.reshape(jnp.asarray(mode[1](factor, y_mean)), y_mean.shape)
+        return jnp.reshape(self._solve_with(mode, KV, y_mean, x0=x0), y_mean.shape)
+
+    def compute_new_KVlogdet_KVinvY(self, K, V, m, x0=None):
+        """KVinvY and log|KV| jointly, sharing one factorization
+        (ref gp_kv.py:574-631)."""
+        KV = self.addKV(K, V)
+        x0 = self._validated_warm_start(KV, x0)
+        self.Warm_start_fingerprint = self.matrix_fingerprint(KV)
+        y_mean = jnp.asarray(self.y_data, dtype=config.linalg_dtype(self.args)) - m[:, None]
+        mode = self._resolved_mode(KV)
+        if not isinstance(mode, str):
+            factor = mode[0](KV)
+            KVinvY = jnp.asarray(mode[1](factor, y_mean))
+            KVlogdet = float(mode[2](factor))
+            return jnp.reshape(KVinvY, y_mean.shape), KVlogdet
+        chol = None
+        if mode in ("Chol", "CholInv") or (
+                mode in ("sparseLU", "sparseSolve") and self._direct_dense_ok(KV)):
+            chol = dops.cholesky_factor(self._densify(KV))
+        KVinvY = self._solve_with(mode, KV, y_mean, x0=x0, chol=chol)
+        KVlogdet = self._logdet_with(mode, KV, chol=chol)
+        return jnp.reshape(KVinvY, y_mean.shape), KVlogdet
+
+    def solve(self, b, x0=None):
+        """Solve against the committed factorization (ref gp_kv.py:671-700)."""
+        mode = self.mode
+        if not isinstance(mode, str):
+            return jnp.asarray(mode[1](self.custom_obj, b))
+        if mode in ("Chol",):
+            return dops.cholesky_solve(self.Chol_factor, b)
+        if mode in ("CholInv", "Inv"):
+            return self.KVinv @ jnp.asarray(b)
+        if mode in ("sparseLU", "sparseSolve") and self.Chol_factor is not None:
+            return dops.cholesky_solve(self.Chol_factor, b)
+        return self._solve_with(mode, self.KV, b, x0=x0)
+
+    def logdet(self):
+        """log|KV| in the committed mode (ref gp_kv.py:702-716)."""
+        mode = self.mode
+        if not isinstance(mode, str):
+            return float(mode[2](self.custom_obj))
+        if mode in ("Chol", "CholInv"):
+            return float(dops.cholesky_logdet(self.Chol_factor))
+        if mode == "Inv":
+            return float(dops.calculate_logdet(self.KV))
+        if mode in ("sparseLU", "sparseSolve") and self.Chol_factor is not None:
+            return float(dops.cholesky_logdet(self.Chol_factor))
+        return self._random_logdet(self.KV)
+
+    # ------------------------------------------------------------------
+    def _get_KVm(self):
+        return self.K, self.V, self.m
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        for key in ("KV", "KVinv", "Chol_factor", "KVinvY"):
+            val = state.get(key)
+            if val is not None and not is_block_sparse(val):
+                state[key] = np.asarray(val)
+        state["Preconditioner_operator"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        for key in ("KV", "KVinv", "Chol_factor", "KVinvY"):
+            val = self.__dict__.get(key)
+            if isinstance(val, np.ndarray):
+                setattr(self, key, jnp.asarray(val))

@@ -1,0 +1,365 @@
+"""Log marginal likelihood + gradients
+(parity target: /root/reference/fvgp/gp_marginal_likelihood.py).
+
+L = -1/2 ( (y-m)ᵀ(K+V)⁻¹(y-m) + log|K+V| + n log 2π )
+(ref gp_marginal_likelihood.py:137-179; multi-column y averages the
+quadratic term over columns exactly as the reference does, :175).
+
+TPU-first redesign: when kernel/mean/noise are jax-traceable the whole
+pipeline — kernel assembly, Cholesky, solve, logdet — is ONE jitted
+``jax.value_and_grad`` program.  This replaces the reference's hand-written
+gradient machinery (dK/dh loops, ram_economy variants, FD fallbacks,
+:224-309) on the fast path; the explicit-formula engine
+    dL/dh_i = 1/2 bᵀ (dKV/dh_i) b - 1/2 tr((K+V)⁻¹ dKV/dh_i) - dm/dh_iᵀ b
+is retained (with the same ram-economy memory/time trade) for host numpy
+callables and non-Euclidean input spaces.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..ops import dense as dops
+
+
+class GPMarginalLikelihood:
+    def __init__(self, data, prior, likelihood, trainer, kv):
+        self.data = data
+        self.prior = prior
+        self.likelihood = likelihood
+        self.trainer = trainer
+        self.kv = kv
+        self._warm_start_KVinvY = None
+        # traced fast-path cache
+        self._traced_key = None
+        self._lml_jit = None
+        self._lml_vg = None
+
+    # -- plumbing ----------------------------------------------------------
+    @property
+    def args(self):
+        return self.data.args
+
+    @property
+    def x_data(self):
+        return self.data.x_data
+
+    @property
+    def y_data(self):
+        return self.data.y_data
+
+    @property
+    def ram_economy(self):
+        return self.data.ram_economy
+
+    @property
+    def gp2Scale(self):
+        return self.data.gp2Scale
+
+    @property
+    def hyperparameters(self):
+        return self.trainer.hyperparameters
+
+    # ------------------------------------------------------------------
+    # traced fast path
+    # ------------------------------------------------------------------
+    def _traced_ready(self):
+        return (not self.gp2Scale
+                and self.data.Euclidean
+                and isinstance(self.kv.mode, str)
+                and self.kv.mode in ("Chol", "CholInv")
+                and self.prior.traceable
+                and self.likelihood.noise_traceable)
+
+    def _get_traced(self):
+        """(jitted lml, jitted value_and_grad) — rebuilt when the dataset
+        shape moves."""
+        key = (self.data.point_number, self.y_data.shape[1],
+               id(self.prior._x_dev))
+        if key != self._traced_key:
+            self._build_traced()
+            self._traced_key = key
+        return self._lml_jit, self._lml_vg
+
+    def _build_traced(self):
+        prior = self.prior
+        likelihood = self.likelihood
+        dtype = config.linalg_dtype(self.args)
+        x = prior._x_dev
+        y = jnp.asarray(self.y_data, dtype=dtype)
+        n = y.shape[0]
+        args_dict = self.args
+        k_n = prior.k_n_params
+        kernel = prior.kernel
+        mean_default = prior._default_mean
+        mean_fn = prior.mean_function
+        m_n = prior.m_n_params
+        mean_const = float(np.mean(self.y_data)) if mean_default else None
+        noise_mode = likelihood._mode
+        v_n = likelihood.v_n_params
+        noise_fn = likelihood.noise_function
+        if noise_mode != "callable":
+            V_const = jnp.asarray(likelihood.calculate_V(self.x_data,
+                                                         self.hyperparameters),
+                                  dtype=dtype)
+        else:
+            V_const = None
+
+        def lml(hps):
+            if k_n == 3:
+                K = kernel(x, x, hps)
+            else:
+                K = kernel(x, x, hps, args_dict)
+            if noise_mode == "callable":
+                V = noise_fn(x, hps) if v_n == 2 else noise_fn(x, hps, args_dict)
+            else:
+                V = V_const
+            if V.ndim == 1:
+                KV = dops.add_diagonal(K, V)
+            else:
+                KV = K + V
+            if mean_default:
+                m = jnp.full((n,), mean_const, dtype=dtype)
+            else:
+                m = mean_fn(x, hps) if m_n == 2 else mean_fn(x, hps, args_dict)
+            L = jnp.linalg.cholesky(KV)
+            ym = y - m[:, None]
+            alpha = jax.scipy.linalg.cho_solve((L, True), ym)
+            l1 = jnp.sum(ym * alpha) / ym.shape[1]
+            logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+            return -0.5 * (l1 + logdet + n * jnp.log(2.0 * jnp.pi))
+
+        self._lml_raw = lml
+        self._lml_jit = jax.jit(lml)
+        self._lml_vg = jax.jit(jax.value_and_grad(lml))
+        self._lml_vmap = None
+
+    def batched_neg_log_likelihood(self, P):
+        """Vectorized -LML over a (pop, H) batch of hyperparameter vectors —
+        one device program for a whole optimizer population (no reference
+        equivalent; enabled by the traced design)."""
+        if not self._traced_ready():
+            return None
+        self._get_traced()
+        if self._lml_vmap is None:
+            self._lml_vmap = jax.jit(jax.vmap(lambda h: -self._lml_raw(h)))
+        vals = self._lml_vmap(config.asarray(np.asarray(P)))
+        return config.to_numpy(vals)
+
+    def invalidate_traced(self):
+        self._traced_key = None
+
+    # ------------------------------------------------------------------
+    # warm-start plumbing (ref gp_marginal_likelihood.py:92-134)
+    # ------------------------------------------------------------------
+    def _warm_start_enabled(self):
+        return bool(self.args.get("sparse_krylov_warm_start", False))
+
+    def _iterative_initial_guess(self, target_shape):
+        if not self._warm_start_enabled():
+            return None
+        for candidate in (self._warm_start_KVinvY, self.kv.KVinvY):
+            if candidate is None:
+                continue
+            guess = jnp.asarray(candidate)
+            if guess.ndim == 1:
+                guess = guess.reshape(-1, 1)
+            if guess.shape[0] != target_shape[0]:
+                continue
+            if guess.shape[1] == target_shape[1]:
+                return guess
+            if guess.shape[1] == 1 and target_shape[1] > 1:
+                return jnp.repeat(guess, target_shape[1], axis=1)
+        return None
+
+    def _update_warm_start(self, KVinvY):
+        if self._warm_start_enabled():
+            self._warm_start_KVinvY = jnp.array(KVinvY)
+
+    def compute_new_KVinvY(self, KV, m):
+        shape = (self.y_data.shape[0], self.y_data.shape[1])
+        x0 = self._iterative_initial_guess(shape)
+        KVinvY = self.kv.compute_new_KVinvY(KV, m, x0=x0)
+        self._update_warm_start(KVinvY)
+        return KVinvY
+
+    def compute_new_KVlogdet_KVinvY(self, K, V, m):
+        shape = (self.y_data.shape[0], self.y_data.shape[1])
+        x0 = self._iterative_initial_guess(shape)
+        KVinvY, KVlogdet = self.kv.compute_new_KVlogdet_KVinvY(K, V, m, x0=x0)
+        self._update_warm_start(KVinvY)
+        return KVinvY, KVlogdet
+
+    # ------------------------------------------------------------------
+    # public surface
+    # ------------------------------------------------------------------
+    def log_likelihood(self, hyperparameters=None):
+        """Marginal log-likelihood (ref gp_marginal_likelihood.py:137)."""
+        if hyperparameters is None:
+            K, V, m = self.prior.K, self.likelihood.V, self.prior.m
+            KVinvY = self.kv.KVinvY
+            KVlogdet = self.kv.logdet_KV
+            n = len(self.y_data)
+            ym = jnp.asarray(self.y_data,
+                             dtype=config.linalg_dtype(self.args)) - m[:, None]
+            l1 = float(jnp.sum(ym * KVinvY)) / ym.shape[1]
+            return -0.5 * (l1 + KVlogdet + n * np.log(2.0 * np.pi))
+        hyperparameters = np.asarray(hyperparameters)
+        if self._traced_ready():
+            lml_jit, _ = self._get_traced()
+            val = lml_jit(config.asarray(hyperparameters))
+            val = float(val)
+            if not np.isfinite(val):
+                # non-PD Cholesky produces NaN under jit; surface it like the
+                # reference's linalg failure (-inf keeps optimizers moving)
+                return -np.inf
+            return val
+        K = self.prior.compute_prior_covariance_matrix(self.x_data, hyperparameters)
+        V = self.likelihood.calculate_V(self.x_data, hyperparameters)
+        m = self.prior.compute_mean(self.x_data, hyperparameters)
+        try:
+            KVinvY, KVlogdet = self.compute_new_KVlogdet_KVinvY(K, V, m)
+        except Exception as e:
+            raise Exception(
+                f"Linear algebra failed for hyperparameters {hyperparameters}: {e}"
+            ) from e
+        n = len(self.y_data)
+        ym = jnp.asarray(self.y_data,
+                         dtype=config.linalg_dtype(self.args)) - m[:, None]
+        l1 = float(jnp.sum(ym * KVinvY)) / ym.shape[1]
+        return -0.5 * (l1 + KVlogdet + n * np.log(2.0 * np.pi))
+
+    def neg_log_likelihood(self, hyperparameters=None):
+        return -self.log_likelihood(hyperparameters=hyperparameters)
+
+    def log_likelihood_variance(self):
+        """Variance of the latest stochastic LML evaluation — the SLQ
+        estimator noise scaled by 0.25; None for exact modes
+        (ref gp_marginal_likelihood.py:182-204)."""
+        v = getattr(self.kv, "last_logdet_variance", None)
+        if v is None:
+            return None
+        return 0.25 * float(v)
+
+    def log_likelihood_value_and_gradient(self, hyperparameters):
+        """(L, dL/dh) in one compiled pass on the traced path — the
+        training hot loop calls this."""
+        hyperparameters = np.asarray(hyperparameters)
+        if self._traced_ready():
+            _, vg = self._get_traced()
+            val, grad = vg(config.asarray(hyperparameters))
+            return float(val), config.to_numpy(grad)
+        val = self.log_likelihood(hyperparameters)
+        grad = -self.neg_log_likelihood_gradient(hyperparameters)
+        return val, np.asarray(grad)
+
+    def neg_log_likelihood_gradient(self, hyperparameters=None, component=0):
+        """Gradient of -L (ref gp_marginal_likelihood.py:224)."""
+        if self.gp2Scale:
+            raise Exception("Can't compute neg_log_likelihood_gradient for gp2Scale")
+        if hyperparameters is not None and self._traced_ready():
+            _, vg = self._get_traced()
+            _, grad = vg(config.asarray(np.asarray(hyperparameters)))
+            return -config.to_numpy(grad)
+        return self._formula_gradient(hyperparameters, component)
+
+    def _formula_gradient(self, hyperparameters, component=0):
+        """Explicit-formula gradient for host callables / committed state
+        (same math as ref gp_marginal_likelihood.py:243-309, including the
+        ram-economy per-direction path)."""
+        if hyperparameters is None:
+            KVinvY = self.kv.KVinvY
+            K = self.prior.K
+            V = self.likelihood.V
+            KV = self.kv.addKV(K, V)
+            hyperparameters = self.hyperparameters
+        else:
+            K = self.prior.compute_prior_covariance_matrix(self.x_data, hyperparameters)
+            V = self.likelihood.calculate_V(self.x_data, hyperparameters)
+            m = self.prior.compute_mean(self.x_data, hyperparameters)
+            KV = self.kv.addKV(K, V)
+            KVinvY = self.compute_new_KVinvY(KV, m)
+
+        b = KVinvY[:, component]
+        H = len(hyperparameters)
+        n = len(self.x_data)
+        dm_dh = self.prior.dm_dh(self.x_data, hyperparameters)
+        dL_dH = np.zeros(H)
+        dL_dHm = np.zeros(H)
+
+        L = dops.cholesky_factor(self.kv._densify(KV))
+
+        if not self.ram_economy:
+            noise_der = self.likelihood.calculate_V_grad(self.x_data, hyperparameters)
+            dK_dH = self.prior.dk_dh(self.x_data, self.x_data, hyperparameters)
+            if noise_der.ndim == 2:
+                idx = jnp.arange(n)
+                dKV_dH = dK_dH.at[:, idx, idx].add(noise_der)
+            else:
+                dKV_dH = dK_dH + noise_der
+            # batched solve: (H, n, n)
+            sol = jax.vmap(lambda M: dops.cholesky_solve(L, M))(dKV_dH)
+            traces = jax.vmap(jnp.trace)(sol)
+            quad = jnp.einsum("i,hij,j->h", b, dKV_dH, b)
+            dm_term = dm_dh @ b
+            grads = jnp.where(dm_term == 0.0,
+                              -0.5 * (quad - traces), 0.0)
+            return config.to_numpy(grads) + config.to_numpy(-dm_term)
+        for i in range(H):
+            dL_dHm[i] = -float(dm_dh[i] @ b)
+            noise_der = self.likelihood.calculate_V_grad(self.x_data,
+                                                         hyperparameters, direction=i)
+            dK = self.prior.dk_dh(self.x_data, self.x_data, hyperparameters,
+                                  direction=i)
+            if noise_der.ndim == 1:
+                dKV = dops.add_diagonal(dK, noise_der)
+            else:
+                dKV = dK + noise_der
+            if dL_dHm[i] == 0.0:
+                sol = dops.cholesky_solve(L, dKV)
+                mtrace = float(b @ (dKV @ b))
+                dL_dH[i] = -0.5 * (mtrace - float(jnp.trace(sol)))
+        return dL_dH + dL_dHm
+
+    def neg_log_likelihood_hessian(self, hyperparameters=None):
+        """FD-of-gradient Hessian (ref gp_marginal_likelihood.py:312-336)."""
+        if hyperparameters is None:
+            hyperparameters = self.hyperparameters
+        H = len(hyperparameters)
+        d2 = np.zeros((H, H))
+        eps = 1e-6
+        g0 = self.neg_log_likelihood_gradient(hyperparameters=hyperparameters)
+        for i in range(H):
+            hps = np.array(hyperparameters, dtype=np.float64)
+            hps[i] += eps
+            d2[i, i:] = ((self.neg_log_likelihood_gradient(hyperparameters=hps)
+                          - g0) / eps)[i:]
+        return d2 + d2.T - np.diag(np.diag(d2))
+
+    def test_log_likelihood_gradient(self, hyperparameters, epsilon=1e-6):
+        """FD vs analytic gradient self-test
+        (ref gp_marginal_likelihood.py:338)."""
+        thps = np.array(hyperparameters, dtype=np.float64)
+        grad = np.empty(len(thps))
+        base = self.log_likelihood(hyperparameters=thps)
+        for i in range(len(thps)):
+            aux = np.array(thps)
+            aux[i] += epsilon
+            grad[i] = (self.log_likelihood(hyperparameters=aux) - base) / epsilon
+        analytical = -self.neg_log_likelihood_gradient(hyperparameters=thps)
+        return grad, np.asarray(analytical)
+
+    def __getstate__(self):
+        state = dict(
+            data=self.data, prior=self.prior, likelihood=self.likelihood,
+            trainer=self.trainer, kv=self.kv,
+            _warm_start_KVinvY=None if self._warm_start_KVinvY is None
+            else np.asarray(self._warm_start_KVinvY))
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._traced_key = None
+        self._lml_jit = None
+        self._lml_vg = None

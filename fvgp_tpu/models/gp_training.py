@@ -1,0 +1,391 @@
+"""Training dispatcher (parity target: /root/reference/fvgp/gp_training.py).
+
+Methods: ``global`` (differential evolution — population evaluated as ONE
+vmapped device call when the LML is traced, replacing scipy's sequential
+loop), ``local`` (L-BFGS-B over a fused jitted value_and_grad), ``hgdl``
+(the HGDL-package replacement: vmapped multi-start — a population of local
+optimizers advancing in lockstep on device — plus local polish), ``mcmc``
+(adaptive Metropolis), ``adam``, ``bo`` (Bayesian optimization), and a user
+callable.  Async variants run the same code in daemon threads with the
+get_latest()/stop() polling contract (gp_actor).
+"""
+
+import warnings
+
+import numpy as np
+from scipy.optimize import minimize
+
+from .gp_actor import (AsyncOptimizer, _AdamActor, _BOActor, _MCMCActor,
+                       _MultistartActor)
+from .gp_bo import bayesian_optimize
+from .gp_mcmc import gpMCMC
+
+warnings.simplefilter("once", UserWarning)
+
+
+class GPtraining:
+    def __init__(self, data, hyperparameters):
+        self.mcmc_info = None
+        self.bo_info = None
+        self.data = data
+        self.hyperparameters = np.asarray(hyperparameters, dtype=np.float64)
+
+    @property
+    def args(self):
+        return self.data.args
+
+    @property
+    def gp2Scale(self):
+        return self.data.gp2Scale
+
+    # ------------------------------------------------------------------
+    def train(self, objective_function=None, objective_function_gradient=None,
+              objective_function_hessian=None, hyperparameter_bounds=None,
+              init_hyperparameters=None, method="global", pop_size=20,
+              tolerance=0.0001, max_iter=120, local_optimizer="L-BFGS-B",
+              global_optimizer="genetic", constraints=(), mcmc_prior=None,
+              mcmc_prop_distrs="normal", mcmc_args=None, bo_args=None,
+              dask_client=None, info=False,
+              batched_objective=None, fused_value_and_grad=None):
+        """Synchronous training; returns the optimized hyperparameters
+        (ref gp_training.py:28-196)."""
+        if mcmc_args is None:
+            mcmc_args = {}
+        if not self._in_bounds(init_hyperparameters, hyperparameter_bounds):
+            raise Exception("Starting positions outside of optimization bounds.",
+                            init_hyperparameters, hyperparameter_bounds)
+
+        if method == "global":
+            hyperparameters = self._differential_evolution(
+                objective_function, hyperparameter_bounds, init_hyperparameters,
+                pop_size=pop_size, tol=tolerance, max_iter=max_iter, info=info,
+                batched_objective=batched_objective)
+        elif method == "local":
+            progress = None
+            if info:
+                state = {"i": 0}
+
+                def progress(intermediate_result):
+                    state["i"] += 1
+                    print(f"fvgp_tpu local iteration {state['i']}: "
+                          f"f(x)= {float(intermediate_result.fun)}")
+            fun, jac = self._fun_and_jac(objective_function,
+                                         objective_function_gradient,
+                                         fused_value_and_grad)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                res = minimize(fun, init_hyperparameters, method=local_optimizer,
+                               jac=jac, hess=objective_function_hessian,
+                               bounds=hyperparameter_bounds, tol=tolerance,
+                               callback=progress, constraints=constraints,
+                               options={"maxiter": max_iter})
+            hyperparameters = res["x"]
+        elif method == "hgdl":
+            optima = self.multistart_optimize(
+                objective_function, objective_function_gradient,
+                hyperparameter_bounds, init_hyperparameters,
+                n_starts=max(pop_size, 4), epochs=max_iter,
+                tolerance=tolerance, local_optimizer=local_optimizer,
+                fused_value_and_grad=fused_value_and_grad, info=info)
+            hyperparameters = optima[0]["x"]
+        elif method == "mcmc":
+            def prior_function(theta, bounds, args):
+                return 0. if self._in_bounds(theta, bounds) else -np.inf
+
+            def likelihood_func(hps, args):
+                return objective_function(hps)
+
+            if mcmc_prior is not None:
+                prior_function = mcmc_prior
+            sampler = gpMCMC(likelihood_func, prior_function=prior_function,
+                             proposal_distributions=mcmc_prop_distrs,
+                             bounds=hyperparameter_bounds, args=mcmc_args)
+            res = sampler.run_mcmc(x0=init_hyperparameters, n_updates=max_iter,
+                                   info=info, break_condition="default")
+            hyperparameters = res["median(x)"]
+            self.mcmc_info = res
+        elif method == "adam":
+            adam_progress = None
+            if info:
+                def adam_progress(theta, fval, grad, iteration):
+                    if iteration % 10 == 0 or iteration == 1:
+                        print(f"fvgp_tpu adam iteration {iteration} out of "
+                              f"{max_iter}: f(x)= {float(fval)}, "
+                              f"|grad|= {float(np.linalg.norm(grad))}")
+            hyperparameters, _ = self.adam_optimize(
+                objective_function, objective_function_gradient,
+                init_hyperparameters, max_iter=max_iter, callback=adam_progress)
+        elif method == "bo":
+            hyperparameters, self.bo_info = bayesian_optimize(
+                objective_function, hyperparameter_bounds, init_hyperparameters,
+                max_iter=max_iter, bo_args=bo_args, info=info)
+        elif callable(method):
+            hyperparameters = method(self)
+        else:
+            raise ValueError("No optimization mode specified in fvgp_tpu")
+        hyperparameters = np.asarray(hyperparameters)
+        if hyperparameters.ndim != 1:
+            raise AssertionError("Optimizer returned invalid hyperparameters: "
+                                 + str(hyperparameters))
+        return hyperparameters
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _fun_and_jac(objective, gradient, fused):
+        """scipy calls f and g separately; a fused jitted value_and_grad
+        halves the device work by caching the pair."""
+        if fused is None:
+            return objective, gradient
+        cache = {}
+
+        def fun(x):
+            key = x.tobytes()
+            if key not in cache:
+                cache.clear()
+                cache[key] = fused(x)
+            return cache[key][0]
+
+        def jac(x):
+            key = x.tobytes()
+            if key not in cache:
+                cache.clear()
+                cache[key] = fused(x)
+            return np.asarray(cache[key][1])
+
+        return fun, jac
+
+    # ------------------------------------------------------------------
+    def _differential_evolution(self, objective, bounds, x0, pop_size=20,
+                                tol=1e-4, max_iter=120, info=False,
+                                batched_objective=None):
+        """best/1/bin differential evolution.  With a batched objective the
+        whole population is one vmapped device call per generation — the MXU
+        evaluates pop_size·H Choleskys in a single batched program
+        (replaces scipy differential_evolution, ref gp_training.py:60-80)."""
+        bounds = np.asarray(bounds, dtype=np.float64)
+        H = len(bounds)
+        NP = max(4, int(pop_size) * H)
+        rng = np.random.default_rng(42)
+        pop = rng.uniform(bounds[:, 0], bounds[:, 1], size=(NP, H))
+        pop[0] = np.clip(np.asarray(x0, dtype=np.float64), bounds[:, 0], bounds[:, 1])
+
+        def eval_pop(P):
+            if batched_objective is not None:
+                return np.asarray(batched_objective(P), dtype=np.float64)
+            return np.array([objective(p) for p in P], dtype=np.float64)
+
+        fit = eval_pop(pop)
+        fit = np.where(np.isfinite(fit), fit, np.inf)
+        F, CR = 0.8, 0.9
+        for gen in range(int(max_iter)):
+            best = pop[np.argmin(fit)]
+            idx = np.arange(NP)
+            r1 = rng.permutation(NP)
+            r2 = rng.permutation(NP)
+            mutant = best[None, :] + F * (pop[r1] - pop[r2])
+            cross = rng.uniform(size=(NP, H)) < CR
+            cross[idx, rng.integers(0, H, NP)] = True
+            trial = np.where(cross, mutant, pop)
+            trial = np.clip(trial, bounds[:, 0], bounds[:, 1])
+            f_trial = eval_pop(trial)
+            f_trial = np.where(np.isfinite(f_trial), f_trial, np.inf)
+            improved = f_trial < fit
+            pop[improved] = trial[improved]
+            fit[improved] = f_trial[improved]
+            if info:
+                print(f"fvgp_tpu DE generation {gen}: best f(x)= {fit.min()}")
+            finite = fit[np.isfinite(fit)]
+            if len(finite) == NP and np.std(finite) <= tol * (abs(np.mean(finite)) + 1e-12):
+                break
+        return pop[np.argmin(fit)]
+
+    # ------------------------------------------------------------------
+    def multistart_optimize(self, objective, gradient, bounds, x0,
+                            n_starts=20, epochs=120, tolerance=1e-4,
+                            local_optimizer="L-BFGS-B",
+                            fused_value_and_grad=None, info=False,
+                            publish=None, stop_requested=None):
+        """HGDL replacement (ref gp_training.py:126-144 + external hgdl):
+        multi-start local optimization.  Starting points are a space-filling
+        draw plus the incumbent; every start is polished with bounded
+        L-BFGS-B over the fused device value_and_grad; results are returned
+        as HGDL-style sorted optima [{"x", "f(x)"}, ...]."""
+        bounds = np.asarray(bounds, dtype=np.float64)
+        H = len(bounds)
+        rng = np.random.default_rng(7)
+        starts = rng.uniform(bounds[:, 0], bounds[:, 1], size=(int(n_starts), H))
+        starts[0] = np.clip(np.asarray(x0, dtype=np.float64),
+                            bounds[:, 0], bounds[:, 1])
+        fun, jac = self._fun_and_jac(objective, gradient, fused_value_and_grad)
+        optima = []
+        for s_i, s in enumerate(starts):
+            if stop_requested is not None and stop_requested():
+                break
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                try:
+                    res = minimize(fun, s, method=local_optimizer, jac=jac,
+                                   bounds=bounds, tol=tolerance,
+                                   options={"maxiter": int(epochs)})
+                except Exception:
+                    continue
+            if np.isfinite(res.fun):
+                optima.append({"x": np.asarray(res.x), "f(x)": float(res.fun)})
+                optima.sort(key=lambda o: o["f(x)"])
+                if publish is not None:
+                    publish(optima=list(optima))
+                if info:
+                    print(f"fvgp_tpu multistart {s_i + 1}/{len(starts)}: "
+                          f"f(x)= {res.fun}, best= {optima[0]['f(x)']}")
+        if not optima:
+            raise Exception("Multi-start optimization failed on every start.")
+        return optima
+
+    # ------------------------------------------------------------------
+    def train_async(self, dask_client=None, objective_function=None,
+                    objective_function_gradient=None,
+                    objective_function_hessian=None, hyperparameter_bounds=None,
+                    init_hyperparameters=None, method="global", pop_size=20,
+                    tolerance=0.0001, max_iter=120, local_optimizer="L-BFGS-B",
+                    global_optimizer="genetic", constraints=(), mcmc_prior=None,
+                    mcmc_prop_distrs="normal", mcmc_args=None, bo_args=None,
+                    info=False, fused_value_and_grad=None):
+        """Submit an asynchronous run; returns an AsyncOptimizer proxy
+        (ref gp_training.py:198-271).  `dask_client` is accepted for API
+        compatibility and ignored — actors are controller threads."""
+        if mcmc_args is None:
+            mcmc_args = {}
+        if method not in ("hgdl", "mcmc", "adam", "bo"):
+            raise AssertionError("Asynchronous training only supported for "
+                                 "hgdl, mcmc, adam, bo; got method=" + str(method))
+        if method == "mcmc":
+            def prior_function(theta, bounds, args):
+                return 0. if self._in_bounds(theta, bounds) else -np.inf
+
+            def likelihood_func(hps, args):
+                return objective_function(hps)
+
+            if mcmc_prior is not None:
+                prior_function = mcmc_prior
+            actor = _MCMCActor(likelihood_func, hyperparameter_bounds,
+                               prior_function, mcmc_prop_distrs, mcmc_args,
+                               init_hyperparameters, max_iter, info)
+        elif method == "adam":
+            actor = _AdamActor(objective_function, objective_function_gradient,
+                               init_hyperparameters, 1e-2, 0.9, 0.999, 1e-8,
+                               max_iter, 1e-6)
+        elif method == "bo":
+            actor = _BOActor(objective_function, hyperparameter_bounds,
+                             init_hyperparameters, max_iter, bo_args, info)
+        else:  # hgdl
+            def run_fn(publish, stop_requested):
+                return self.multistart_optimize(
+                    objective_function, objective_function_gradient,
+                    hyperparameter_bounds, init_hyperparameters,
+                    n_starts=max(pop_size, 4), epochs=max_iter,
+                    tolerance=tolerance, local_optimizer=local_optimizer,
+                    fused_value_and_grad=fused_value_and_grad, info=info,
+                    publish=publish, stop_requested=stop_requested)
+            actor = _MultistartActor(run_fn)
+        actor.start()
+        return AsyncOptimizer(actor)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def stop_training(opt_obj):
+        """(ref gp_training.py:473-488)."""
+        try:
+            opt_obj.cancel_tasks()
+        except Exception:
+            warnings.warn("No asynchronous training to be canceled; "
+                          "no training is running.", UserWarning, stacklevel=2)
+
+    @staticmethod
+    def kill_client(opt_obj):
+        """(ref gp_training.py:491-506)."""
+        try:
+            opt_obj.kill_client()
+        except Exception:
+            warnings.warn("No asynchronous training to be killed; "
+                          "no training is running.", UserWarning, stacklevel=2)
+
+    def update_hyperparameters(self, opt_obj):
+        """Pull the latest hyperparameters from a running async optimizer
+        (ref gp_training.py:508-544)."""
+        try:
+            opt_list = opt_obj.get_latest()
+        except Exception:
+            return self.hyperparameters
+        if not opt_list:
+            warnings.warn("Hyperparameter update not successful: empty optima "
+                          "list.", UserWarning, stacklevel=2)
+            return self.hyperparameters
+        if isinstance(opt_list, list):
+            updated = opt_list[0]["x"]
+        elif isinstance(opt_list, dict):
+            if "median(x)" in opt_list:
+                updated = opt_list["median(x)"]
+            elif "x" in opt_list:
+                updated = opt_list["x"]
+            else:
+                raise Exception("Reading the updated hyperparameters failed",
+                                opt_list)
+        else:
+            raise Exception("Reading the updated hyperparameters failed", opt_list)
+        updated = np.asarray(updated)
+        if updated.ndim != 1:
+            raise AssertionError("async optimizer returned invalid "
+                                 "hyperparameters: " + str(updated))
+        return updated
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def adam_optimize(nlml, grad_nlml, theta0, lr=1e-2, beta1=0.9, beta2=0.999,
+                      eps=1e-8, max_iter=1000, tol=1e-6, callback=None,
+                      early_stop=None):
+        """Adam on (objective, gradient) callables (ref gp_training.py:577-667).
+
+        Each step is two device calls (or one, when the caller hands a fused
+        objective that caches); the moment arithmetic is negligible host work.
+        """
+        theta = np.asarray(theta0, dtype=np.float64).copy()
+        d = theta.size
+        m = np.zeros(d)
+        v = np.zeros(d)
+        history = {"theta": [], "nlml": [], "grad_norm": []}
+        for t in range(1, int(max_iter) + 1):
+            fval = nlml(theta)
+            g = np.asarray(grad_nlml(theta), dtype=np.float64)
+            m = beta1 * m + (1.0 - beta1) * g
+            v = beta2 * v + (1.0 - beta2) * (g ** 2)
+            m_hat = m / (1.0 - beta1 ** t)
+            v_hat = v / (1.0 - beta2 ** t)
+            step = lr * m_hat / (np.sqrt(v_hat) + eps)
+            theta_new = theta - step
+            history["theta"].append(theta.copy())
+            history["nlml"].append(fval)
+            history["grad_norm"].append(np.linalg.norm(g))
+            if callback is not None:
+                callback(theta, fval, g, t)
+            if np.linalg.norm(theta_new - theta) < tol or (
+                    early_stop is not None and early_stop()):
+                theta = theta_new
+                break
+            theta = theta_new
+        return theta, history
+
+    @staticmethod
+    def _in_bounds(v, bounds):
+        if not isinstance(bounds, np.ndarray):
+            raise AssertionError("bounds must be np.ndarray")
+        return not (np.any(v < bounds[:, 0]) or np.any(v > bounds[:, 1]))
+
+    def __getstate__(self):
+        bo_info = self.bo_info
+        if isinstance(bo_info, dict) and bo_info.get("surrogate") is not None:
+            bo_info = {k: v for k, v in bo_info.items() if k != "surrogate"}
+        return dict(data=self.data, mcmc_info=self.mcmc_info, bo_info=bo_info,
+                    hyperparameters=self.hyperparameters)
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)

@@ -1,0 +1,205 @@
+"""Matrix-free Krylov solvers — CG / MINRES / block-CG as `lax.while_loop`
+programs over an abstract matvec.
+
+TPU replacement for the reference's scipy.sparse.linalg cg/minres calls
+(/root/reference/fvgp/gp_lin_alg.py:1184-1291) and its pure-Python block CG
+(:1024-1080).  The matvec is a closure: a dense matmul, a block-sparse SpMM
+(ops.block_sparse), or a sharded SpMM containing collectives — the solver
+does not care, which is what lets one implementation serve the single-chip
+and the pod-scale path.
+
+All solvers are multi-RHS: they iterate on an (n, k) block and track
+per-column convergence with masks, so k posterior solves cost one pipeline.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cg", "minres", "make_dense_matvec"]
+
+
+def make_dense_matvec(A):
+    return lambda X: A @ X
+
+
+def _identity_precond(X):
+    return X
+
+
+@functools.partial(jax.jit, static_argnames=("matvec", "M", "maxiter"))
+def _cg_impl(matvec, M, B, X0, tol, maxiter):
+    """Preconditioned CG on a block of RHS columns with per-column masking."""
+    X = X0
+    R = B - matvec(X)
+    Z = M(R)
+    P = Z
+    rz = jnp.sum(R * Z, axis=0)                       # (k,)
+    bnorm = jnp.sqrt(jnp.sum(B * B, axis=0))
+    atol = tol * jnp.maximum(bnorm, 1e-300)
+
+    def cond(state):
+        i, X, R, Z, P, rz = state
+        rnorm = jnp.sqrt(jnp.sum(R * R, axis=0))
+        return jnp.logical_and(i < maxiter, jnp.any(rnorm > atol))
+
+    def body(state):
+        i, X, R, Z, P, rz = state
+        active = jnp.sqrt(jnp.sum(R * R, axis=0)) > atol   # (k,)
+        Ap = matvec(P)
+        pAp = jnp.sum(P * Ap, axis=0)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+        alpha = jnp.where(active, alpha, 0.0)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * Ap
+        Z = M(R)
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        beta = jnp.where(active, beta, 0.0)
+        P = Z + beta[None, :] * P
+        return i + 1, X, R, Z, P, rz_new
+
+    _, X, R, _, _, _ = jax.lax.while_loop(cond, body, (0, X, R, Z, P, rz))
+    return X
+
+
+def cg(matvec, b, x0=None, M=None, tol=1e-5, maxiter=None):
+    """Conjugate gradients for SPD systems (ref gp_lin_alg.py:1213).
+
+    Parameters
+    ----------
+    matvec : callable (n, k) -> (n, k)
+    b : (n,) or (n, k) right-hand side(s)
+    x0 : warm start of the same shape (ref warm-start contract,
+        gp_lin_alg.py:973-1003)
+    M : callable applying the preconditioner, or None
+    """
+    b = jnp.asarray(b)
+    squeeze = b.ndim == 1
+    B = b[:, None] if squeeze else b
+    if x0 is None:
+        X0 = jnp.zeros_like(B)
+    else:
+        X0 = jnp.asarray(x0, dtype=B.dtype)
+        if X0.ndim == 1:
+            X0 = X0[:, None]
+        if X0.shape != B.shape:        # zero-pad / truncate like the reference
+            Z = jnp.zeros_like(B)
+            r = min(X0.shape[0], B.shape[0])
+            c = min(X0.shape[1], B.shape[1])
+            Z = Z.at[:r, :c].set(X0[:r, :c])
+            X0 = Z
+    if maxiter is None:
+        maxiter = 10 * B.shape[0]
+    Mfn = M if M is not None else _identity_precond
+    X = _cg_impl(matvec, Mfn, B, X0, jnp.asarray(tol, B.dtype), int(maxiter))
+    return X[:, 0] if squeeze else X
+
+
+@functools.partial(jax.jit, static_argnames=("matvec", "M", "maxiter"))
+def _minres_impl(matvec, M, B, X0, tol, maxiter):
+    """MINRES on a block of RHS columns (symmetric, possibly indefinite).
+
+    Standard Lanczos + Givens formulation, vectorized over columns.
+    """
+    n, k = B.shape
+    X = X0
+    R1 = B - matvec(X)
+    Y = M(R1)
+    beta1 = jnp.sqrt(jnp.maximum(jnp.sum(R1 * Y, axis=0), 0.0))    # (k,)
+    bnorm = jnp.sqrt(jnp.sum(B * B, axis=0))
+    atol = tol * jnp.maximum(bnorm, 1e-300)
+
+    eps = jnp.asarray(jnp.finfo(B.dtype).eps, B.dtype)
+
+    # Lanczos state
+    state = dict(
+        i=0,
+        X=X,
+        R1=R1,                      # v_{k-1} * beta_{k-1} (unnormalized)
+        R2=R1,                      # v_k * beta_k (unnormalized)
+        Y=Y,
+        beta=beta1,
+        beta1=beta1,
+        oldb=jnp.zeros(k, B.dtype),
+        dbar=jnp.zeros(k, B.dtype),
+        epsln=jnp.zeros(k, B.dtype),
+        phibar=beta1,
+        cs=-jnp.ones(k, B.dtype),
+        sn=jnp.zeros(k, B.dtype),
+        W=jnp.zeros((n, k), B.dtype),
+        W2=jnp.zeros((n, k), B.dtype),
+    )
+
+    def cond(s):
+        return jnp.logical_and(s["i"] < maxiter,
+                               jnp.any(jnp.abs(s["phibar"]) > atol))
+
+    def body(s):
+        i = s["i"]
+        beta = s["beta"]
+        safe_beta = jnp.where(beta == 0, 1.0, beta)
+        V = s["Y"] / safe_beta[None, :]
+        Yv = matvec(V)
+        Yv = jnp.where(i >= 1,
+                       Yv - (beta / jnp.where(s["oldb"] == 0, 1.0, s["oldb"]))[None, :] * s["R1"],
+                       Yv)
+        alfa = jnp.sum(V * Yv, axis=0)
+        Yv = Yv - (alfa / safe_beta)[None, :] * s["R2"]
+        R1n = s["R2"]
+        R2n = Yv
+        Yn = M(Yv)
+        oldb = beta
+        beta_n = jnp.sqrt(jnp.maximum(jnp.sum(R2n * Yn, axis=0), 0.0))
+
+        # QR via Givens
+        oldeps = s["epsln"]
+        delta = s["cs"] * s["dbar"] + s["sn"] * alfa
+        gbar = s["sn"] * s["dbar"] - s["cs"] * alfa
+        epsln = s["sn"] * beta_n
+        dbar = -s["cs"] * beta_n
+        gamma = jnp.sqrt(gbar ** 2 + beta_n ** 2)
+        gamma = jnp.maximum(gamma, eps)
+        cs = gbar / gamma
+        sn = beta_n / gamma
+        phi = cs * s["phibar"]
+        phibar = sn * s["phibar"]
+
+        denom = 1.0 / gamma
+        W1 = s["W2"]
+        W2 = s["W"]
+        Wn = (V - oldeps[None, :] * W1 - delta[None, :] * W2) * denom[None, :]
+        active = (jnp.abs(s["phibar"]) > atol).astype(B.dtype)
+        Xn = s["X"] + (phi * active)[None, :] * Wn
+
+        return dict(i=i + 1, X=Xn, R1=R1n, R2=R2n, Y=Yn,
+                    beta=beta_n, beta1=s["beta1"], oldb=oldb, dbar=dbar,
+                    epsln=epsln, phibar=phibar, cs=cs, sn=sn, W=Wn, W2=W2)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["X"]
+
+
+def minres(matvec, b, x0=None, M=None, tol=1e-5, maxiter=None):
+    """MINRES for symmetric systems (ref gp_lin_alg.py:1184)."""
+    b = jnp.asarray(b)
+    squeeze = b.ndim == 1
+    B = b[:, None] if squeeze else b
+    if x0 is None:
+        X0 = jnp.zeros_like(B)
+    else:
+        X0 = jnp.asarray(x0, dtype=B.dtype)
+        if X0.ndim == 1:
+            X0 = X0[:, None]
+        if X0.shape != B.shape:
+            Z = jnp.zeros_like(B)
+            r = min(X0.shape[0], B.shape[0])
+            c = min(X0.shape[1], B.shape[1])
+            Z = Z.at[:r, :c].set(X0[:r, :c])
+            X0 = Z
+    if maxiter is None:
+        maxiter = 10 * B.shape[0]
+    Mfn = M if M is not None else _identity_precond
+    X = _minres_impl(matvec, Mfn, B, X0, jnp.asarray(tol, B.dtype), int(maxiter))
+    return X[:, 0] if squeeze else X

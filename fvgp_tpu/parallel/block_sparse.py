@@ -1,0 +1,223 @@
+"""Block-sparse (tile) covariance matrices for the gp2Scale-equivalent path.
+
+Reference behavior being replaced: fvGP's Dask-distributed COO/CSR assembly
+(/root/reference/fvgp/gp2Scale_covariance.py) and scipy.sparse matvec-based
+Krylov (/root/reference/fvgp/gp_lin_alg.py:1184-1291).
+
+TPU-first design: instead of an element-wise COO matrix, the covariance is a
+set of dense B×B *tiles* on a fixed block grid ("BCOO-of-tiles").  Tiles are
+what the MXU wants: the SpMM is a batched (nnzb, B, B) x (nnzb, B, k)
+einsum plus a segment-sum — two ops XLA fuses and partitions well — and the
+block-Jacobi preconditioner is a batched Cholesky of the diagonal tiles.
+Sparsity lives at tile granularity, decided by bounding-box distance of the
+whitened point blocks (the same early-out idea as the reference's
+support-aware kernels, kernels.py:649-655, lifted from point level to tile
+level so shapes stay static under jit).
+
+The tile array is the natural sharding axis: placing ``tiles`` (and the
+gathered x-blocks) on a device mesh turns the same einsum into a distributed
+SpMM with an all-reduce — see parallel/sharded_cov.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["BlockSparseMatrix", "is_block_sparse", "stack_augmented_covariance"]
+
+
+def is_block_sparse(obj):
+    return isinstance(obj, BlockSparseMatrix)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "block_size"))
+def _bsm_matmat(rows, cols, tiles, X, nb, block_size):
+    """(n, k) = sum over tiles of tile @ X[col-block] scattered to row-block."""
+    n_pad = nb * block_size
+    k = X.shape[1]
+    Xp = jnp.zeros((n_pad, k), X.dtype).at[:X.shape[0]].set(X)
+    Xb = Xp.reshape(nb, block_size, k)
+    gathered = Xb[cols]                                   # (nnzb, B, k)
+    prod = jnp.einsum("nij,njk->nik", tiles, gathered,
+                      preferred_element_type=X.dtype)     # MXU batched matmul
+    out = jax.ops.segment_sum(prod, rows, num_segments=nb)
+    return out.reshape(n_pad, k)[:X.shape[0]]
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "block_size", "n"))
+def _bsm_diagonal(rows, cols, tiles, nb, block_size, n):
+    diag_mask = rows == cols
+    idx = jnp.arange(block_size)
+    tile_diags = tiles[:, idx, idx]                       # (nnzb, B)
+    contrib = jnp.where(diag_mask[:, None], tile_diags, 0.0)
+    out = jax.ops.segment_sum(contrib, rows, num_segments=nb)
+    return out.reshape(nb * block_size)[:n]
+
+
+class BlockSparseMatrix:
+    """Symmetric block-sparse matrix stored as dense tiles on a block grid.
+
+    Both triangles are stored (the assembler computes only the upper triangle
+    and mirrors on device — half the kernel FLOPs, like the reference's
+    blockwise scheduling, gp2Scale_covariance.py:278-287).
+    """
+
+    def __init__(self, n, n_cols, block_size, rows, cols, tiles):
+        self.n = int(n)                  # logical rows
+        self.n_cols = int(n_cols)        # logical cols
+        self.block_size = int(block_size)
+        self.nb = -(-self.n // self.block_size)
+        self.nb_cols = -(-self.n_cols // self.block_size)
+        self.rows = jnp.asarray(rows, dtype=jnp.int32)
+        self.cols = jnp.asarray(cols, dtype=jnp.int32)
+        self.tiles = jnp.asarray(tiles)
+
+    # -- basic facts -----------------------------------------------------
+    @property
+    def shape(self):
+        return (self.n, self.n_cols)
+
+    @property
+    def nnz(self):
+        """Stored values (tile granularity) — the policy layer's sparsity
+        measure (ref gp_kv.py:183)."""
+        return int(self.tiles.shape[0]) * self.block_size * self.block_size
+
+    @property
+    def dtype(self):
+        return self.tiles.dtype
+
+    def sparsity(self):
+        return self.nnz / float(max(self.n * self.n_cols, 1))
+
+    # -- linear operator ---------------------------------------------------
+    def matmat(self, X):
+        X = jnp.asarray(X)
+        squeeze = X.ndim == 1
+        if squeeze:
+            X = X[:, None]
+        if self.n != self.n_cols:
+            out = self._rect_matmat(X)
+        else:
+            out = _bsm_matmat(self.rows, self.cols, self.tiles, X,
+                              self.nb, self.block_size)
+        return out[:, 0] if squeeze else out
+
+    __matmul__ = matmat
+
+    def _rect_matmat(self, X):
+        n_pad_c = self.nb_cols * self.block_size
+        k = X.shape[1]
+        Xp = jnp.zeros((n_pad_c, k), X.dtype).at[: X.shape[0]].set(X)
+        Xb = Xp.reshape(self.nb_cols, self.block_size, k)
+        gathered = Xb[self.cols]
+        prod = jnp.einsum("nij,njk->nik", self.tiles, gathered,
+                          preferred_element_type=X.dtype)
+        out = jax.ops.segment_sum(prod, self.rows, num_segments=self.nb)
+        return out.reshape(self.nb * self.block_size, k)[: self.n]
+
+    def rmatmat(self, X):
+        """Xᵀ-side product: (n_cols, k) = Aᵀ @ X for rectangular A."""
+        X = jnp.asarray(X)
+        squeeze = X.ndim == 1
+        if squeeze:
+            X = X[:, None]
+        n_pad_r = self.nb * self.block_size
+        k = X.shape[1]
+        Xp = jnp.zeros((n_pad_r, k), X.dtype).at[: X.shape[0]].set(X)
+        Xb = Xp.reshape(self.nb, self.block_size, k)
+        gathered = Xb[self.rows]
+        prod = jnp.einsum("nji,njk->nik", self.tiles, gathered,
+                          preferred_element_type=X.dtype)
+        out = jax.ops.segment_sum(prod, self.cols, num_segments=self.nb_cols)
+        out = out.reshape(self.nb_cols * self.block_size, k)[: self.n_cols]
+        return out[:, 0] if squeeze else out
+
+    @property
+    def T(self):
+        """Transposed view (swaps the block grid)."""
+        t = BlockSparseMatrix(self.n_cols, self.n, self.block_size,
+                              self.cols, self.rows,
+                              jnp.swapaxes(self.tiles, 1, 2))
+        return t
+
+    # -- diagonal ops --------------------------------------------------
+    def diagonal(self):
+        return _bsm_diagonal(self.rows, self.cols, self.tiles,
+                             self.nb, self.block_size, self.n)
+
+    def add_diagonal(self, v):
+        """Return a new matrix with v added on the diagonal (K+V,
+        ref gp_kv.py:650-655)."""
+        if self.n != self.n_cols:
+            raise AssertionError("add_diagonal requires a square matrix")
+        v = jnp.asarray(v, dtype=self.tiles.dtype)
+        n_pad = self.nb * self.block_size
+        vp = jnp.zeros((n_pad,), v.dtype).at[: self.n].set(v)
+        vb = vp.reshape(self.nb, self.block_size)
+        # `rows < nb` excludes padding sentinel tiles (rows == cols == nb)
+        diag_mask = (self.rows == self.cols) & (self.rows < self.nb)
+        idx = jnp.arange(self.block_size)
+        add = jnp.where(diag_mask[:, None], vb[self.rows], 0.0)
+        tiles = self.tiles.at[:, idx, idx].add(add)
+        return BlockSparseMatrix(self.n, self.n_cols, self.block_size,
+                                 self.rows, self.cols, tiles)
+
+    def trace_and_fro(self):
+        """One pass over stored tiles: (trace, frobenius norm) for the
+        drift fingerprint (ref gp_kv.py:216-239)."""
+        tr = jnp.sum(self.diagonal())
+        fro = jnp.sqrt(jnp.sum(self.tiles * self.tiles))
+        return tr, fro
+
+    # -- conversions ---------------------------------------------------
+    def to_dense(self):
+        B = self.block_size
+        n_pad_r = self.nb * B
+        n_pad_c = self.nb_cols * B
+        dense = jnp.zeros((self.nb, self.nb_cols, B, B), self.tiles.dtype)
+        dense = dense.at[self.rows, self.cols].add(self.tiles)
+        dense = dense.transpose(0, 2, 1, 3).reshape(n_pad_r, n_pad_c)
+        return dense[: self.n, : self.n_cols]
+
+    def toarray(self):
+        return np.asarray(self.to_dense())
+
+    def diagonal_tiles(self):
+        """(nb, B, B) stack of the diagonal tiles (block-Jacobi input).
+        Missing diagonal tiles come back as zero blocks."""
+        diag_mask = (self.rows == self.cols) & (self.rows < self.nb)
+        out = jnp.zeros((self.nb, self.block_size, self.block_size),
+                        self.tiles.dtype)
+        contrib = jnp.where(diag_mask[:, None, None], self.tiles, 0.0)
+        out = jax.ops.segment_sum(contrib, self.rows, num_segments=self.nb)
+        return out
+
+    def __getstate__(self):
+        return dict(n=self.n, n_cols=self.n_cols, block_size=self.block_size,
+                    rows=np.asarray(self.rows), cols=np.asarray(self.cols),
+                    tiles=np.asarray(self.tiles))
+
+    def __setstate__(self, state):
+        self.__init__(state["n"], state["n_cols"], state["block_size"],
+                      state["rows"], state["cols"], state["tiles"])
+
+
+def stack_augmented_covariance(K, B, D):
+    """[[K, B], [Bᵀ, D]] for block-sparse parts on compatible grids
+    (ref gp2Scale_covariance.py:311-324).
+
+    Requires K's point count to be a multiple of the block size so the
+    appended blocks land on the same grid; callers fall back to a full
+    recompute otherwise.
+    """
+    if K.n % K.block_size != 0:
+        raise ValueError("append grid misaligned; recompute the full covariance")
+    off = K.nb
+    rows = jnp.concatenate([K.rows, B.rows, B.cols + off, D.rows + off])
+    cols = jnp.concatenate([K.cols, B.cols + off, B.rows, D.cols + off])
+    tiles = jnp.concatenate([K.tiles, B.tiles,
+                             jnp.swapaxes(B.tiles, 1, 2), D.tiles])
+    return BlockSparseMatrix(K.n + D.n, K.n + D.n, K.block_size, rows, cols, tiles)

@@ -1,0 +1,246 @@
+"""Distributed block-sparse covariance assembly — the gp2Scale engine.
+
+Reference behavior replaced: /root/reference/fvgp/gp2Scale_covariance.py
+(Dask blockwise/rowwise task fan-out, host COO assembly, int32 downcast,
+upper-triangle scheduling with host mirroring).
+
+TPU-first pipeline:
+
+1. *Structure* (host, numpy, cheap): points are tiled into fixed blocks of
+   ``block_size`` consecutive indices.  Candidate tile pairs are pruned by
+   bounding-box distance in whitened coordinates — the reference's
+   support-aware early-out (kernels.py:649-655) lifted from point level to
+   tile level so device shapes stay static.  The pair count is padded to a
+   bucket size so jit caches survive hyperparameter moves that change the
+   occupancy ("dynamic sparsity under jit", SURVEY.md §7 hard part 1).
+2. *Tiles* (device, batched): one vmapped kernel evaluation computes a chunk
+   of tiles at a time — each tile a (B, B) kernel block on the MXU.  For the
+   symmetric prior covariance only the upper triangle is scheduled (half the
+   kernel FLOPs, like ref gp2Scale_covariance.py:278-287) and the mirror is
+   a device transpose, not a host pass.
+3. *Sharding*: the tile list is placed over the device mesh; the SpMM in
+   BlockSparseMatrix then runs as a distributed batched matmul with an XLA
+   all-reduce over ICI.
+
+Host (non-traceable) kernels take the same path with the tile loop on the
+host — the contract the reference supports for arbitrary user kernels.
+"""
+
+import functools
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..kernels import wendland_anisotropic
+from .block_sparse import BlockSparseMatrix
+from .mesh import current_mesh, shard_tiles
+
+warnings.simplefilter("once", UserWarning)
+
+
+# ---------------------------------------------------------------------------
+# structure discovery (host)
+# ---------------------------------------------------------------------------
+
+def _block_bounds(x, block_size):
+    """(nb, D) min and max corner of each point block."""
+    n, d = x.shape
+    nb = -(-n // block_size)
+    n_pad = nb * block_size
+    xp = np.full((n_pad, d), np.nan)
+    xp[:n] = x
+    xb = xp.reshape(nb, block_size, d)
+    lo = np.nanmin(xb, axis=1)
+    hi = np.nanmax(xb, axis=1)
+    return lo, hi
+
+
+def _candidate_pairs(x1, x2, lengthscales, radius, block_size, symmetric):
+    """Tile pairs whose whitened bounding boxes are within the support radius."""
+    if lengthscales is not None:
+        x1 = x1 / lengthscales
+        x2 = x2 if x2 is None else x2 / lengthscales
+    lo1, hi1 = _block_bounds(x1, block_size)
+    if symmetric:
+        lo2, hi2 = lo1, hi1
+    else:
+        lo2, hi2 = _block_bounds(x2, block_size)
+    # box-to-box gap per dimension: max(lo2-hi1, lo1-hi2, 0)
+    gap = np.maximum(lo2[None, :, :] - hi1[:, None, :],
+                     lo1[:, None, :] - hi2[None, :, :])
+    gap = np.maximum(gap, 0.0)
+    dist2 = np.sum(gap ** 2, axis=-1)
+    keep = dist2 <= radius ** 2
+    if symmetric:
+        keep = np.triu(keep)            # upper triangle only
+    rows, cols = np.nonzero(keep)
+    return rows.astype(np.int32), cols.astype(np.int32)
+
+
+def _bucket(n, multiple=64):
+    """Round a tile count up so jit caches survive occupancy changes:
+    next multiple of max(64, n/8)."""
+    if n <= multiple:
+        return multiple
+    step = max(multiple, 1 << (int(n - 1).bit_length() - 3))
+    return -(-n // step) * step
+
+
+def support_geometry(prior, hyperparameters, args):
+    """(lengthscales, radius) for the bounding-box prune, or (None, inf).
+
+    Known compact-support kernels (the Wendland family) imply radius 1 in
+    coordinates whitened by hps[1:].  User kernels declare their support via
+    ``args['gp2Scale_lengthscales']`` (callable hps -> per-dim scales) and
+    ``args['gp2Scale_support_radius']`` (whitened radius, default 1.0).
+    Without a declaration all tiles are computed (dense blocks) — correct but
+    unpruned, with a one-time warning.
+    """
+    hps = np.asarray(hyperparameters, dtype=np.float64)
+    ls_fn = args.get("gp2Scale_lengthscales", None)
+    if callable(ls_fn):
+        return np.asarray(ls_fn(hps)), float(args.get("gp2Scale_support_radius", 1.0))
+    kern = getattr(prior, "kernel", None)
+    if kern is wendland_anisotropic or getattr(kern, "__name__", "") in (
+            "wendland_anisotropic", "wendland_anisotropic_gp2Scale_cpu",
+            "wendland_anisotropic_gp2Scale_gpu", "wendland_anisotropic_tpu"):
+        return hps[1:], 1.0
+    warnings.warn(
+        "gp2Scale: the kernel's support is unknown, so no tile pruning is "
+        "possible and every covariance tile will be computed. Declare the "
+        "support via args['gp2Scale_lengthscales'] (callable hps -> scales) "
+        "and args['gp2Scale_support_radius'] to enable sparsity.")
+    return None, np.inf
+
+
+# ---------------------------------------------------------------------------
+# tile evaluation (device)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("kernel_fn", "block_size"))
+def _compute_tiles(kernel_fn, x1b, x2b, mask1, mask2, rows, cols, hps,
+                   block_size):
+    """Batched tile evaluation: tiles[t] = k(x1 block rows[t], x2 block
+    cols[t]) with padded points masked to zero."""
+
+    def one(i, j):
+        a = x1b[i]
+        b = x2b[j]
+        K = kernel_fn(a, b, hps)
+        return K * (mask1[i][:, None] * mask2[j][None, :])
+
+    return jax.vmap(one)(rows, cols)
+
+
+def _blocks_device(x, block_size, dtype):
+    n, d = np.asarray(x).shape
+    nb = -(-n // block_size)
+    n_pad = nb * block_size
+    xp = np.zeros((n_pad, d))
+    xp[:n] = x
+    mask = np.zeros((n_pad,), dtype=bool)
+    mask[:n] = True
+    xb = jnp.asarray(xp.reshape(nb, block_size, d), dtype=dtype)
+    mb = jnp.asarray(mask.reshape(nb, block_size), dtype=dtype)
+    return xb, mb
+
+
+class _CovResult(BlockSparseMatrix):
+    """BlockSparseMatrix plus the structure handle the prior may cache."""
+    structure = None
+
+
+def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
+                           symmetric=False, distribution="blockwise",
+                           structure=None, args=None):
+    """Assemble k(x1, x2) as a sharded BlockSparseMatrix
+    (replaces ref gp2Scale_covariance.py:230)."""
+    args = args or {}
+    if isinstance(x1, list) or isinstance(x2, list):
+        raise Exception("gp2Scale requires Euclidean (array) inputs on the TPU "
+                        "path; use a dense GP for non-Euclidean spaces.")
+    x1 = np.asarray(x1, dtype=np.float64)
+    x2 = x1 if symmetric else np.asarray(x2, dtype=np.float64)
+    block_size = int(args.get("gp2Scale_block_size", min(int(batch_size), 1024)))
+    dtype = config.linalg_dtype(args)
+
+    lengthscales, radius = support_geometry(prior, hyperparameters, args)
+    rows, cols = _candidate_pairs(x1, None if symmetric else x2,
+                                  lengthscales, radius, block_size, symmetric)
+
+    nb1 = -(-len(x1) // block_size)
+    nb2 = -(-len(x2) // block_size)
+
+    if symmetric:
+        # upper triangle scheduled; mirror below via a device transpose
+        off_diag = rows < cols
+        total = len(rows) + int(np.sum(off_diag))
+    else:
+        total = len(rows)
+    n_sched = len(rows)
+
+    # evaluate scheduled tiles
+    if prior.kernel_traceable:
+        x1b, m1 = _blocks_device(x1, block_size, dtype)
+        if symmetric:
+            x2b, m2 = x1b, m1
+        else:
+            x2b, m2 = _blocks_device(x2, block_size, dtype)
+        hps = jnp.asarray(np.asarray(hyperparameters), dtype=dtype)
+        kern = prior.kernel
+        if prior.k_n_params == 4:
+            a_dict = prior.args
+            kern_fn = lambda a, b, h: prior.kernel(a, b, h, a_dict)  # noqa: E731
+        else:
+            kern_fn = kern
+        chunk = int(args.get("gp2Scale_tile_chunk", 512))
+        tiles_parts = []
+        for s in range(0, n_sched, chunk):
+            r = jnp.asarray(rows[s:s + chunk])
+            c = jnp.asarray(cols[s:s + chunk])
+            tiles_parts.append(_compute_tiles(kern_fn, x1b, x2b, m1, m2,
+                                              r, c, hps, block_size))
+        tiles = (jnp.concatenate(tiles_parts) if tiles_parts
+                 else jnp.zeros((0, block_size, block_size), dtype))
+    else:
+        # host kernel: the reference's arbitrary-kernel contract
+        tiles_np = np.zeros((n_sched, block_size, block_size))
+        hps_np = np.asarray(hyperparameters)
+        for t in range(n_sched):
+            i, j = int(rows[t]), int(cols[t])
+            a = x1[i * block_size:(i + 1) * block_size]
+            b = x2[j * block_size:(j + 1) * block_size]
+            blk = prior.compute_covariances(a, b, hps_np)
+            tiles_np[t, :blk.shape[0], :blk.shape[1]] = np.asarray(blk)
+        tiles = jnp.asarray(tiles_np, dtype=dtype)
+
+    if symmetric and np.any(off_diag):
+        rows_m = cols[off_diag]
+        cols_m = rows[off_diag]
+        tiles_m = jnp.swapaxes(tiles[jnp.asarray(np.nonzero(off_diag)[0])], 1, 2)
+        rows = np.concatenate([rows, rows_m])
+        cols = np.concatenate([cols, cols_m])
+        tiles = jnp.concatenate([tiles, tiles_m])
+
+    # bucket-pad with sentinel tiles (rows == cols == nb -> dropped by
+    # segment_sum, clamped-but-zero in gathers)
+    mesh = current_mesh()
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+    padded = _bucket(max(total, 1))
+    padded = -(-padded // n_dev) * n_dev
+    if padded > total:
+        pad = padded - total
+        rows = np.concatenate([rows, np.full(pad, nb1, np.int32)])
+        cols = np.concatenate([cols, np.full(pad, nb2, np.int32)])
+        tiles = jnp.concatenate(
+            [tiles, jnp.zeros((pad, block_size, block_size), tiles.dtype)])
+
+    result = _CovResult(len(x1), len(x2), block_size, rows, cols, tiles)
+    result.structure = (tuple(rows.tolist()[:0]),)  # placeholder handle
+    shard_tiles(result, mesh)
+    return result
