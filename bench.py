@@ -1,0 +1,176 @@
+"""Driver benchmark: LML+gradient evaluations/sec at N=50,000 (sparse path).
+
+This is the BASELINE.json headline metric.  The workload is the gp2Scale
+regime: a compactly-supported Wendland covariance over 50k points in 3-D,
+block-sparse tiles, CG solve + SLQ log-determinant — evaluated as ONE jitted
+``jax.value_and_grad`` program (the reference cannot differentiate this path
+at all; its sparse training is MCMC/BO only).
+
+``vs_baseline`` compares against a reference-style evaluation of the SAME
+system on this host with scipy (CSR CG solve + sparse LU log-determinant,
+the reference's sparseLU/sparseMINRES machinery, gp_lin_alg.py:203-230,
+:1184-1291) — value only, since the reference has no sparse gradient.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fvgp_tpu.kernels import wendland_anisotropic
+    from fvgp_tpu.ops.sparse_lml import (make_sparse_lml, make_padded_inputs)
+    from fvgp_tpu.parallel.ordering import morton_order
+    from fvgp_tpu.parallel.sharded_cov import _candidate_pairs
+
+    import os
+    import sys
+
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+    N = int(os.environ.get("BENCH_N", 50_000 if on_tpu else 4_000))
+    D = 3
+    # tile size: small relative to the support radius keeps tile fill low
+    # (fill ~ ((side+2r)/side)^3 / nb); 256 is still two full MXU passes
+    B = int(os.environ.get("BENCH_B", 256))
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    log(f"backend={backend} N={N} B={B}")
+
+    # dataset: ~40 neighbors per point inside the unit support radius
+    rng = np.random.default_rng(0)
+    span = (N * 4.19 / 40.0) ** (1.0 / 3.0)   # 4/3 pi r^3 density heuristic
+    x = rng.uniform(0, span, (N, D))
+    x = x[morton_order(x)]
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(N)
+    hps = np.array([1.0, 1.0, 1.0, 1.0])
+    noise = np.full(N, 1e-2)
+
+    # static tile structure from the bounding-box prune
+    rows, cols = _candidate_pairs(x, None, hps[1:], 1.0, B, symmetric=True)
+    off = rows < cols
+    rows_full = np.concatenate([rows, cols[off]]).astype(np.int32)
+    cols_full = np.concatenate([cols, rows[off]]).astype(np.int32)
+    nb = -(-N // B)
+
+    xb, mask, y_pad, ypad_mask, noise_pad = make_padded_inputs(
+        x, y, noise, B, dtype=dtype)
+    Z = jax.random.rademacher(jax.random.PRNGKey(0), (nb * B, 16), dtype=dtype)
+    Z = Z * ypad_mask[:, None]
+
+    lml = make_sparse_lml(wendland_anisotropic,
+                          (rows_full, cols_full, nb, B),
+                          cg_iters=64, slq_probes=16, slq_degree=20)
+    vg = jax.jit(jax.value_and_grad(lml))
+
+    hps_j = jnp.asarray(hps, dtype)
+    args = (xb, mask, y_pad, ypad_mask, noise_pad, Z)
+    log(f"tiles scheduled: {len(rows_full)} of {nb * nb} "
+        f"({len(rows_full) * B * B / N / N:.3f} fill)")
+
+    # compile + warm up
+    t0 = time.time()
+    val, grad = vg(hps_j, *args)
+    jax.block_until_ready((val, grad))
+    log(f"compile+first eval: {time.time() - t0:.1f}s, lml={float(val):.2f}")
+    assert np.isfinite(float(val)) and np.all(np.isfinite(np.asarray(grad)))
+
+    n_evals = 10 if on_tpu else 3
+    t0 = time.time()
+    for i in range(n_evals):
+        # perturb hps so nothing is constant-folded between calls
+        val, grad = vg(hps_j * (1.0 + 1e-4 * i), *args)
+    jax.block_until_ready((val, grad))
+    elapsed = time.time() - t0
+    evals_per_sec = n_evals / elapsed
+    log(f"{n_evals} evals in {elapsed:.2f}s -> {evals_per_sec:.3f} evals/s")
+
+    # ---- reference-style scipy baseline (value only; no gradient exists) --
+    vs_baseline = None
+    try:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        # the same covariance as CSR, assembled from exact dense tiles
+        tiles_np = None
+        from fvgp_tpu.ops.sparse_lml import assemble_tiles
+        tiles_np = np.asarray(assemble_tiles(
+            wendland_anisotropic, xb, mask,
+            jnp.asarray(rows_full), jnp.asarray(cols_full), hps_j))
+        blocks = {}
+        for t, (i, j) in enumerate(zip(rows_full, cols_full)):
+            blocks[(int(i), int(j))] = tiles_np[t]
+        KV = sp.bmat([[sp.csr_matrix(blocks[(i, j)]) if (i, j) in blocks else None
+                       for j in range(nb)] for i in range(nb)], format="csr")
+        KV = KV[:N, :N] + sp.diags(noise)
+        KV.eliminate_zeros()        # compact-support zeros must not pad the LU
+        log(f"baseline CSR nnz: {KV.nnz} ({KV.nnz / N / N:.5f} density)")
+        yv = np.asarray(y_pad)[:N]
+        ym = yv - yv.mean()
+
+        def _np_slq(A, n, probes=16, degree=20, seed=0):
+            """The reference's imate-style SLQ logdet in numpy (CSR matvecs,
+            gp_lin_alg.py:1103)."""
+            r = np.random.default_rng(seed)
+            total = 0.0
+            for _ in range(probes):
+                z = r.choice([-1.0, 1.0], n)
+                v = z / np.linalg.norm(z)
+                v_prev = np.zeros(n)
+                beta_prev = 0.0
+                alphas, betas = [], []
+                for k in range(degree):
+                    w = A @ v
+                    a = w @ v
+                    w = w - a * v - beta_prev * v_prev
+                    b = np.linalg.norm(w)
+                    v_prev, v = v, w / max(b, 1e-300)
+                    beta_prev = b
+                    alphas.append(a)
+                    betas.append(b)
+                T = (np.diag(alphas) + np.diag(betas[:-1], 1)
+                     + np.diag(betas[:-1], -1))
+                theta, U = np.linalg.eigh(T)
+                theta = np.maximum(theta, 1e-30)
+                total += n * np.sum(U[0, :] ** 2 * np.log(theta))
+            return total / probes
+
+        def baseline_eval():
+            # the reference's sparse-mode recipe: CG solve for KVinvY
+            # (gp_lin_alg.py:1213) + stochastic-Lanczos logdet (imate,
+            # gp_lin_alg.py:1103).  Value only: the reference has no sparse
+            # gradient (gp_marginal_likelihood.py:240), so this baseline is
+            # generous to it — we time our value+GRADIENT against its value.
+            sol, _ = spla.cg(KV, ym, rtol=1e-5)
+            ld = _np_slq(KV, N)
+            return -0.5 * (ym @ sol + ld + N * np.log(2 * np.pi))
+
+        t0 = time.time()
+        baseline_eval()
+        base_time = time.time() - t0
+        vs_baseline = evals_per_sec / (1.0 / base_time)
+    except Exception as exc:  # baseline must never sink the benchmark
+        import sys
+        print(f"baseline failed: {exc}", file=sys.stderr)
+
+    result = {
+        "metric": f"sparse LML+grad evals/sec at N={N} (gp2Scale path, "
+                  f"{backend})",
+        "value": round(evals_per_sec, 4),
+        "unit": "evals/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,13 +45,23 @@ class GPdata:
             self.index_set_dim = 1
             self.input_set_dim = 1
 
+        self.args = {} if args is None else args
+        # gp2Scale: order points along a Morton curve so index-contiguous
+        # covariance tiles are spatially compact (parallel/ordering.py).
+        # Opt out with args['gp2Scale_reorder']=False.
+        if gp2Scale and self.Euclidean and self.args.get("gp2Scale_reorder", True):
+            from ..parallel.ordering import morton_order
+            perm = morton_order(x_data)
+            x_data = x_data[perm]
+            y_data = y_data[perm]
+            if noise_variances is not None:
+                noise_variances = noise_variances[perm]
         self.x_data = x_data
         self.y_data = y_data
         self.noise_variances = noise_variances
         self.x_old = self.y_old = self.noise_variances_old = None
         self.x_new = self.y_new = self.noise_variances_new = None
         self.point_number = len(x_data)
-        self.args = {} if args is None else args
         self.ram_economy = ram_economy
         self.gp2Scale = gp2Scale
         self.gp2Scale_batch_size = gp2Scale_batch_size
@@ -104,6 +114,16 @@ class GPdata:
                 "Please reinitialize in this case.")
         if y_data_new.ndim == 1:
             y_data_new = y_data_new.reshape(-1, 1)
+
+        if self.gp2Scale and self.Euclidean and self.args.get("gp2Scale_reorder", True):
+            # keep incoming points Morton-ordered (within the chunk for an
+            # append; globally for an overwrite)
+            from ..parallel.ordering import morton_order
+            perm = morton_order(x_data_new)
+            x_data_new = x_data_new[perm]
+            y_data_new = y_data_new[perm]
+            if noise_variances_new is not None:
+                noise_variances_new = noise_variances_new[perm]
 
         if not append:
             self.x_data = x_data_new

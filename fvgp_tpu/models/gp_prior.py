@@ -266,9 +266,15 @@ class GPprior:
             m = jnp.concatenate([self.m, self.compute_mean(x_new, hyperparameters)])
         if self.gp2Scale:
             from ..parallel.block_sparse import stack_augmented_covariance
-            B = self._gp2Scale_covariance(x_old, x_new, hyperparameters)
-            D = self._gp2Scale_covariance(x_new, x_new, hyperparameters, symmetric=True)
-            K = stack_augmented_covariance(self.K, B, D)
+            try:
+                B = self._gp2Scale_covariance(x_old, x_new, hyperparameters)
+                D = self._gp2Scale_covariance(x_new, x_new, hyperparameters,
+                                              symmetric=True)
+                K = stack_augmented_covariance(self.K, B, D)
+            except ValueError:
+                # append grid misaligned with the tile size: recompute fully
+                K = self.compute_prior_covariance_matrix(self.x_data,
+                                                         hyperparameters)
         else:
             B = self.compute_covariances(x_old, x_new, hyperparameters)
             D = self.compute_covariances(x_new, x_new, hyperparameters)

