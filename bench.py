@@ -67,13 +67,13 @@ def main():
     Z = jax.random.rademacher(jax.random.PRNGKey(0), (nb * B, 16), dtype=dtype)
     Z = Z * ypad_mask[:, None]
 
-    lml = make_sparse_lml(wendland_anisotropic,
-                          (rows_full, cols_full, nb, B),
-                          cg_iters=64, slq_probes=16, slq_degree=20)
+    lml = make_sparse_lml(wendland_anisotropic, nb, B,
+                          cg_iters=64, slq_degree=20)
     vg = jax.jit(jax.value_and_grad(lml))
 
     hps_j = jnp.asarray(hps, dtype)
-    args = (xb, mask, y_pad, ypad_mask, noise_pad, Z)
+    args = (jnp.asarray(rows_full), jnp.asarray(cols_full),
+            xb, mask, y_pad, ypad_mask, noise_pad, Z)
     log(f"tiles scheduled: {len(rows_full)} of {nb * nb} "
         f"({len(rows_full) * B * B / N / N:.3f} fill)")
 

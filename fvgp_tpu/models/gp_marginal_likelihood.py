@@ -149,6 +149,84 @@ class GPMarginalLikelihood:
 
     def invalidate_traced(self):
         self._traced_key = None
+        self._sparse_cache = {}
+
+    # ------------------------------------------------------------------
+    # traced sparse fast path (gp2Scale training hot loop)
+    # ------------------------------------------------------------------
+    def _sparse_traced_ready(self):
+        """The gp2Scale LML can run as ONE cached compiled program when the
+        kernel is traceable and mean/noise carry no hyperparameters.  The
+        tile occupancy is a runtime argument, so MCMC/BO moves never
+        recompile (ops/sparse_lml.py)."""
+        return (self.gp2Scale and self.data.Euclidean
+                and self.y_data.shape[1] == 1
+                and self.prior.kernel_traceable
+                and self.prior._default_mean
+                and self.likelihood._mode != "callable"
+                and bool(self.args.get("gp2Scale_traced_lml", True)))
+
+    def _sparse_lml_eval(self, hyperparameters):
+        from ..ops.sparse_lml import make_padded_inputs, make_sparse_lml
+        from ..parallel.sharded_cov import (_bucket, _candidate_pairs,
+                                            support_geometry)
+        prior = self.prior
+        args = self.args
+        x = np.asarray(self.x_data, dtype=np.float64)
+        n = len(x)
+        B = int(args.get("gp2Scale_block_size", min(prior.batch_size, 1024)))
+        nb = -(-n // B)
+        dtype = config.linalg_dtype(args)
+
+        ls, radius = support_geometry(prior, hyperparameters, args)
+        rows, cols = _candidate_pairs(x, None, ls, radius, B, symmetric=True)
+        off = rows < cols
+        rows_f = np.concatenate([rows, cols[off]]).astype(np.int32)
+        cols_f = np.concatenate([cols, rows[off]]).astype(np.int32)
+        T_pad = _bucket(max(len(rows_f), 1))
+        rows_p = np.full(T_pad, nb, np.int32)
+        cols_p = np.full(T_pad, nb, np.int32)
+        rows_p[:len(rows_f)] = rows_f
+        cols_p[:len(cols_f)] = cols_f
+
+        cg_iters = int(args.get("sparse_cg_maxiter",
+                                args.get("sparse_krylov_maxiter", 64)) or 64)
+        probes = int(args.get("random_logdet_fixed_probes",
+                              max(16, int(args.get(
+                                  "random_logdet_min_num_samples", 10)))))
+        degree = int(args.get("random_logdet_lanczos_degree", 20))
+
+        if not hasattr(self, "_sparse_cache"):
+            self._sparse_cache = {}
+        key = (n, B, nb, T_pad, cg_iters, probes, degree, str(dtype),
+               self.data.point_number)
+        entry = self._sparse_cache.get(key)
+        if entry is None:
+            from ..parallel.sharded_cov import _stable_kernel_closure
+            kern_fn = _stable_kernel_closure(prior)
+            xb, mask, y_pad, ypad_mask, noise_pad = make_padded_inputs(
+                x, np.asarray(self.y_data)[:, 0],
+                np.asarray(self.likelihood.calculate_V(self.x_data,
+                                                       hyperparameters)),
+                B, dtype=dtype)
+            lml = make_sparse_lml(kern_fn, nb, B, cg_iters=cg_iters,
+                                  slq_degree=degree, with_variance=True)
+            fn = jax.jit(lml)
+            entry = (fn, xb, mask, y_pad, ypad_mask, noise_pad, 0)
+            self._sparse_cache = {key: entry}
+        fn, xb, mask, y_pad, ypad_mask, noise_pad, counter = entry
+        rng_key = jax.random.fold_in(jax.random.PRNGKey(42), counter)
+        self._sparse_cache[key] = (fn, xb, mask, y_pad, ypad_mask, noise_pad,
+                                   counter + 1)
+        Z = jax.random.rademacher(rng_key, (nb * B, probes), dtype=dtype)
+        Z = Z * ypad_mask[:, None]
+        val, var = fn(config.asarray(hyperparameters, args),
+                      jnp.asarray(rows_p), jnp.asarray(cols_p),
+                      xb, mask, y_pad, ypad_mask, noise_pad, Z)
+        self.kv.last_logdet_variance = float(var)
+        self.kv.last_logdet_info = {"variance": float(var),
+                                    "num_samples": probes, "degree": degree}
+        return float(val)
 
     # ------------------------------------------------------------------
     # warm-start plumbing (ref gp_marginal_likelihood.py:92-134)
@@ -215,6 +293,9 @@ class GPMarginalLikelihood:
                 # reference's linalg failure (-inf keeps optimizers moving)
                 return -np.inf
             return val
+        if self._sparse_traced_ready():
+            val = self._sparse_lml_eval(hyperparameters)
+            return val if np.isfinite(val) else -np.inf
         K = self.prior.compute_prior_covariance_matrix(self.x_data, hyperparameters)
         V = self.likelihood.calculate_V(self.x_data, hyperparameters)
         m = self.prior.compute_mean(self.x_data, hyperparameters)
@@ -363,3 +444,5 @@ class GPMarginalLikelihood:
         self._traced_key = None
         self._lml_jit = None
         self._lml_vg = None
+        self._lml_vmap = None
+        self._sparse_cache = {}

@@ -50,26 +50,38 @@ def _spmv(rows, cols, tiles, X, nb, B):
     return out.reshape(n_pad, -1)
 
 
-def _cg_fixed(matvec, Bmat, iters):
-    """CG with a static trip count — reverse-differentiable via scan."""
+def _cg_fixed(matvec, Bmat, iters, M=None):
+    """(Preconditioned) CG with a static trip count — reverse-differentiable
+    via scan."""
+    if M is None:
+        M = lambda X: X                       # noqa: E731
     X = jnp.zeros_like(Bmat)
     R = Bmat
-    P = R
-    rs = jnp.sum(R * R, axis=0)
+    Zp = M(R)
+    P = Zp
+    rz = jnp.sum(R * Zp, axis=0)
+    # once the residual has collapsed (preconditioned CG converges well
+    # inside the static trip count) further updates must be EXACT no-ops in
+    # forward AND backward: an unguarded 1/rz overflows the reverse pass
+    rz0 = jnp.maximum(rz, jnp.finfo(Bmat.dtype).tiny)
+    floor = rz0 * jnp.asarray(1e-14 if Bmat.dtype == jnp.float64 else 1e-10,
+                              Bmat.dtype)
 
     def step(carry, _):
-        X, R, P, rs = carry
+        X, R, P, rz = carry
+        active = rz > floor
         Ap = matvec(P)
         pAp = jnp.sum(P * Ap, axis=0)
-        alpha = rs / jnp.maximum(pAp, 1e-300)
+        alpha = jnp.where(active, rz / jnp.where(active, pAp, 1.0), 0.0)
         X = X + alpha[None, :] * P
         R = R - alpha[None, :] * Ap
-        rs_new = jnp.sum(R * R, axis=0)
-        beta = rs_new / jnp.maximum(rs, 1e-300)
-        P = R + beta[None, :] * P
-        return (X, R, P, rs_new), None
+        Zn = M(R)
+        rz_new = jnp.sum(R * Zn, axis=0)
+        beta = jnp.where(active, rz_new / jnp.where(active, rz, 1.0), 0.0)
+        P = jnp.where(active[None, :], Zn + beta[None, :] * P, P)
+        return (X, R, P, rz_new), None
 
-    (X, _, _, _), _ = jax.lax.scan(step, (X, R, P, rs), None, length=iters)
+    (X, _, _, _), _ = jax.lax.scan(step, (X, R, P, rz), None, length=iters)
     return X
 
 
@@ -105,36 +117,73 @@ def _slq_fixed(matvec, Z, degree, n_logical):
     return jnp.mean(vals), jnp.var(vals) / n_probe
 
 
-def make_sparse_lml(kernel_fn, structure, *, cg_iters=64, slq_probes=16,
-                    slq_degree=20):
-    """Build lml(hps, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z) — a pure
-    jittable, differentiable sparse LML.
+def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
+                    with_variance=False, mean_mode="data", prior_mean_fn=None,
+                    precondition=True):
+    """Build the sparse LML as a pure jittable, differentiable function
 
-    structure: (rows, cols, nb, B) — static tile occupancy (host-computed
-    from the bounding-box prune for the current hyperparameter region).
-    y/noise arrive padded to nb*B with a validity mask.
+        lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z)
+
+    The tile occupancy (rows/cols) is a RUNTIME argument: hyperparameter
+    moves that change the support pattern re-run the same compiled program
+    as long as the bucket-padded tile count is unchanged — the resolution of
+    "dynamic sparsity under jit" (SURVEY.md §7 hard part 1).  Sentinel
+    entries (index == nb) contribute nothing: the gather clamps but the
+    scatter drops them.
+
+    y/noise arrive padded to nb*B with a validity mask; padded noise is 1.0
+    so K+V stays PD on padded rows, and Rademacher probes are zeroed there,
+    so padding contributes log(1) = 0 to the quadrature.
     """
-    rows, cols, nb, B = structure
-    rows = jnp.asarray(rows, dtype=jnp.int32)
-    cols = jnp.asarray(cols, dtype=jnp.int32)
 
-    def lml(hps, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z):
-        tiles = assemble_tiles(kernel_fn, xb, mask, rows, cols, hps)
+    def lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z):
+        rows_c = jnp.minimum(rows, nb - 1)
+        cols_c = jnp.minimum(cols, nb - 1)
+        tiles = assemble_tiles(kernel_fn, xb, mask, rows_c, cols_c, hps)
+        # zero sentinel tiles so the clamped gather cannot double-count
+        live = (rows < nb)[:, None, None].astype(tiles.dtype)
+        tiles = tiles * live
 
         def matvec(X):
-            out = _spmv(rows, cols, tiles, X, nb, B)
-            # K+V: diagonal noise (padded rows get 1.0 so Lanczos stays PD,
-            # but probes/ rhs are zero there so they contribute nothing)
+            out = _spmv(rows_c, cols_c, tiles, X, nb, B)
             return out + noise_diag_pad[:, None] * X
 
+        M = None
+        if precondition:
+            # in-trace block-Jacobi from the diagonal kernel blocks: one
+            # batched Cholesky + two batched triangular solves per CG
+            # iteration — all MXU work (no gradient through the
+            # preconditioner: it only changes the iteration path, not the
+            # solution, so stop_gradient keeps the backward pass lean)
+            idxB = jnp.arange(nb)
+            diag_blocks = jax.vmap(
+                lambda i: kernel_fn(xb[i], xb[i], hps)
+                * (mask[i][:, None] * mask[i][None, :]))(idxB)
+            nvb = noise_diag_pad.reshape(nb, B)
+            eye = jnp.arange(B)
+            diag_blocks = diag_blocks.at[:, eye, eye].add(nvb)
+            Lb = jnp.linalg.cholesky(jax.lax.stop_gradient(diag_blocks))
+
+            def M(X):
+                Xb = X.reshape(nb, B, -1)
+                ysol = jax.scipy.linalg.solve_triangular(Lb, Xb, lower=True)
+                z = jax.scipy.linalg.solve_triangular(
+                    jnp.swapaxes(Lb, 1, 2), ysol, lower=False)
+                return z.reshape(nb * B, -1)
+
         n = jnp.sum(ypad_mask)
-        mean = jnp.sum(y_pad) / n
-        ym = (y_pad - mean) * ypad_mask
-        alpha = _cg_fixed(matvec, ym[:, None], cg_iters)[:, 0]
+        if mean_mode == "data":
+            m = jnp.sum(y_pad) / n
+        else:
+            m = prior_mean_fn(hps)
+        ym = (y_pad - m) * ypad_mask
+        alpha = _cg_fixed(matvec, ym[:, None], cg_iters, M=M)[:, 0]
         l1 = jnp.dot(ym, alpha)
         logdet, logdet_var = _slq_fixed(matvec, Z, slq_degree, n)
-        # padded diagonal entries contribute log(1) = 0
-        return -0.5 * (l1 + logdet + n * jnp.log(2.0 * jnp.pi))
+        value = -0.5 * (l1 + logdet + n * jnp.log(2.0 * jnp.pi))
+        if with_variance:
+            return value, logdet_var
+        return value
 
     return lml
 

@@ -148,6 +148,23 @@ def _blocks_device(x, block_size, dtype):
     return xb, mb
 
 
+def _stable_kernel_closure(prior):
+    """A per-prior cached 3-arg kernel closure — a fresh lambda per call
+    would defeat the jit cache keyed on the (static) kernel argument."""
+    kern_fn = getattr(prior, "_gp2_kernel_closure", None)
+    if kern_fn is None:
+        if prior.k_n_params == 4:
+            a_dict = prior.args
+            kernel = prior.kernel
+
+            def kern_fn(a, b, h):
+                return kernel(a, b, h, a_dict)
+        else:
+            kern_fn = prior.kernel
+        prior._gp2_kernel_closure = kern_fn
+    return kern_fn
+
+
 class _CovResult(BlockSparseMatrix):
     """BlockSparseMatrix plus the structure handle the prior may cache."""
     structure = None
@@ -190,21 +207,27 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
         else:
             x2b, m2 = _blocks_device(x2, block_size, dtype)
         hps = jnp.asarray(np.asarray(hyperparameters), dtype=dtype)
-        kern = prior.kernel
-        if prior.k_n_params == 4:
-            a_dict = prior.args
-            kern_fn = lambda a, b, h: prior.kernel(a, b, h, a_dict)  # noqa: E731
-        else:
-            kern_fn = kern
+        kern_fn = _stable_kernel_closure(prior)
+        # fixed-size chunks, sentinel-padded: every call compiles the same
+        # program regardless of how the occupancy moved with the
+        # hyperparameters ("dynamic sparsity under jit", SURVEY.md §7)
         chunk = int(args.get("gp2Scale_tile_chunk", 512))
+        chunk = min(chunk, _bucket(max(n_sched, 1)))
+        n_chunks = max(-(-n_sched // chunk), 1)
+        rows_pad = np.full(n_chunks * chunk, nb1, np.int32)
+        cols_pad = np.full(n_chunks * chunk, nb2, np.int32)
+        rows_pad[:n_sched] = rows
+        cols_pad[:n_sched] = cols
         tiles_parts = []
-        for s in range(0, n_sched, chunk):
-            r = jnp.asarray(rows[s:s + chunk])
-            c = jnp.asarray(cols[s:s + chunk])
+        for s in range(0, n_chunks * chunk, chunk):
+            r = jnp.asarray(rows_pad[s:s + chunk])
+            # sentinel indices clamp in the gather; the mask of the clamped
+            # block is irrelevant because these tiles are dropped below
+            c = jnp.asarray(np.minimum(cols_pad[s:s + chunk], nb2 - 1))
+            r_c = jnp.asarray(np.minimum(rows_pad[s:s + chunk], nb1 - 1))
             tiles_parts.append(_compute_tiles(kern_fn, x1b, x2b, m1, m2,
-                                              r, c, hps, block_size))
-        tiles = (jnp.concatenate(tiles_parts) if tiles_parts
-                 else jnp.zeros((0, block_size, block_size), dtype))
+                                              r_c, c, hps, block_size))
+        tiles = jnp.concatenate(tiles_parts)[:n_sched]
     else:
         # host kernel: the reference's arbitrary-kernel contract
         tiles_np = np.zeros((n_sched, block_size, block_size))
