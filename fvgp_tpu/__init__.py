@@ -16,6 +16,7 @@ from . import config  # noqa: F401  (must run first: enables x64)
 from .models.gp import GP  # noqa: E402
 from .models.fvgp import fvGP  # noqa: E402
 from .models.gp_mcmc import gpMCMC, ProposalDistribution  # noqa: E402
+from .models.ggmp import GGMP  # noqa: E402
 
-__all__ = ["GP", "fvGP", "gpMCMC", "ProposalDistribution"]
+__all__ = ["GP", "fvGP", "gpMCMC", "ProposalDistribution", "GGMP"]
 __version__ = "0.1.0"

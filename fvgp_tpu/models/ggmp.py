@@ -1,0 +1,627 @@
+"""GGMP — Gaussian-mixture distributional regression
+(parity target: /root/reference/fvgp/ggmp.py; beta extension, excluded from
+the reference's coverage gate).
+
+Each input location ("station") observes a probability density rather than a
+scalar.  The density is represented as a K-component Gaussian mixture; one
+independent GP per component is trained on the component-k means across
+stations with the component-k variances as observation noise.  Training is
+two-phase: per-GP type-II ML, then EM re-optimization of the mixture weights
+against the observed densities or samples.  Posterior mean/variance combine
+the K GPs by the law of total variance (ref ggmp.py:695-780).
+
+TPU notes: the K component GPs share dataset shapes, so their posteriors are
+evaluated back-to-back through the same jitted programs (one compile serves
+all components); K is small, so the mixture algebra is host work.
+"""
+
+import hashlib
+import os
+import tempfile
+import warnings
+from pathlib import Path
+
+import numpy as np
+
+from .gp import GP
+
+__all__ = ["GGMP", "hyperparameters", "NormalLikelihood", "constant_mean",
+           "gaussian_pdf", "empirical_pdf_from_samples",
+           "fit_gmm_fixed_weights", "align_gmm_components_hungarian",
+           "gaussian_w2_squared", "optimize_weights_em_density",
+           "optimize_weights_em_samples", "bhattacharyya_distance",
+           "kl_divergence", "wasserstein_1d_density",
+           "fit_station_gmms_cached"]
+
+
+def constant_mean(x, hps):
+    """Trainable constant prior mean: hps[-1] (ref ggmp.py:35)."""
+    import jax.numpy as jnp
+    return jnp.full((len(x),), hps[-1])
+
+
+def gaussian_pdf(x, mu, var):
+    """(ref ggmp.py:924)."""
+    x = np.asarray(x, dtype=float)
+    var = max(float(var), 1e-12)
+    return np.exp(-0.5 * (x - mu) ** 2 / var) / np.sqrt(2 * np.pi * var)
+
+
+def _normalize_density(domain, density):
+    domain = np.asarray(domain, dtype=float)
+    density = np.maximum(np.asarray(density, dtype=float), 0.0)
+    dx = np.abs(np.gradient(domain))
+    mass = density * dx
+    z = mass.sum()
+    if z <= 0:
+        return domain, np.full_like(density, 1.0 / max(len(domain), 1)), dx
+    return domain, mass / z / np.maximum(dx, 1e-300), dx
+
+
+def empirical_pdf_from_samples(y, *, bins=120):
+    """Histogram density from raw samples (ref ggmp.py:954)."""
+    y = np.asarray(y, dtype=float).ravel()
+    hist, edges = np.histogram(y, bins=bins, density=True)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return centers, hist
+
+
+def _density_moments(domain, density):
+    domain, dens, dx = _normalize_density(domain, density)
+    p = dens * dx
+    p = p / p.sum()
+    mu = float(np.sum(p * domain))
+    var = float(np.sum(p * (domain - mu) ** 2))
+    return mu, max(var, 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# GMM fitting (1-d, fixed weights) + alignment
+# ---------------------------------------------------------------------------
+
+def fit_gmm_fixed_weights(domain, density, K, *, max_iter=200, tol=1e-8,
+                          seed=0):
+    """EM fit of a K-component 1-d GMM with FIXED uniform weights to a
+    (domain, density) pair (ref ggmp.py:967).  Returns (means, variances)."""
+    domain, dens, dx = _normalize_density(domain, density)
+    p = dens * dx
+    p = p / p.sum()
+    mu0, var0 = _density_moments(domain, density)
+    rng = np.random.default_rng(seed)
+    means = mu0 + np.linspace(-1, 1, K) * np.sqrt(var0) \
+        + 0.01 * rng.standard_normal(K)
+    variances = np.full(K, var0)
+    w = np.full(K, 1.0 / K)
+    prev = np.inf
+    for _ in range(max_iter):
+        comp = np.stack([w[k] * gaussian_pdf(domain, means[k], variances[k])
+                         for k in range(K)])          # (K, G)
+        total = np.maximum(comp.sum(axis=0), 1e-300)
+        resp = comp / total                           # responsibilities
+        weighted = resp * p[None, :]                  # (K, G)
+        mass = np.maximum(weighted.sum(axis=1), 1e-12)
+        means = (weighted @ domain) / mass
+        variances = np.maximum(
+            np.einsum("kg,kg->k", weighted,
+                      (domain[None, :] - means[:, None]) ** 2) / mass, 1e-8)
+        ll = float(np.sum(p * np.log(total)))
+        if abs(ll - prev) < tol:
+            break
+        prev = ll
+    return means, variances
+
+
+def gaussian_w2_squared(mu1, var1, mu2, var2):
+    """Squared 2-Wasserstein distance between 1-d Gaussians
+    (ref ggmp.py:1224 specialized to diagonal)."""
+    return float((mu1 - mu2) ** 2 + (np.sqrt(var1) - np.sqrt(var2)) ** 2)
+
+
+def align_gmm_components_hungarian(means_ref, vars_ref, means, variances):
+    """Permute components of one GMM to best match a reference by Gaussian-W2
+    (ref ggmp.py:1247)."""
+    from scipy.optimize import linear_sum_assignment
+    K = len(means_ref)
+    cost = np.empty((K, K))
+    for i in range(K):
+        for j in range(K):
+            cost[i, j] = gaussian_w2_squared(means_ref[i], vars_ref[i],
+                                             means[j], variances[j])
+    _, perm = linear_sum_assignment(cost)
+    return perm
+
+
+def align_local_gmms_sequence(means_all, vars_all):
+    """Align per-station GMMs along the station sequence so component k means
+    the same mode everywhere (ref ggmp.py:1287)."""
+    N, K = means_all.shape
+    means_out = means_all.copy()
+    vars_out = vars_all.copy()
+    for n in range(1, N):
+        perm = align_gmm_components_hungarian(means_out[n - 1], vars_out[n - 1],
+                                              means_out[n], vars_out[n])
+        means_out[n] = means_out[n][perm]
+        vars_out[n] = vars_out[n][perm]
+    return means_out, vars_out
+
+
+# ---------------------------------------------------------------------------
+# EM weight optimization (phase 2)
+# ---------------------------------------------------------------------------
+
+def optimize_weights_em_density(terms, K, *, weight_floor=1e-9, max_iter=200,
+                                tol_l1=1e-10, w0=None, log_every=None):
+    """EM over mixture weights for the density objective
+    (ref ggmp.py:2345).
+
+    terms: (N, G_total stacked) per-station arrays of component densities —
+    a list of (K, G_n) arrays with per-gridpoint mass p_n (G_n,) attached as
+    tuples (comp_density, mass).
+    """
+    w = (np.full(K, 1.0 / K) if w0 is None
+         else np.asarray(w0, dtype=float) / np.sum(w0))
+    history = []
+    for it in range(max_iter):
+        num = np.zeros(K)
+        denom = 0.0
+        ll = 0.0
+        for comp_density, mass in terms:
+            mix = np.maximum(w @ comp_density, 1e-300)      # (G,)
+            resp = (w[:, None] * comp_density) / mix        # (K, G)
+            num += resp @ mass
+            denom += mass.sum()
+            ll += float(mass @ np.log(mix))
+        w_new = np.maximum(num / max(denom, 1e-300), weight_floor)
+        w_new = w_new / w_new.sum()
+        history.append(ll)
+        if np.abs(w_new - w).sum() < tol_l1:
+            w = w_new
+            break
+        w = w_new
+    return w, history, it + 1
+
+
+def optimize_weights_em_samples(y_samples, means_list, vars_list, K, *,
+                                weight_floor=1e-9, max_iter=200, tol_l1=1e-10,
+                                w0=None, log_every=None):
+    """EM over mixture weights for the raw-samples objective
+    (ref ggmp.py:1584)."""
+    w = (np.full(K, 1.0 / K) if w0 is None
+         else np.asarray(w0, dtype=float) / np.sum(w0))
+    history = []
+    for it in range(max_iter):
+        num = np.zeros(K)
+        total = 0
+        ll = 0.0
+        for samples, mus, vs in zip(y_samples, means_list, vars_list):
+            samples = np.asarray(samples, dtype=float).ravel()
+            comp = np.stack([gaussian_pdf(samples, mus[k], vs[k])
+                             for k in range(K)])            # (K, T)
+            mix = np.maximum(w @ comp, 1e-300)
+            resp = (w[:, None] * comp) / mix
+            num += resp.sum(axis=1)
+            total += len(samples)
+            ll += float(np.sum(np.log(mix)))
+        w_new = np.maximum(num / max(total, 1), weight_floor)
+        w_new = w_new / w_new.sum()
+        history.append(ll)
+        if np.abs(w_new - w).sum() < tol_l1:
+            w = w_new
+            break
+        w = w_new
+    return w, history, it + 1
+
+
+# ---------------------------------------------------------------------------
+# density distances (ref ggmp.py:1703-1779, :2402-2441)
+# ---------------------------------------------------------------------------
+
+def bhattacharyya_distance(domain, p, q):
+    domain, p, dxp = _normalize_density(domain, p)
+    _, q, _ = _normalize_density(domain, q)
+    bc = float(np.sum(np.sqrt(p * q) * dxp))
+    return -np.log(max(bc, 1e-300))
+
+
+def kl_divergence(domain, p, q):
+    domain, p, dx = _normalize_density(domain, p)
+    _, q, _ = _normalize_density(domain, q)
+    mask = p > 1e-300
+    return float(np.sum(p[mask] * np.log(p[mask] / np.maximum(q[mask], 1e-300))
+                        * dx[mask]))
+
+
+def wasserstein_1d_density(domain, p, q):
+    domain, p, dx = _normalize_density(domain, p)
+    _, q, _ = _normalize_density(domain, q)
+    cdf_p = np.cumsum(p * dx)
+    cdf_q = np.cumsum(q * dx)
+    return float(np.sum(np.abs(cdf_p - cdf_q) * dx))
+
+
+def energy_distance(x, y, seed=0):
+    """Energy distance between two sample sets (ref ggmp.py:1703)."""
+    x = np.atleast_2d(np.asarray(x, dtype=float))
+    y = np.atleast_2d(np.asarray(y, dtype=float))
+    if x.shape[0] == 1:
+        x, y = x.T, y.T
+
+    def _mean_dist(a, b):
+        return float(np.mean(np.linalg.norm(a[:, None, :] - b[None, :, :],
+                                            axis=-1)))
+    return 2 * _mean_dist(x, y) - _mean_dist(x, x) - _mean_dist(y, y)
+
+
+# ---------------------------------------------------------------------------
+# GMM-fit disk cache (ref ggmp.py:1781-1988)
+# ---------------------------------------------------------------------------
+
+def _atomic_savez(path, **arrays):
+    """(ref ggmp.py:2025)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    # suffix must end in .npz or np.savez appends one and the atomic
+    # replace would move an empty placeholder into place
+    fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp.npz")
+    os.close(fd)
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def fit_station_gmms_cached(y_data, K, *, cache_dir=None, align=True,
+                            max_iter=200, seed=0):
+    """Fit per-station GMMs with a content-hash disk cache
+    (ref ggmp.py:1847)."""
+    hasher = hashlib.sha256()
+    for domain, density in y_data:
+        hasher.update(np.ascontiguousarray(np.asarray(domain, float)).tobytes())
+        hasher.update(np.ascontiguousarray(np.asarray(density, float)).tobytes())
+    hasher.update(str((K, max_iter, seed, align)).encode())
+    key = hasher.hexdigest()[:24]
+    path = None
+    if cache_dir is not None:
+        path = Path(cache_dir) / f"ggmp_gmms_{key}.npz"
+        if path.exists():
+            blob = np.load(path)
+            return blob["means"], blob["variances"]
+    N = len(y_data)
+    means = np.empty((N, K))
+    variances = np.empty((N, K))
+    for n, (domain, density) in enumerate(y_data):
+        means[n], variances[n] = fit_gmm_fixed_weights(domain, density, K,
+                                                       max_iter=max_iter,
+                                                       seed=seed)
+        order = np.argsort(means[n])
+        means[n] = means[n][order]
+        variances[n] = variances[n][order]
+    if align:
+        means, variances = align_local_gmms_sequence(means, variances)
+    if path is not None:
+        _atomic_savez(path, means=means, variances=variances)
+    return means, variances
+
+
+# ---------------------------------------------------------------------------
+# parameter containers
+# ---------------------------------------------------------------------------
+
+class hyperparameters:
+    """Mixture weights + K per-component GP hyperparameter sets with
+    flatten/unflatten helpers (ref ggmp.py:781-860)."""
+
+    def __init__(self, weights, weights_bounds, hps, hps_bounds):
+        if len(hps) != len(hps_bounds):
+            raise Exception("hps and hps_bounds have to be lists of equal length")
+        if len(weights) != len(weights_bounds):
+            raise Exception("weights and weights_bounds must have equal length")
+        self.weights = weights
+        self.weights_bounds = weights_bounds
+        self.hps = hps
+        self.hps_bounds = hps_bounds
+        self.number_of_weights = len(weights)
+        self.number_of_hps_sets = len(hps)
+        self.number_of_hps = [len(h) for h in hps]
+        self.vectorized_hps = self.vectorize_hps(weights, hps)
+        self.vectorized_bounds = self.vectorize_bounds(weights_bounds, hps_bounds)
+
+    def set(self, weights, hps):
+        if len(hps) != len(self.hps_bounds):
+            raise Exception("hps and hps_bounds have to be lists of equal length")
+        if len(weights) != len(self.weights_bounds):
+            raise Exception("weights and weights_bounds must have equal length")
+        self.weights = weights
+        self.hps = hps
+        self.vectorized_hps = self.vectorize_hps(weights, hps)
+
+    def vectorize_hps(self, weights, hps):
+        return np.concatenate([np.asarray(weights, dtype=float)]
+                              + [np.asarray(h, dtype=float) for h in hps])
+
+    def devectorize_hps(self, v):
+        weights = v[:self.number_of_weights]
+        hps, idx = [], self.number_of_weights
+        for n in self.number_of_hps:
+            hps.append(v[idx:idx + n])
+            idx += n
+        return weights, hps
+
+    def vectorize_bounds(self, weights_bounds, hps_bounds):
+        return np.vstack([np.asarray(weights_bounds, dtype=float)]
+                         + [np.asarray(b, dtype=float) for b in hps_bounds])
+
+    def devectorize_bounds(self, b):
+        weights_bounds = b[:self.number_of_weights]
+        bounds, idx = [], self.number_of_weights
+        for n in self.number_of_hps:
+            bounds.append(b[idx:idx + n])
+            idx += n
+        return weights_bounds, bounds
+
+
+class NormalLikelihood:
+    """Diagonal Gaussian likelihood of one mixture component
+    (ref ggmp.py:862-909)."""
+
+    def __init__(self, mean, variance, weight):
+        self.mean = mean
+        self.variance = variance
+        self.dim = len(mean)
+        self.weight = weight
+        self.weight_bounds = np.array([0, 1])
+
+    def set_moments(self, mean, variance):
+        self.mean = mean
+        self.variance = variance
+
+    def set_weight(self, weight):
+        self.weight = weight
+
+    def unravel(self):
+        return np.concatenate([self.mean, self.variance])
+
+    def ravel(self, vec):
+        return vec[:self.dim], vec[self.dim:]
+
+
+# ---------------------------------------------------------------------------
+# the model
+# ---------------------------------------------------------------------------
+
+class GGMP:
+    """Gaussian GP for Gaussian-mixture data (ref ggmp.py:40).
+
+    Workflow::
+
+        ggmp = GGMP(x_data, y_data, hps_obj=hps, likelihood_terms=K)
+        ggmp.initLikelihoods()
+        ggmp.initGPs()
+        ggmp.train(method="local", max_iter=200)
+        mean = ggmp.posterior_mean(x_pred)
+        var  = ggmp.posterior_variance(x_pred)
+
+    ``y_data`` is a list of (domain, density) pairs — one empirical PDF per
+    input location.
+    """
+
+    def __init__(self, x_data, y_data, *, hps_obj, gp_kernel_functions=None,
+                 gp_mean_functions=None, likelihood_terms=5,
+                 gp_init_kwargs=None, gp_device_ids=None,
+                 gp_eval_parallel=False):
+        if len(x_data) != len(y_data):
+            raise AssertionError("x_data and y_data have different lengths")
+        self.likelihood_terms = likelihood_terms
+        self.number_of_GPs = likelihood_terms
+        self.len_data = len(x_data)
+        self.hps_obj = hps_obj
+        self.init_weights = np.full(likelihood_terms, 1.0 / likelihood_terms)
+        self.x_data = x_data
+        self.y_data = y_data
+        self.gp_kernel_functions = (gp_kernel_functions
+                                    or [None] * likelihood_terms)
+        self.gp_mean_functions = (gp_mean_functions
+                                  or [constant_mean] * likelihood_terms)
+        self.gp_init_kwargs = dict(gp_init_kwargs or {})
+        # accepted for API parity; devices are managed by JAX on TPU
+        self.gp_device_ids = gp_device_ids
+        self.gp_eval_parallel = bool(gp_eval_parallel)
+        self.likelihoods = []
+
+    # ------------------------------------------------------------------
+    def initLikelihoods(self, init_mean=None, init_std=None, weights=None):
+        """Seed the K NormalLikelihood objects from per-station empirical
+        moments (ref ggmp.py:147-222)."""
+        K = self.likelihood_terms
+        if init_mean is not None and len(init_mean) != K:
+            raise AssertionError("init_mean length must equal likelihood_terms")
+        if init_std is not None and len(init_std) != K:
+            raise AssertionError("init_std length must equal likelihood_terms")
+        station_means = np.zeros(self.len_data)
+        station_vars = np.zeros(self.len_data)
+        for i, (domain, density) in enumerate(self.y_data):
+            station_means[i], station_vars[i] = _density_moments(domain, density)
+        self.station_means = station_means
+        self.station_vars = station_vars
+        if init_mean is None:
+            offsets = np.linspace(-1.0, 1.0, K)
+            init_mean = [station_means + offsets[k] for k in range(K)]
+        if init_std is None:
+            init_std = [np.sqrt(station_vars) for _ in range(K)]
+        if weights is None:
+            weights = np.full(K, 1.0 / K)
+        self.likelihoods = [NormalLikelihood(init_mean[k],
+                                             np.asarray(init_std[k]) ** 2,
+                                             weights[k]) for k in range(K)]
+        return self.likelihoods
+
+    def initGPs(self):
+        """One GP per component, trained on component-k means with
+        component-k variances as noise (ref ggmp.py:224-467)."""
+        if not self.likelihoods:
+            raise ValueError("Initialize likelihoods first (call initLikelihoods).")
+        kwargs = dict(self.gp_init_kwargs)
+        kwargs.setdefault("ram_economy", True)
+        self._component_GPs = []
+        synced = []
+        for k in range(self.likelihood_terms):
+            y = np.asarray(self.likelihoods[k].mean, dtype=float).ravel()
+            nv = np.maximum(np.asarray(self.likelihoods[k].variance,
+                                       dtype=float).ravel(), 1e-8)
+            init_hps = np.asarray(self.hps_obj.hps[k], dtype=float).copy()
+            # the last hp is the prior mean under constant_mean: start each
+            # component at its own data mean (ref ggmp.py:395-399)
+            init_hps[-1] = float(y.mean())
+            gp = GP(np.asarray(self.x_data, dtype=float), y,
+                    init_hyperparameters=init_hps, noise_variances=nv,
+                    kernel_function=self.gp_kernel_functions[k],
+                    prior_mean_function=self.gp_mean_functions[k], **kwargs)
+            self._component_GPs.append(gp)
+            synced.append(np.asarray(gp.hyperparameters, dtype=float).copy())
+        self._expert_GPs = self._component_GPs
+        self.gps = self._component_GPs
+        self.hps_obj.set(self.hps_obj.weights, synced)
+        return self.gps
+
+    def build_pairwise_data_generating_normals(self, idx_a, idx_b):
+        """K bivariate Gaussians pairing two stations' component moments
+        (ref ggmp.py:130-145)."""
+        if not self.likelihoods:
+            raise ValueError("Call initLikelihoods first.")
+        if not (0 <= idx_a < self.len_data and 0 <= idx_b < self.len_data):
+            raise IndexError("Datapoint index out of range.")
+        joints = []
+        for comp in range(self.likelihood_terms):
+            lk = self.likelihoods[comp]
+            joints.append({"mean": np.array([lk.mean[idx_a], lk.mean[idx_b]]),
+                           "cov": np.diag([lk.variance[idx_a],
+                                           lk.variance[idx_b]]),
+                           "weight": lk.weight})
+        return joints
+
+    # ------------------------------------------------------------------
+    def train(self, hyperparameter_bounds=None, init_hyperparameters=None,
+              method="local", max_iter=120, train_weights=True,
+              weight_method="density", weight_max_iter=200, weight_tol=1e-10,
+              weight_floor=1e-9, y_samples=None, **kwargs):
+        """Two-phase training: per-component GP type-II ML, then EM weights
+        (ref ggmp.py:571-693)."""
+        if not getattr(self, "gps", None):
+            raise ValueError("Call initGPs() before training.")
+        for k, gp in enumerate(self.gps):
+            bounds = (np.asarray(hyperparameter_bounds[k])
+                      if hyperparameter_bounds is not None
+                      else np.asarray(self.hps_obj.hps_bounds[k], dtype=float))
+            init = (np.asarray(init_hyperparameters[k])
+                    if init_hyperparameters is not None
+                    else np.asarray(gp.hyperparameters, dtype=float))
+            init = np.clip(init, bounds[:, 0], bounds[:, 1])
+            gp.set_hyperparameters(init)
+            gp.train(hyperparameter_bounds=bounds, init_hyperparameters=init,
+                     method=method, max_iter=max_iter, **kwargs)
+        synced = [np.asarray(gp.hyperparameters, dtype=float).copy()
+                  for gp in self.gps]
+
+        if train_weights:
+            K = self.likelihood_terms
+            w0 = np.asarray([lk.weight for lk in self.likelihoods], dtype=float)
+            if weight_method == "density":
+                terms = self._station_terms_density()
+                w_opt, _, _ = optimize_weights_em_density(
+                    terms, K, weight_floor=weight_floor,
+                    max_iter=weight_max_iter, tol_l1=weight_tol, w0=w0)
+            elif weight_method == "samples":
+                if y_samples is None:
+                    raise ValueError("y_samples must be provided when "
+                                     "weight_method='samples'.")
+                x = np.asarray(self.x_data, dtype=float)
+                gp_means = np.stack([gp.posterior_mean(x)["m(x)"]
+                                     for gp in self.gps])
+                gp_vars = np.stack([gp.posterior_covariance(
+                    x, variance_only=True)["v(x)"] for gp in self.gps])
+                means_list, vars_list = [], []
+                mean_noise = np.array([float(np.mean(lk.variance))
+                                       for lk in self.likelihoods])
+                for n in range(self.len_data):
+                    means_list.append(gp_means[:, n])
+                    vars_list.append(gp_vars[:, n] + mean_noise)
+                w_opt, _, _ = optimize_weights_em_samples(
+                    y_samples, means_list, vars_list, K,
+                    weight_floor=weight_floor, max_iter=weight_max_iter,
+                    tol_l1=weight_tol, w0=w0)
+            else:
+                raise ValueError(f"Unknown weight_method {weight_method!r}. "
+                                 f"Use 'density' or 'samples'.")
+            for k in range(K):
+                self.likelihoods[k].set_weight(float(w_opt[k]))
+
+        weights = np.asarray([lk.weight for lk in self.likelihoods])
+        self.hps_obj.set(weights, synced)
+        return synced
+
+    def _station_terms_density(self):
+        """Per-station (component densities on the grid, grid mass) for the
+        density EM objective (ref ggmp.py:2301)."""
+        x = np.asarray(self.x_data, dtype=float)
+        gp_means = np.stack([gp.posterior_mean(x)["m(x)"] for gp in self.gps])
+        gp_vars = np.stack([gp.posterior_covariance(x, variance_only=True)["v(x)"]
+                            for gp in self.gps])
+        mean_noise = np.array([float(np.mean(lk.variance))
+                               for lk in self.likelihoods])
+        terms = []
+        for n, (domain, density) in enumerate(self.y_data):
+            domain_n, dens_n, dx = _normalize_density(domain, density)
+            mass = dens_n * dx
+            comp = np.stack([
+                gaussian_pdf(domain_n, gp_means[k, n],
+                             gp_vars[k, n] + mean_noise[k])
+                for k in range(self.likelihood_terms)])
+            terms.append((comp, mass))
+        return terms
+
+    # ------------------------------------------------------------------
+    def posterior_mean(self, x_pred):
+        """Weight-averaged component posterior means (ref ggmp.py:695)."""
+        if not getattr(self, "gps", None):
+            raise ValueError("Call initGPs() before evaluating the posterior.")
+        w = np.asarray([lk.weight for lk in self.likelihoods], dtype=float)
+        w = w / w.sum()
+        means = np.stack([gp.posterior_mean(x_pred)["m(x)"] for gp in self.gps])
+        return np.einsum("k,k...->...", w, means)
+
+    def posterior_variance(self, x_pred):
+        """Mixture variance via the law of total variance
+        (ref ggmp.py:726-780): Σ w_k (ν_k + s̄²_k) + Σ w_k (μ_k - μ)²."""
+        if not getattr(self, "gps", None):
+            raise ValueError("Call initGPs() before evaluating the posterior.")
+        w = np.asarray([lk.weight for lk in self.likelihoods], dtype=float)
+        w = w / w.sum()
+        mean_noise = np.array([float(np.mean(lk.variance))
+                               for lk in self.likelihoods])
+        means = np.stack([gp.posterior_mean(x_pred)["m(x)"] for gp in self.gps])
+        gp_vars = np.stack([gp.posterior_covariance(x_pred, variance_only=True)["v(x)"]
+                            for gp in self.gps])
+        variances = gp_vars + mean_noise[:, None]
+        mean_total = np.einsum("k,k...->...", w, means)
+        expected_var = np.einsum("k,k...->...", w, variances)
+        var_of_means = np.einsum("k,k...->...", w, (means - mean_total[None]) ** 2)
+        return expected_var + var_of_means
+
+    def posterior_pdf(self, x_pred, domain):
+        """Predictive mixture density on a grid at each prediction point."""
+        w = np.asarray([lk.weight for lk in self.likelihoods], dtype=float)
+        w = w / w.sum()
+        mean_noise = np.array([float(np.mean(lk.variance))
+                               for lk in self.likelihoods])
+        means = np.stack([gp.posterior_mean(x_pred)["m(x)"] for gp in self.gps])
+        gp_vars = np.stack([gp.posterior_covariance(x_pred, variance_only=True)["v(x)"]
+                            for gp in self.gps])
+        domain = np.asarray(domain, dtype=float)
+        out = np.zeros((np.atleast_2d(x_pred).shape[0], len(domain)))
+        for k in range(self.likelihood_terms):
+            for m in range(out.shape[0]):
+                out[m] += w[k] * gaussian_pdf(domain, means[k, m],
+                                              gp_vars[k, m] + mean_noise[k])
+        return out

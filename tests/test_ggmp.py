@@ -1,0 +1,158 @@
+"""GGMP distributional regression (ref tests/test_fvgp.py:702 + the ggmp
+utility suite)."""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from fvgp_tpu.models.ggmp import (GGMP, NormalLikelihood,
+                                  align_gmm_components_hungarian,
+                                  bhattacharyya_distance,
+                                  empirical_pdf_from_samples,
+                                  fit_gmm_fixed_weights,
+                                  fit_station_gmms_cached, gaussian_pdf,
+                                  gaussian_w2_squared, hyperparameters,
+                                  kl_divergence, optimize_weights_em_density,
+                                  optimize_weights_em_samples,
+                                  wasserstein_1d_density)
+
+warnings.simplefilter("ignore")
+
+
+def _make_distributional_data(n=12, K=2, seed=0):
+    """Stations along a line; each observes a bimodal PDF whose mode
+    locations drift with x."""
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 10, n).reshape(-1, 1)
+    y_data = []
+    for xi in x[:, 0]:
+        domain = np.linspace(-8, 12, 200)
+        d1 = gaussian_pdf(domain, np.sin(xi), 0.3)
+        d2 = gaussian_pdf(domain, 3.0 + 0.2 * xi, 0.5)
+        y_data.append((domain, 0.5 * d1 + 0.5 * d2))
+    return x, y_data
+
+
+def _hps_obj(K, d=1):
+    hps = [np.array([1.0, 2.0, 0.0]) for _ in range(K)]
+    bounds = [np.array([[0.01, 10.0], [0.5, 10.0], [-10.0, 10.0]])
+              for _ in range(K)]
+    w = np.full(K, 1.0 / K)
+    wb = np.tile([0.0, 1.0], (K, 1))
+    return hyperparameters(w, wb, hps, bounds)
+
+
+def test_hyperparameters_vectorize_roundtrip():
+    h = _hps_obj(3)
+    v = h.vectorized_hps
+    w, hps = h.devectorize_hps(v)
+    assert len(w) == 3 and len(hps) == 3
+    np.testing.assert_array_equal(hps[1], h.hps[1])
+    wb, hb = h.devectorize_bounds(h.vectorized_bounds)
+    assert len(hb) == 3 and hb[0].shape == (3, 2)
+
+
+def test_normal_likelihood_ravel():
+    lk = NormalLikelihood(np.arange(4.0), np.ones(4), 0.5)
+    m, v = lk.ravel(lk.unravel())
+    np.testing.assert_array_equal(m, np.arange(4.0))
+    np.testing.assert_array_equal(v, np.ones(4))
+
+
+def test_gmm_fit_recovers_modes():
+    domain = np.linspace(-6, 6, 400)
+    density = 0.5 * gaussian_pdf(domain, -2.0, 0.2) + \
+        0.5 * gaussian_pdf(domain, 2.0, 0.2)
+    means, variances = fit_gmm_fixed_weights(domain, density, 2)
+    np.testing.assert_allclose(sorted(means), [-2.0, 2.0], atol=0.2)
+
+
+def test_hungarian_alignment():
+    perm = align_gmm_components_hungarian(
+        np.array([0.0, 5.0]), np.array([1.0, 1.0]),
+        np.array([5.1, 0.1]), np.array([1.0, 1.0]))
+    np.testing.assert_array_equal(perm, [1, 0])
+    assert gaussian_w2_squared(0, 1, 0, 1) == 0.0
+
+
+def test_density_distances():
+    domain = np.linspace(-5, 5, 300)
+    p = gaussian_pdf(domain, 0.0, 1.0)
+    q = gaussian_pdf(domain, 1.0, 1.0)
+    assert bhattacharyya_distance(domain, p, p) < 1e-6
+    assert kl_divergence(domain, p, q) > 0.0
+    w = wasserstein_1d_density(domain, p, q)
+    assert abs(w - 1.0) < 0.05      # W1 of shifted Gaussians = shift
+
+
+def test_em_weight_optimizers():
+    domain = np.linspace(-6, 6, 200)
+    true_w = np.array([0.8, 0.2])
+    mix = true_w[0] * gaussian_pdf(domain, -2, 0.3) + \
+        true_w[1] * gaussian_pdf(domain, 2, 0.3)
+    _, dens, dx = (domain, mix, np.abs(np.gradient(domain)))
+    comp = np.stack([gaussian_pdf(domain, -2, 0.3),
+                     gaussian_pdf(domain, 2, 0.3)])
+    terms = [(comp, mix * dx / (mix * dx).sum())]
+    w, hist, iters = optimize_weights_em_density(terms, 2, max_iter=500)
+    np.testing.assert_allclose(w, true_w, atol=0.05)
+
+    rng = np.random.default_rng(0)
+    samples = np.concatenate([rng.normal(-2, 0.55, 800),
+                              rng.normal(2, 0.55, 200)])
+    w2, _, _ = optimize_weights_em_samples(
+        [samples], [np.array([-2.0, 2.0])], [np.array([0.3, 0.3])], 2,
+        max_iter=500)
+    np.testing.assert_allclose(w2, true_w, atol=0.1)
+
+
+def test_station_gmm_cache(tmp_path):
+    _, y_data = _make_distributional_data(n=4)
+    m1, v1 = fit_station_gmms_cached(y_data, 2, cache_dir=tmp_path)
+    assert len(list(tmp_path.glob("ggmp_gmms_*.npz"))) == 1
+    m2, v2 = fit_station_gmms_cached(y_data, 2, cache_dir=tmp_path)
+    np.testing.assert_array_equal(m1, m2)
+
+
+def test_empirical_pdf():
+    samples = np.random.default_rng(1).normal(3.0, 1.0, 5000)
+    domain, dens = empirical_pdf_from_samples(samples)
+    mode = domain[np.argmax(dens)]
+    assert abs(mode - 3.0) < 0.5
+
+
+def test_ggmp_end_to_end():
+    """The documented workflow: init -> train (both phases) -> posterior
+    (ref ggmp.py:67-74)."""
+    K = 2
+    x, y_data = _make_distributional_data(n=12, K=K)
+    ggmp = GGMP(x, y_data, hps_obj=_hps_obj(K), likelihood_terms=K)
+    lks = ggmp.initLikelihoods()
+    assert len(lks) == K
+    ggmp.initGPs()
+    assert len(ggmp.gps) == K
+    joints = ggmp.build_pairwise_data_generating_normals(0, 1)
+    assert len(joints) == K and joints[0]["cov"].shape == (2, 2)
+    ggmp.train(method="local", max_iter=30)
+    mean = ggmp.posterior_mean(x)
+    var = ggmp.posterior_variance(x)
+    assert mean.shape == (12,) and var.shape == (12,)
+    assert np.all(var > 0)
+    # the mixture mean should track the station empirical means
+    np.testing.assert_allclose(mean, ggmp.station_means, atol=1.5)
+    w = np.array([lk.weight for lk in ggmp.likelihoods])
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-9)
+    pdf = ggmp.posterior_pdf(x[:2], np.linspace(-8, 12, 100))
+    assert pdf.shape == (2, 100)
+    assert np.all(pdf >= 0)
+
+
+def test_ggmp_requires_init_order():
+    K = 2
+    x, y_data = _make_distributional_data(n=5)
+    ggmp = GGMP(x, y_data, hps_obj=_hps_obj(K), likelihood_terms=K)
+    with pytest.raises(ValueError):
+        ggmp.initGPs()
+    with pytest.raises(ValueError):
+        ggmp.posterior_mean(x)
