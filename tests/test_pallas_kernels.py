@@ -1,0 +1,56 @@
+"""Pallas kernels vs their XLA formulations (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fvgp_tpu.kernels import default_matern_ard, wendland_anisotropic
+from fvgp_tpu.ops.pallas_kernels import block_spmv, dense_covariance
+from fvgp_tpu.parallel.block_sparse import BlockSparseMatrix
+
+
+def test_dense_covariance_matern(rng):
+    x1 = rng.uniform(0, 5, (70, 3))
+    x2 = rng.uniform(0, 5, (50, 3))
+    hps = np.array([1.3, 0.8, 1.1, 2.0])
+    K = np.asarray(dense_covariance(x1, x2, hps, kind="matern32", tile=32))
+    K_ref = np.asarray(default_matern_ard(x1, x2, hps))
+    np.testing.assert_allclose(K, K_ref, atol=1e-10)
+
+
+def test_dense_covariance_wendland(rng):
+    x1 = rng.uniform(0, 8, (60, 2))
+    hps = np.array([0.7, 1.5, 1.5])
+    K = np.asarray(dense_covariance(x1, x1, hps, kind="wendland", tile=32))
+    K_ref = np.asarray(wendland_anisotropic(x1, x1, hps))
+    np.testing.assert_allclose(K, K_ref, atol=1e-10)
+
+
+def test_block_spmv_matches_dense(rng):
+    B, nb = 16, 5
+    n = nb * B - 7          # ragged logical size
+    # row-major sorted tile list with gaps (rows 0,1,3 present; 2,4 absent)
+    entries = [(0, 0), (0, 1), (1, 1), (1, 3), (3, 0), (3, 3)]
+    tiles = rng.standard_normal((len(entries), B, B))
+    rows = np.array([e[0] for e in entries], np.int32)
+    cols = np.array([e[1] for e in entries], np.int32)
+    bsm = BlockSparseMatrix(n, n, B, rows, cols, tiles)
+    dense = np.asarray(bsm.to_dense())
+    X = rng.standard_normal((n, 4))
+    out = np.asarray(block_spmv(rows, cols, jnp.asarray(bsm.tiles), X, nb, B))
+    np.testing.assert_allclose(out, dense @ X, atol=1e-10)
+
+
+def test_block_spmv_with_sentinels(rng):
+    """Sentinel-padded tile lists (rows == nb, zero tiles) must be no-ops."""
+    B, nb = 8, 3
+    n = nb * B
+    entries = [(0, 0), (1, 1), (2, 2)]
+    tiles = rng.standard_normal((3, B, B))
+    rows = np.concatenate([[e[0] for e in entries], [nb, nb]]).astype(np.int32)
+    cols = np.concatenate([[e[1] for e in entries], [nb, nb]]).astype(np.int32)
+    tiles_p = np.concatenate([tiles, np.zeros((2, B, B))])
+    bsm = BlockSparseMatrix(n, n, B, rows, cols, tiles_p)
+    dense = np.asarray(bsm.to_dense())
+    X = rng.standard_normal(n)
+    out = np.asarray(block_spmv(rows, cols, jnp.asarray(tiles_p), X, nb, B))
+    np.testing.assert_allclose(out, dense @ X, atol=1e-10)
