@@ -21,10 +21,13 @@ _BITS = 16
 
 
 def spread_bits(v, ndim):
-    """Interleave-ready spreading: place the bits of v (< 2^16) ndim apart."""
+    """Interleave-ready spreading: place the bits of v (< 2^16) ndim apart.
+    Bits are capped so every shifted position fits in 64 bits (12 usable
+    bits at d=5, 8 at d=8) — shifts past the word width are UB."""
     v = v.astype(np.uint64)
     out = np.zeros_like(v)
-    for bit in range(_BITS):
+    bits = min(_BITS, 64 // ndim)
+    for bit in range(bits):
         out |= ((v >> np.uint64(bit)) & np.uint64(1)) << np.uint64(bit * ndim)
     return out
 
@@ -33,15 +36,11 @@ def morton_order(x):
     """Permutation sorting rows of x (n, d) along a Morton curve.
 
     Dimensions beyond 8 are ignored for the code (they rarely carry the
-    spatial structure); ties fall back to stable order.
+    spatial structure); ties fall back to stable order.  The code
+    computation runs in the native C++ runtime when available
+    (fvgp_tpu.native), numpy otherwise — both produce identical codes.
     """
     x = np.asarray(x, dtype=np.float64)
-    n, d = x.shape
-    use = min(d, 8)
-    lo = x.min(axis=0)
-    span = np.maximum(x.max(axis=0) - lo, 1e-300)
-    q = ((x[:, :use] - lo[:use]) / span[:use] * (2 ** _BITS - 1)).astype(np.uint64)
-    code = np.zeros(n, dtype=np.uint64)
-    for dim in range(use):
-        code |= spread_bits(q[:, dim], use) << np.uint64(dim)
+    from ..native import morton_codes
+    code = morton_codes(x)
     return np.argsort(code, kind="stable")

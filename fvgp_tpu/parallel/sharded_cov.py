@@ -59,10 +59,16 @@ def _block_bounds(x, block_size):
 
 
 def _candidate_pairs(x1, x2, lengthscales, radius, block_size, symmetric):
-    """Tile pairs whose whitened bounding boxes are within the support radius."""
+    """Tile pairs whose whitened bounding boxes are within the support
+    radius.  The symmetric (prior covariance) case runs in the native C++
+    runtime when available (fvgp_tpu.native)."""
     if lengthscales is not None:
         x1 = x1 / lengthscales
         x2 = x2 if x2 is None else x2 / lengthscales
+    if symmetric and np.isfinite(radius):
+        from ..native import block_bounds, candidate_pairs
+        lo1, hi1 = block_bounds(x1, block_size)
+        return candidate_pairs(lo1, hi1, radius)
     lo1, hi1 = _block_bounds(x1, block_size)
     if symmetric:
         lo2, hi2 = lo1, hi1

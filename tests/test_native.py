@@ -1,0 +1,80 @@
+"""Native C++ host runtime vs numpy fallback — identical results required."""
+
+import numpy as np
+import pytest
+
+from fvgp_tpu import native
+
+
+def _numpy_morton(x):
+    from fvgp_tpu.parallel.ordering import spread_bits
+    x = np.asarray(x, dtype=np.float64)
+    n, d = x.shape
+    use = min(d, 8)
+    lo = x.min(axis=0)
+    span = np.maximum(x.max(axis=0) - lo, 1e-300)
+    q = ((x[:, :use] - lo[:use]) / span[:use] * 65535.0).astype(np.uint64)
+    code = np.zeros(n, dtype=np.uint64)
+    for dim in range(use):
+        code |= spread_bits(q[:, dim], use) << np.uint64(dim)
+    return code
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_native_builds(lib):
+    assert native.get_lib() is not None
+
+
+def test_morton_codes_match_numpy(lib, rng):
+    for d in (1, 2, 3, 5):
+        x = rng.uniform(-3, 7, (500, d))
+        np.testing.assert_array_equal(native.morton_codes(x), _numpy_morton(x))
+
+
+def test_block_bounds_match_numpy(lib, rng):
+    x = rng.uniform(0, 10, (337, 3))       # ragged last block
+    lo, hi = native.block_bounds(x, 64)
+    nb = -(-337 // 64)
+    xp = np.full((nb * 64, 3), np.nan)
+    xp[:337] = x
+    xb = xp.reshape(nb, 64, 3)
+    np.testing.assert_allclose(lo, np.nanmin(xb, axis=1), atol=0)
+    np.testing.assert_allclose(hi, np.nanmax(xb, axis=1), atol=0)
+
+
+def test_candidate_pairs_match_numpy(lib, rng):
+    x = rng.uniform(0, 50, (800, 2))
+    lo, hi = native.block_bounds(x, 64)
+    r_n, c_n = native.candidate_pairs(lo, hi, 1.5)
+    gap = np.maximum(lo[None, :, :] - hi[:, None, :],
+                     lo[:, None, :] - hi[None, :, :])
+    gap = np.maximum(gap, 0.0)
+    keep = np.triu(np.sum(gap ** 2, axis=-1) <= 1.5 ** 2)
+    rows, cols = np.nonzero(keep)
+    np.testing.assert_array_equal(r_n, rows.astype(np.int32))
+    np.testing.assert_array_equal(c_n, cols.astype(np.int32))
+
+
+def test_structure_discovery_uses_native(lib, rng):
+    """The sharded-cov structure path gives identical pairs through the
+    native and numpy branches."""
+    import fvgp_tpu.native as nat
+    from fvgp_tpu.parallel.sharded_cov import _candidate_pairs
+    x = rng.uniform(0, 60, (2000, 2))
+    ls = np.array([1.5, 1.5])
+    r1, c1 = _candidate_pairs(x, None, ls, 1.0, 128, True)
+    saved = nat._LIB
+    try:
+        nat._LIB = None          # force the numpy fallback
+        r2, c2 = _candidate_pairs(x, None, ls, 1.0, 128, True)
+    finally:
+        nat._LIB = saved
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_array_equal(c1, c2)
