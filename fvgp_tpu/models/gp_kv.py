@@ -305,12 +305,15 @@ class GPkv:
         self._refresh(rank_n_update=append)
 
     def _refresh(self, rank_n_update):
+        from ..utils.logging import phase_timer
         K, V, m = self._get_KVm()
         KV = self.addKV(K, V)
-        if rank_n_update:
-            self.update_KV(KV)
-        else:
-            self.set_KV(KV)
+        with phase_timer(f"KV factorization ({self.mode}, "
+                         f"{'rank-n update' if rank_n_update else 'full'})"):
+            if rank_n_update:
+                self.update_KV(KV)
+            else:
+                self.set_KV(KV)
         y_mean = jnp.asarray(self.y_data, dtype=config.linalg_dtype(self.args)) - m[:, None]
         x0 = self.KVinvY if rank_n_update else None
         self.KVinvY = jnp.reshape(self.solve(y_mean, x0=x0), y_mean.shape)

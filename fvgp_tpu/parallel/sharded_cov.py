@@ -272,4 +272,10 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
     result = _CovResult(len(x1), len(x2), block_size, rows, cols, tiles)
     result.structure = (tuple(rows.tolist()[:0]),)  # placeholder handle
     shard_tiles(result, mesh)
+    # assembly report (the reference's timer + sparsity line,
+    # gp2Scale_covariance.py:295-307)
+    from ..utils.logging import logger
+    logger.debug("covariance assembled: %d/%d tiles scheduled, block %d, "
+                 "fill %.4f, %s", total, nb1 * nb2, block_size,
+                 result.sparsity(), "sharded" if n_dev > 1 else "single-device")
     return result
