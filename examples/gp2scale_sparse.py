@@ -1,0 +1,40 @@
+"""BASELINE config 5 — gp2Scale equivalent: compactly-supported Wendland
+covariance as Morton-ordered block-sparse tiles sharded over the device
+mesh, trained over the traced sparse LML (CG + SLQ in one compiled
+program).  Scale N up on real hardware; this script sizes itself modestly
+so it runs anywhere."""
+
+import numpy as np
+
+from fvgp_tpu import GP
+from fvgp_tpu.parallel import mesh
+
+
+def main(n=20_000, neighbors=40, support=2.0):
+    rng = np.random.default_rng(3)
+    # size the domain so each point has ~`neighbors` others inside the
+    # kernel support — the regime compactly-supported covariance is for
+    span = (n * 4.19 * support ** 3 / neighbors) ** (1.0 / 3.0)
+    x = rng.uniform(0, span, (n, 3))
+    y = np.sin(0.2 * x[:, 0]) + 0.05 * rng.standard_normal(n)
+
+    with mesh.use_mesh(mesh.make_mesh()):
+        gp = GP(x, y, init_hyperparameters=np.array([1.0, 2.0, 2.0, 2.0]),
+                gp2Scale=True, linalg_mode="sparseCGpre",
+                args={"gp2Scale_block_size": 256})
+        K = gp.K
+        print(f"covariance: {K.tiles.shape[0]} tiles of "
+              f"{K.block_size}x{K.block_size}, fill {K.sparsity():.4f}, "
+              f"devices {len(K.tiles.sharding.device_set)}")
+        print("LML:", gp.log_likelihood())
+        gp.train(method="mcmc", max_iter=100,
+                 hyperparameter_bounds=np.array([[0.5, 2.0], [1.5, 4.0],
+                                                 [1.5, 4.0], [1.5, 4.0]]))
+        print("trained hps:", gp.hyperparameters)
+        xp = rng.uniform(0, span, (5, 3))
+        print("posterior mean:", np.round(gp.posterior_mean(xp)["m(x)"], 4))
+        print("truth:        ", np.round(np.sin(0.2 * xp[:, 0]), 4))
+
+
+if __name__ == "__main__":
+    main()

@@ -346,6 +346,7 @@ class GP:
         # fused device programs for the default objective
         fused_vg = None
         batched_objective = None
+        batched_vg = None
         if not user_provided_obj and self.marginal_likelihood._traced_ready():
             ml = self.marginal_likelihood
 
@@ -355,6 +356,8 @@ class GP:
 
             def batched_objective(P, _ml=ml):
                 return _ml.batched_neg_log_likelihood(P)
+
+            batched_vg = ml.batched_value_and_grad_device()
 
         common = dict(
             objective_function=objective_function,
@@ -373,7 +376,8 @@ class GP:
             with sequential_linalg_state(self.args, method):
                 hyperparameters = self.trainer.train(
                     dask_client=None, batched_objective=batched_objective,
-                    fused_value_and_grad=fused_vg, **common)
+                    fused_value_and_grad=fused_vg,
+                    batched_value_and_grad=batched_vg, **common)
                 self.set_hyperparameters(hyperparameters)
                 return hyperparameters
         with sequential_linalg_state(self.args, method):

@@ -31,7 +31,7 @@ from .. import config
 from ..ops import dense as dops
 from ..ops import krylov, slq
 from ..parallel.block_sparse import BlockSparseMatrix, is_block_sparse
-from ..ops.precond import build_block_jacobi
+from ..ops.precond import build_block_jacobi_op
 
 # ---------------------------------------------------------------------------
 # sequential-state gate (ref gp_kv.py:20-85)
@@ -278,7 +278,7 @@ class GPkv:
             self.Preconditioner_reuse_counter += 1
             return self.Preconditioner_operator
         try:
-            operator = build_block_jacobi(KV, args=self.args)
+            operator = build_block_jacobi_op(KV, args=self.args)
         except Exception as exc:
             self.Last_preconditioner_error = f"{type(exc).__name__}: {exc}"
             warnings.warn(
@@ -406,10 +406,15 @@ class GPkv:
     def _densify(self, KV):
         return KV.to_dense() if is_block_sparse(KV) else jnp.asarray(KV)
 
-    def _matvec(self, KV):
+    def _matvec_op(self, KV):
+        """(stable_fn, operator_data) for the solvers' operator convention
+        — bound-method closures would retrace per K+V and bake the tiles in
+        as compile-time constants (see ops.krylov)."""
         if is_block_sparse(KV):
-            return KV.matmat
-        return krylov.make_dense_matvec(KV)
+            from ..parallel.block_sparse import bsm_matvec_factory
+            fn = bsm_matvec_factory(KV.nb, KV.block_size, KV.n, False)
+            return fn, (KV.rows, KV.cols, KV.tiles)
+        return krylov.dense_matvec, jnp.asarray(KV)
 
     def _direct_dense_ok(self, KV):
         cutoff = int(self.args.get("sparse_direct_dense_cutoff", 20000))
@@ -430,22 +435,31 @@ class GPkv:
             return dops.cholesky_solve(L, b)
         if mode == "Inv":
             return dops.calculate_inv(self._densify(KV)) @ b
+        fn, data = self._matvec_op(KV)
         if mode == "sparseLU" or mode == "sparseSolve":
             if self._direct_dense_ok(KV):
                 L = chol if chol is not None else dops.cholesky_factor(self._densify(KV))
                 return dops.cholesky_solve(L, b)
-            M = build_block_jacobi(KV, args=self.args)
-            return krylov.cg(self._matvec(KV), b, x0=x0, M=M, tol=1e-10)
+            m_fn, m_data = build_block_jacobi_op(KV, args=self.args)
+            return krylov.cg(fn, b, x0=x0, M=m_fn, tol=1e-10,
+                             operator=data, m_operator=m_data)
         if mode == "sparseCG":
-            return krylov.cg(self._matvec(KV), b, x0=x0, tol=cg_tol, maxiter=cg_max)
+            return krylov.cg(fn, b, x0=x0, tol=cg_tol, maxiter=cg_max,
+                             operator=data)
         if mode == "sparseMINRES":
-            return krylov.minres(self._matvec(KV), b, x0=x0, tol=mr_tol, maxiter=mr_max)
+            return krylov.minres(fn, b, x0=x0, tol=mr_tol, maxiter=mr_max,
+                                 operator=data)
         if mode == "sparseCGpre":
             M = self._get_or_refresh_preconditioner(KV)
-            return krylov.cg(self._matvec(KV), b, x0=x0, M=M, tol=cg_tol, maxiter=cg_max)
+            m_fn, m_data = M if M is not None else (None, None)
+            return krylov.cg(fn, b, x0=x0, M=m_fn, tol=cg_tol,
+                             maxiter=cg_max, operator=data, m_operator=m_data)
         if mode == "sparseMINRESpre":
             M = self._get_or_refresh_preconditioner(KV)
-            return krylov.minres(self._matvec(KV), b, x0=x0, M=M, tol=mr_tol, maxiter=mr_max)
+            m_fn, m_data = M if M is not None else (None, None)
+            return krylov.minres(fn, b, x0=x0, M=m_fn, tol=mr_tol,
+                                 maxiter=mr_max, operator=data,
+                                 m_operator=m_data)
         raise Exception(f"No mode: {mode}")
 
     def _logdet_with(self, mode, KV, chol=None):
@@ -463,8 +477,9 @@ class GPkv:
         """SLQ log-determinant with variance capture (ref gp_kv.py:559-572)."""
         info = {}
         dtype = config.linalg_dtype(self.args)
+        fn, data = self._matvec_op(KV)
         result = slq.slq_logdet(
-            self._matvec(KV), KV.shape[0], dtype=dtype,
+            fn, KV.shape[0], dtype=dtype, operator=data,
             degree=int(self.args.get("random_logdet_lanczos_degree", 20)),
             min_num_samples=int(self.args.get("random_logdet_min_num_samples", 10)),
             max_num_samples=int(self.args.get("random_logdet_max_num_samples", 5000)),

@@ -134,6 +134,7 @@ class GPMarginalLikelihood:
         self._lml_jit = jax.jit(lml)
         self._lml_vg = jax.jit(jax.value_and_grad(lml))
         self._lml_vmap = None
+        self._bvg_dev = None
 
     def batched_neg_log_likelihood(self, P):
         """Vectorized -LML over a (pop, H) batch of hyperparameter vectors —
@@ -146,6 +147,19 @@ class GPMarginalLikelihood:
             self._lml_vmap = jax.jit(jax.vmap(lambda h: -self._lml_raw(h)))
         vals = self._lml_vmap(config.asarray(np.asarray(P)))
         return config.to_numpy(vals)
+
+    def batched_value_and_grad_device(self):
+        """A jitted vmapped value_and_grad of the NEGATIVE LML over a
+        (pop, H) device batch — the engine of the HGDL-replacement's device
+        phase (all restarts advance in lockstep on the MXU).  None when the
+        traced path is unavailable."""
+        if not self._traced_ready():
+            return None
+        self._get_traced()
+        if getattr(self, "_bvg_dev", None) is None:
+            self._bvg_dev = jax.jit(jax.vmap(
+                jax.value_and_grad(lambda h: -self._lml_raw(h))))
+        return self._bvg_dev
 
     def invalidate_traced(self):
         self._traced_key = None
@@ -445,4 +459,5 @@ class GPMarginalLikelihood:
         self._lml_jit = None
         self._lml_vg = None
         self._lml_vmap = None
+        self._bvg_dev = None
         self._sparse_cache = {}

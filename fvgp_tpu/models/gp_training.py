@@ -46,7 +46,8 @@ class GPtraining:
               global_optimizer="genetic", constraints=(), mcmc_prior=None,
               mcmc_prop_distrs="normal", mcmc_args=None, bo_args=None,
               dask_client=None, info=False,
-              batched_objective=None, fused_value_and_grad=None):
+              batched_objective=None, fused_value_and_grad=None,
+              batched_value_and_grad=None):
         """Synchronous training; returns the optimized hyperparameters
         (ref gp_training.py:28-196)."""
         if mcmc_args is None:
@@ -86,7 +87,8 @@ class GPtraining:
                 hyperparameter_bounds, init_hyperparameters,
                 n_starts=max(pop_size, 4), epochs=max_iter,
                 tolerance=tolerance, local_optimizer=local_optimizer,
-                fused_value_and_grad=fused_value_and_grad, info=info)
+                fused_value_and_grad=fused_value_and_grad, info=info,
+                batched_value_and_grad=batched_value_and_grad)
             hyperparameters = optima[0]["x"]
         elif method == "mcmc":
             def prior_function(theta, bounds, args):
@@ -200,22 +202,73 @@ class GPtraining:
         return pop[np.argmin(fit)]
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _device_multistart_phase(bvg_device, bounds, starts, epochs, lr=0.05):
+        """Advance ALL restarts in lockstep on the device: a jitted
+        lax.scan of (vmapped value_and_grad -> Adam -> bound projection).
+        This is the TPU expression of HGDL's parallel local-optimizer
+        epochs (SURVEY.md §2c item 4): one batched program instead of
+        pop_size sequential optimizers."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from .. import config as _config
+
+        lo = _config.asarray(bounds[:, 0])
+        hi = _config.asarray(bounds[:, 1])
+        X0 = _config.asarray(starts)
+        opt = optax.adam(lr)
+
+        @jax.jit
+        def run(X0):
+            state = opt.init(X0)
+
+            def step(carry, _):
+                X, state = carry
+                vals, grads = bvg_device(X)
+                grads = jnp.where(jnp.isfinite(grads), grads, 0.0)
+                updates, state = opt.update(grads, state)
+                X = jnp.clip(optax.apply_updates(X, updates), lo, hi)
+                return (X, state), vals
+
+            (X, _), vals = jax.lax.scan(step, (X0, state), None,
+                                        length=int(epochs))
+            final_vals, _ = bvg_device(X)
+            return X, final_vals
+
+        X, vals = run(X0)
+        return np.asarray(X, dtype=np.float64), np.asarray(vals, np.float64)
+
     def multistart_optimize(self, objective, gradient, bounds, x0,
                             n_starts=20, epochs=120, tolerance=1e-4,
                             local_optimizer="L-BFGS-B",
                             fused_value_and_grad=None, info=False,
-                            publish=None, stop_requested=None):
+                            publish=None, stop_requested=None,
+                            batched_value_and_grad=None):
         """HGDL replacement (ref gp_training.py:126-144 + external hgdl):
-        multi-start local optimization.  Starting points are a space-filling
-        draw plus the incumbent; every start is polished with bounded
-        L-BFGS-B over the fused device value_and_grad; results are returned
-        as HGDL-style sorted optima [{"x", "f(x)"}, ...]."""
+        multi-start local optimization.
+
+        With a device-batched value_and_grad (the traced LML), a vmapped
+        Adam phase advances every start in lockstep on the accelerator,
+        then the best few are polished with bounded L-BFGS-B.  Otherwise
+        each start is polished sequentially.  Results are HGDL-style sorted
+        optima [{"x", "f(x)"}, ...]."""
         bounds = np.asarray(bounds, dtype=np.float64)
         H = len(bounds)
         rng = np.random.default_rng(7)
         starts = rng.uniform(bounds[:, 0], bounds[:, 1], size=(int(n_starts), H))
         starts[0] = np.clip(np.asarray(x0, dtype=np.float64),
                             bounds[:, 0], bounds[:, 1])
+        if batched_value_and_grad is not None and len(starts) > 1:
+            X, vals = self._device_multistart_phase(
+                batched_value_and_grad, bounds, starts,
+                epochs=min(int(epochs), 200))
+            order = np.argsort(np.where(np.isfinite(vals), vals, np.inf))
+            n_polish = min(3, len(starts))
+            starts = X[order[:n_polish]]
+            if info:
+                print(f"fvgp_tpu multistart device phase: best f(x)= "
+                      f"{vals[order[0]]}, polishing top {n_polish}")
         fun, jac = self._fun_and_jac(objective, gradient, fused_value_and_grad)
         optima = []
         for s_i, s in enumerate(starts):

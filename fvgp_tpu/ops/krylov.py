@@ -3,10 +3,18 @@ programs over an abstract matvec.
 
 TPU replacement for the reference's scipy.sparse.linalg cg/minres calls
 (/root/reference/fvgp/gp_lin_alg.py:1184-1291) and its pure-Python block CG
-(:1024-1080).  The matvec is a closure: a dense matmul, a block-sparse SpMM
-(ops.block_sparse), or a sharded SpMM containing collectives — the solver
-does not care, which is what lets one implementation serve the single-chip
-and the pod-scale path.
+(:1024-1080).
+
+Two calling conventions:
+
+* ``cg(matvec, b)`` with a plain closure — convenient, but the closure is a
+  static jit argument: a NEW closure retraces and bakes its captured arrays
+  in as compile-time constants.  Fine for one-off use and tests.
+* ``cg(matvec_fn, b, operator=data)`` — ``matvec_fn`` is a STABLE function
+  (module-level or lru-cached factory) called as ``matvec_fn(data, X)``;
+  the operator data is a traced pytree argument.  This is the library's
+  hot-path convention: one compile serves every K+V of the same shape.
+  Same for the preconditioner: ``M``/``m_operator``.
 
 All solvers are multi-RHS: they iterate on an (n, k) block and track
 per-column convergence with masks, so k posterior solves cost one pipeline.
@@ -17,23 +25,72 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg", "minres", "make_dense_matvec"]
+__all__ = ["cg", "minres", "make_dense_matvec", "dense_matvec"]
 
 
 def make_dense_matvec(A):
+    """Closure convention (tests / one-off); prefer
+    ``cg(dense_matvec, b, operator=A)`` on hot paths."""
     return lambda X: A @ X
 
 
-def _identity_precond(X):
+def dense_matvec(A, X):
+    """Stable matvec for the operator convention."""
+    return A @ X
+
+
+def _identity_m(data, X):
     return X
 
 
-@functools.partial(jax.jit, static_argnames=("matvec", "M", "maxiter"))
-def _cg_impl(matvec, M, B, X0, tol, maxiter):
+def _normalize(matvec, operator, M, m_operator):
+    """Reduce both conventions to (stable_fn(data, X), data)."""
+    if operator is None:
+        fn = _ClosureShim.get(matvec)
+        data = None
+    else:
+        fn, data = matvec, operator
+    if M is None:
+        m_fn, m_data = _identity_m, None
+    elif m_operator is None:
+        m_fn, m_data = _ClosureShim.get(M), None
+    else:
+        m_fn, m_data = M, m_operator
+    return fn, data, m_fn, m_data
+
+
+class _ClosureShim:
+    """Wrap a plain closure as fn(data, X), cached per closure identity so
+    repeated calls with the SAME closure reuse one compiled program."""
+    _cache = {}
+
+    @classmethod
+    def get(cls, closure):
+        key = id(closure)
+        hit = cls._cache.get(key)
+        if hit is not None and hit[0]() is closure:
+            return hit[1]
+        import weakref
+
+        def fn(data, X, _c=closure):
+            return _c(X)
+
+        try:
+            ref = weakref.ref(closure)
+        except TypeError:
+            ref = lambda _c=closure: _c          # noqa: E731
+        if len(cls._cache) > 256:
+            cls._cache.clear()
+        cls._cache[key] = (ref, fn)
+        return fn
+
+
+@functools.partial(jax.jit, static_argnames=("matvec_fn", "m_fn", "maxiter"))
+def _cg_impl(matvec_fn, m_fn, data, m_data, B, X0, tol, maxiter):
     """Preconditioned CG on a block of RHS columns with per-column masking."""
     X = X0
-    R = B - matvec(X)
-    Z = M(R)
+    R = B - matvec_fn(data, X)
+    Z = m_fn(m_data, R)
     P = Z
     rz = jnp.sum(R * Z, axis=0)                       # (k,)
     bnorm = jnp.sqrt(jnp.sum(B * B, axis=0))
@@ -47,13 +104,13 @@ def _cg_impl(matvec, M, B, X0, tol, maxiter):
     def body(state):
         i, X, R, Z, P, rz = state
         active = jnp.sqrt(jnp.sum(R * R, axis=0)) > atol   # (k,)
-        Ap = matvec(P)
+        Ap = matvec_fn(data, P)
         pAp = jnp.sum(P * Ap, axis=0)
         alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
         alpha = jnp.where(active, alpha, 0.0)
         X = X + alpha[None, :] * P
         R = R - alpha[None, :] * Ap
-        Z = M(R)
+        Z = m_fn(m_data, R)
         rz_new = jnp.sum(R * Z, axis=0)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
         beta = jnp.where(active, beta, 0.0)
@@ -64,17 +121,7 @@ def _cg_impl(matvec, M, B, X0, tol, maxiter):
     return X
 
 
-def cg(matvec, b, x0=None, M=None, tol=1e-5, maxiter=None):
-    """Conjugate gradients for SPD systems (ref gp_lin_alg.py:1213).
-
-    Parameters
-    ----------
-    matvec : callable (n, k) -> (n, k)
-    b : (n,) or (n, k) right-hand side(s)
-    x0 : warm start of the same shape (ref warm-start contract,
-        gp_lin_alg.py:973-1003)
-    M : callable applying the preconditioner, or None
-    """
+def _prep_rhs(b, x0):
     b = jnp.asarray(b)
     squeeze = b.ndim == 1
     B = b[:, None] if squeeze else b
@@ -90,46 +137,51 @@ def cg(matvec, b, x0=None, M=None, tol=1e-5, maxiter=None):
             c = min(X0.shape[1], B.shape[1])
             Z = Z.at[:r, :c].set(X0[:r, :c])
             X0 = Z
+    return B, X0, squeeze
+
+
+def cg(matvec, b, x0=None, M=None, tol=1e-5, maxiter=None, operator=None,
+       m_operator=None):
+    """Conjugate gradients for SPD systems (ref gp_lin_alg.py:1213).
+
+    Parameters
+    ----------
+    matvec : closure (n, k)->(n, k), or stable fn(data, X) with ``operator``
+    b : (n,) or (n, k) right-hand side(s)
+    x0 : warm start (ref warm-start contract, gp_lin_alg.py:973-1003)
+    M : preconditioner — closure or stable fn(data, X) with ``m_operator``
+    """
+    B, X0, squeeze = _prep_rhs(b, x0)
     if maxiter is None:
         maxiter = 10 * B.shape[0]
-    Mfn = M if M is not None else _identity_precond
-    X = _cg_impl(matvec, Mfn, B, X0, jnp.asarray(tol, B.dtype), int(maxiter))
+    fn, data, m_fn, m_data = _normalize(matvec, operator, M, m_operator)
+    X = _cg_impl(fn, m_fn, data, m_data, B, X0, jnp.asarray(tol, B.dtype),
+                 int(maxiter))
     return X[:, 0] if squeeze else X
 
 
-@functools.partial(jax.jit, static_argnames=("matvec", "M", "maxiter"))
-def _minres_impl(matvec, M, B, X0, tol, maxiter):
+@functools.partial(jax.jit, static_argnames=("matvec_fn", "m_fn", "maxiter"))
+def _minres_impl(matvec_fn, m_fn, data, m_data, B, X0, tol, maxiter):
     """MINRES on a block of RHS columns (symmetric, possibly indefinite).
 
     Standard Lanczos + Givens formulation, vectorized over columns.
     """
     n, k = B.shape
     X = X0
-    R1 = B - matvec(X)
-    Y = M(R1)
+    R1 = B - matvec_fn(data, X)
+    Y = m_fn(m_data, R1)
     beta1 = jnp.sqrt(jnp.maximum(jnp.sum(R1 * Y, axis=0), 0.0))    # (k,)
     bnorm = jnp.sqrt(jnp.sum(B * B, axis=0))
     atol = tol * jnp.maximum(bnorm, 1e-300)
 
     eps = jnp.asarray(jnp.finfo(B.dtype).eps, B.dtype)
 
-    # Lanczos state
     state = dict(
-        i=0,
-        X=X,
-        R1=R1,                      # v_{k-1} * beta_{k-1} (unnormalized)
-        R2=R1,                      # v_k * beta_k (unnormalized)
-        Y=Y,
-        beta=beta1,
-        beta1=beta1,
-        oldb=jnp.zeros(k, B.dtype),
-        dbar=jnp.zeros(k, B.dtype),
-        epsln=jnp.zeros(k, B.dtype),
-        phibar=beta1,
-        cs=-jnp.ones(k, B.dtype),
-        sn=jnp.zeros(k, B.dtype),
-        W=jnp.zeros((n, k), B.dtype),
-        W2=jnp.zeros((n, k), B.dtype),
+        i=0, X=X, R1=R1, R2=R1, Y=Y, beta=beta1, beta1=beta1,
+        oldb=jnp.zeros(k, B.dtype), dbar=jnp.zeros(k, B.dtype),
+        epsln=jnp.zeros(k, B.dtype), phibar=beta1,
+        cs=-jnp.ones(k, B.dtype), sn=jnp.zeros(k, B.dtype),
+        W=jnp.zeros((n, k), B.dtype), W2=jnp.zeros((n, k), B.dtype),
     )
 
     def cond(s):
@@ -141,26 +193,25 @@ def _minres_impl(matvec, M, B, X0, tol, maxiter):
         beta = s["beta"]
         safe_beta = jnp.where(beta == 0, 1.0, beta)
         V = s["Y"] / safe_beta[None, :]
-        Yv = matvec(V)
+        Yv = matvec_fn(data, V)
         Yv = jnp.where(i >= 1,
-                       Yv - (beta / jnp.where(s["oldb"] == 0, 1.0, s["oldb"]))[None, :] * s["R1"],
+                       Yv - (beta / jnp.where(s["oldb"] == 0, 1.0,
+                                              s["oldb"]))[None, :] * s["R1"],
                        Yv)
         alfa = jnp.sum(V * Yv, axis=0)
         Yv = Yv - (alfa / safe_beta)[None, :] * s["R2"]
         R1n = s["R2"]
         R2n = Yv
-        Yn = M(Yv)
+        Yn = m_fn(m_data, Yv)
         oldb = beta
         beta_n = jnp.sqrt(jnp.maximum(jnp.sum(R2n * Yn, axis=0), 0.0))
 
-        # QR via Givens
         oldeps = s["epsln"]
         delta = s["cs"] * s["dbar"] + s["sn"] * alfa
         gbar = s["sn"] * s["dbar"] - s["cs"] * alfa
         epsln = s["sn"] * beta_n
         dbar = -s["cs"] * beta_n
-        gamma = jnp.sqrt(gbar ** 2 + beta_n ** 2)
-        gamma = jnp.maximum(gamma, eps)
+        gamma = jnp.maximum(jnp.sqrt(gbar ** 2 + beta_n ** 2), eps)
         cs = gbar / gamma
         sn = beta_n / gamma
         phi = cs * s["phibar"]
@@ -181,25 +232,14 @@ def _minres_impl(matvec, M, B, X0, tol, maxiter):
     return out["X"]
 
 
-def minres(matvec, b, x0=None, M=None, tol=1e-5, maxiter=None):
-    """MINRES for symmetric systems (ref gp_lin_alg.py:1184)."""
-    b = jnp.asarray(b)
-    squeeze = b.ndim == 1
-    B = b[:, None] if squeeze else b
-    if x0 is None:
-        X0 = jnp.zeros_like(B)
-    else:
-        X0 = jnp.asarray(x0, dtype=B.dtype)
-        if X0.ndim == 1:
-            X0 = X0[:, None]
-        if X0.shape != B.shape:
-            Z = jnp.zeros_like(B)
-            r = min(X0.shape[0], B.shape[0])
-            c = min(X0.shape[1], B.shape[1])
-            Z = Z.at[:r, :c].set(X0[:r, :c])
-            X0 = Z
+def minres(matvec, b, x0=None, M=None, tol=1e-5, maxiter=None, operator=None,
+           m_operator=None):
+    """MINRES for symmetric systems (ref gp_lin_alg.py:1184).  Calling
+    conventions as :func:`cg`."""
+    B, X0, squeeze = _prep_rhs(b, x0)
     if maxiter is None:
         maxiter = 10 * B.shape[0]
-    Mfn = M if M is not None else _identity_precond
-    X = _minres_impl(matvec, Mfn, B, X0, jnp.asarray(tol, B.dtype), int(maxiter))
+    fn, data, m_fn, m_data = _normalize(matvec, operator, M, m_operator)
+    X = _minres_impl(fn, m_fn, data, m_data, B, X0, jnp.asarray(tol, B.dtype),
+                     int(maxiter))
     return X[:, 0] if squeeze else X

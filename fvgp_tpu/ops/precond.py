@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from ..parallel.block_sparse import is_block_sparse
 
-__all__ = ["build_block_jacobi"]
+__all__ = ["build_block_jacobi", "build_block_jacobi_op",
+           "block_jacobi_apply_factory"]
 
 
 @jax.jit
@@ -54,13 +55,46 @@ def _pad_identity(blocks, n, p):
     return blocks
 
 
+@functools.lru_cache(maxsize=64)
+def block_jacobi_apply_factory(nb, p, n):
+    """Stable apply-fn for the solver operator convention (ops.krylov):
+    ``fn(L, X)`` with the batched Cholesky factors L as traced data."""
+
+    def apply(L, X):
+        return _apply_block_jacobi(L, X, nb, p, n)
+
+    return apply
+
+
+def build_block_jacobi_op(KV, args=None):
+    """Operator-convention block-Jacobi: returns (stable_fn, L_data) so the
+    solvers compile once per shape instead of once per factor."""
+    L, nb, p, n = _factor_blocks(KV, args)
+    return block_jacobi_apply_factory(nb, p, n), L
+
+
 def build_block_jacobi(KV, args=None):
-    """Build M ≈ (K+V)⁻¹ as a callable X -> M X.
+    """Build M ≈ (K+V)⁻¹ as a callable X -> M X (closure convention).
 
     For a BlockSparseMatrix the blocks are its diagonal tiles; for a dense
     matrix the diagonal is partitioned into
     ``args['sparse_preconditioner_block_size']`` (default 128) blocks.
     """
+    L, nb, p, n = _factor_blocks(KV, args)
+
+    def apply(X):
+        X = jnp.asarray(X)
+        squeeze = X.ndim == 1
+        if squeeze:
+            X = X[:, None]
+        out = _apply_block_jacobi(L, X, nb, p, n)
+        return out[:, 0] if squeeze else out
+
+    return apply
+
+
+def _factor_blocks(KV, args=None):
+    """(L, nb, p, n): the batched Cholesky of the diagonal blocks."""
     args = args or {}
     shift0 = float(args.get("sparse_preconditioner_shift", 0.0))
     growth = float(args.get("sparse_preconditioner_shift_growth", 10.0))
@@ -92,13 +126,4 @@ def build_block_jacobi(KV, args=None):
     else:
         raise RuntimeError("block-Jacobi setup failed: non-PD diagonal blocks "
                            "after shift retries")
-
-    def apply(X):
-        X = jnp.asarray(X)
-        squeeze = X.ndim == 1
-        if squeeze:
-            X = X[:, None]
-        out = _apply_block_jacobi(L, X, nb, p, n)
-        return out[:, 0] if squeeze else out
-
-    return apply
+    return L, nb, p, n

@@ -22,20 +22,17 @@ import jax.numpy as jnp
 __all__ = ["slq_logdet", "lanczos_tridiag"]
 
 
-@functools.partial(jax.jit, static_argnames=("matvec", "degree"))
-def lanczos_tridiag(matvec, v0, degree):
-    """m-step Lanczos with full reorthogonalization.
+def _as_fn(matvec, operator):
+    """Reduce closure / (stable fn, operator-data) conventions to
+    fn(data, v) — see ops.krylov for why closures retrace."""
+    if operator is None:
+        from .krylov import _ClosureShim
+        return _ClosureShim.get(matvec), None
+    return matvec, operator
 
-    Parameters
-    ----------
-    matvec : callable (n,) -> (n,)
-    v0 : (n,) start vector (need not be normalized)
-    degree : number of Lanczos steps m
 
-    Returns
-    -------
-    alphas (m,), betas (m-1,) of the tridiagonal T.
-    """
+@functools.partial(jax.jit, static_argnames=("matvec_fn", "degree"))
+def _lanczos_impl(matvec_fn, data, v0, degree):
     n = v0.shape[0]
     dtype = v0.dtype
     v = v0 / jnp.linalg.norm(v0)
@@ -43,7 +40,7 @@ def lanczos_tridiag(matvec, v0, degree):
 
     def step(carry, i):
         V, v_prev, v, beta_prev = carry
-        w = matvec(v)
+        w = matvec_fn(data, v[:, None])[:, 0]
         alpha = jnp.dot(w, v)
         w = w - alpha * v - beta_prev * v_prev
         # full reorthogonalization against all previous basis vectors
@@ -61,10 +58,28 @@ def lanczos_tridiag(matvec, v0, degree):
     return alphas, betas[:-1]
 
 
-def _probe_quadrature(matvec, z, degree):
+def lanczos_tridiag(matvec, v0, degree, operator=None):
+    """m-step Lanczos with full reorthogonalization.
+
+    Parameters
+    ----------
+    matvec : (n, 1)-block matvec — a closure, or stable fn(data, X) with
+        ``operator`` (see ops.krylov for the convention)
+    v0 : (n,) start vector (need not be normalized)
+    degree : number of Lanczos steps m
+
+    Returns
+    -------
+    alphas (m,), betas (m-1,) of the tridiagonal T.
+    """
+    fn, data = _as_fn(matvec, operator)
+    return _lanczos_impl(fn, data, v0, int(degree))
+
+
+def _probe_quadrature(matvec_fn, data, z, degree):
     """zᵀ log(A) z estimate for one Rademacher probe z."""
     n = z.shape[0]
-    alphas, betas = lanczos_tridiag(matvec, z, degree)
+    alphas, betas = _lanczos_impl(matvec_fn, data, z, degree)
     T = (jnp.diag(alphas)
          + jnp.diag(betas, 1)
          + jnp.diag(betas, -1))
@@ -76,44 +91,47 @@ def _probe_quadrature(matvec, z, degree):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("matvec", "n", "degree", "num", "dtype"))
-def _probe_batch(matvec, key, n, degree, num, dtype):
+                   static_argnames=("matvec_fn", "n", "degree", "num", "dtype"))
+def _probe_batch(matvec_fn, data, key, n, degree, num, dtype):
     z = jax.random.rademacher(key, (num, n), dtype=dtype)
-    return jax.vmap(lambda zz: _probe_quadrature(matvec, zz, degree))(z)
+    return jax.vmap(lambda zz: _probe_quadrature(matvec_fn, data, zz, degree))(z)
 
 
 def slq_logdet(matvec, n, *, dtype=jnp.float64, degree=20, min_num_samples=10,
                max_num_samples=5000, error_rtol=0.01, batch=None, key=None,
-               info_out=None):
+               info_out=None, operator=None):
     """Stochastic Lanczos log-determinant with adaptive probe count.
 
     Mirrors the reference's imate contract (gp_lin_alg.py:1103-1181):
     draws at least ``min_num_samples`` Hutchinson probes, keeps drawing in
     batches until the relative standard error of the mean falls under
     ``error_rtol`` or ``max_num_samples`` is hit, and reports the achieved
-    variance/sample count via ``info_out``.
+    variance/sample count via ``info_out``.  ``matvec`` operates on (n, k)
+    blocks; pass a stable fn + ``operator`` on hot paths (see ops.krylov).
     """
+    import numpy as np
     if key is None:
         key = jax.random.PRNGKey(0)
     if batch is None:
-        batch = max(int(min_num_samples), 8)
-    samples = []
-    total = 0
+        # wide batches: probes are vmapped, so one launch carries the whole
+        # batch, and fewer adaptive rounds means fewer host syncs
+        batch = max(int(min_num_samples), 32)
+    fn, data = _as_fn(matvec, operator)
+    samples = []        # host accumulation: device-side stats on a growing
+    total = 0           # shape would trigger a fresh compile every round
     while True:
         key, sub = jax.random.split(key)
-        vals = _probe_batch(matvec, sub, n, int(degree), int(batch), dtype)
-        samples.append(vals)
+        vals = _probe_batch(fn, data, sub, n, int(degree), int(batch), dtype)
+        samples.append(np.asarray(vals))
         total += int(batch)
-        all_vals = jnp.concatenate(samples)
-        mean = jnp.mean(all_vals)
-        if total > 1:
-            var_mean = jnp.var(all_vals, ddof=1) / total
-        else:
-            var_mean = jnp.asarray(jnp.inf, dtype)
-        err = float(jnp.sqrt(var_mean) / jnp.maximum(jnp.abs(mean), 1e-300))
+        all_vals = np.concatenate(samples)
+        mean = float(np.mean(all_vals))
+        var_mean = (float(np.var(all_vals, ddof=1)) / total if total > 1
+                    else np.inf)
+        err = float(np.sqrt(var_mean) / max(abs(mean), 1e-300))
         if (total >= min_num_samples and err <= error_rtol) or total >= max_num_samples:
             break
-    result = float(mean)
+    result = mean
     if info_out is not None:
         info_out["logdet"] = result
         info_out["variance"] = float(var_mean)

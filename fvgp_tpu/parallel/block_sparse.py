@@ -32,6 +32,31 @@ def is_block_sparse(obj):
     return isinstance(obj, BlockSparseMatrix)
 
 
+@functools.lru_cache(maxsize=64)
+def bsm_matvec_factory(nb, block_size, n, with_diag):
+    """A STABLE matvec function for (nb, block_size)-shaped operators.
+
+    Solvers jit with the matvec as a static argument; a per-matrix closure
+    (e.g. a bound method) would retrace on every new K+V and bake the tile
+    array in as a compile-time constant — at scale, a gigabyte constant
+    through the compiler.  This factory returns one cached function per
+    static shape; the matrix data (rows, cols, tiles[, diag]) flows through
+    as a traced pytree argument.
+    """
+
+    def mv(data, X):
+        if with_diag:
+            rows, cols, tiles, diag = data
+        else:
+            rows, cols, tiles = data
+        out = _bsm_matmat(rows, cols, tiles, X, nb, block_size)[:n]
+        if with_diag:
+            out = out + diag[:, None] * X
+        return out
+
+    return mv
+
+
 @functools.partial(jax.jit, static_argnames=("nb", "block_size"))
 def _bsm_matmat(rows, cols, tiles, X, nb, block_size):
     """(n, k) = sum over tiles of tile @ X[col-block] scattered to row-block."""
