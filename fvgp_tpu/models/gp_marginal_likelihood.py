@@ -205,6 +205,9 @@ class GPMarginalLikelihood:
 
         cg_iters = int(args.get("sparse_cg_maxiter",
                                 args.get("sparse_krylov_maxiter", 64)) or 64)
+        sdt = args.get("gp2Scale_solver_dtype", None)
+        if isinstance(sdt, str):
+            sdt = jnp.dtype(sdt)
         probes = int(args.get("random_logdet_fixed_probes",
                               max(16, int(args.get(
                                   "random_logdet_min_num_samples", 10)))))
@@ -212,7 +215,7 @@ class GPMarginalLikelihood:
 
         if not hasattr(self, "_sparse_cache"):
             self._sparse_cache = {}
-        key = (n, B, nb, T_pad, cg_iters, probes, degree, str(dtype),
+        key = (n, B, nb, T_pad, cg_iters, probes, degree, str(dtype), str(sdt),
                self.data.point_number)
         entry = self._sparse_cache.get(key)
         if entry is None:
@@ -224,7 +227,8 @@ class GPMarginalLikelihood:
                                                        hyperparameters)),
                 B, dtype=dtype)
             lml = make_sparse_lml(kern_fn, nb, B, cg_iters=cg_iters,
-                                  slq_degree=degree, with_variance=True)
+                                  slq_degree=degree, with_variance=True,
+                                  solver_dtype=sdt)
             fn = jax.jit(lml)
             entry = (fn, xb, mask, y_pad, ypad_mask, noise_pad, 0)
             self._sparse_cache = {key: entry}

@@ -41,13 +41,23 @@ def assemble_tiles(kernel_fn, xb, mask, rows, cols, hps):
     return jax.vmap(one)(rows, cols)
 
 
-def _spmv(rows, cols, tiles, X, nb, B):
+def _spmv(rows, cols, tiles, X, nb, B, mv_dtype=None):
+    """Batched-tile SpMM.  ``mv_dtype=bfloat16`` streams the tiles at half
+    the HBM traffic with f32 MXU accumulation — the solve is
+    bandwidth-bound, so this is ~2x on the matvec path at a ~1e-3 relative
+    residual floor (fine for the stochastic MCMC/BO training regime)."""
     n_pad = nb * B
-    Xb = X.reshape(nb, B, -1)
+    acc = X.dtype if X.dtype == jnp.float64 else jnp.float32
+    if mv_dtype is not None:
+        tiles = tiles.astype(mv_dtype)
+        Xc = X.astype(mv_dtype)
+    else:
+        Xc = X
+    Xb = Xc.reshape(nb, B, -1)
     prod = jnp.einsum("tij,tjk->tik", tiles, Xb[cols],
-                      preferred_element_type=X.dtype)
+                      preferred_element_type=acc)
     out = jax.ops.segment_sum(prod, rows, num_segments=nb)
-    return out.reshape(n_pad, -1)
+    return out.reshape(n_pad, -1).astype(X.dtype)
 
 
 def _cg_fixed(matvec, Bmat, iters, M=None):
@@ -117,9 +127,64 @@ def _slq_fixed(matvec, Z, degree, n_logical):
     return jnp.mean(vals), jnp.var(vals) / n_probe
 
 
+@functools.lru_cache(maxsize=32)
+def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None):
+    """CG solve with IMPLICIT differentiation (custom VJP).
+
+    Differentiating through the CG scan stores and replays all ``iters``
+    iterations and accumulates a tile-cotangent every step — ~2x iters full
+    passes over the tile array in the backward.  The implicit-function
+    theorem needs only:  for x = KV⁻¹ b,  x̄_b = KV⁻¹ x̄ (ONE more CG solve)
+    and  KV̄ = -x̄_b xᵀ  (one matvec-VJP).  This is the GPyTorch/BBMM
+    gradient identity, here as a jax.custom_vjp so the rest of the LML
+    stays plain autodiff.
+
+    op_data = (rows, cols, tiles, noise_diag[, Lb]) — Lb (the block-Jacobi
+    factors) only steers the iteration, never the solution, so it gets a
+    zero cotangent.
+    """
+
+    def mv(data, X):
+        rows, cols, tiles, noise = data[0], data[1], data[2], data[3]
+        out = _spmv(rows, cols, tiles, X, nb, B, mv_dtype=mv_dtype)
+        return out + noise[:, None] * X
+
+    def m_apply(data, X):
+        if not precond:
+            return X
+        Lb = data[4]
+        Xb = X.reshape(nb, B, -1)
+        y = jax.scipy.linalg.solve_triangular(Lb, Xb, lower=True)
+        z = jax.scipy.linalg.solve_triangular(jnp.swapaxes(Lb, 1, 2), y,
+                                              lower=False)
+        return z.reshape(nb * B, -1)
+
+    @jax.custom_vjp
+    def solve(op_data, Bv):
+        return _cg_fixed(lambda X: mv(op_data, X), Bv, iters,
+                         M=lambda X: m_apply(op_data, X))
+
+    def solve_fwd(op_data, Bv):
+        X = solve(op_data, Bv)
+        return X, (op_data, X)
+
+    def solve_bwd(res, Xbar):
+        op_data, X = res
+        W = _cg_fixed(lambda V: mv(op_data, V), Xbar, iters,
+                      M=lambda V: m_apply(op_data, V))
+        _, vjp_fn = jax.vjp(lambda od: mv(od, X), op_data)
+        od_bar = vjp_fn(W)[0]
+        od_bar = jax.tree_util.tree_map(
+            lambda t: t if t.dtype == jax.dtypes.float0 else -t, od_bar)
+        return od_bar, W
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
 def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
                     with_variance=False, mean_mode="data", prior_mean_fn=None,
-                    precondition=True):
+                    precondition=True, solver_dtype=None):
     """Build the sparse LML as a pure jittable, differentiable function
 
         lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z)
@@ -145,7 +210,7 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
         tiles = tiles * live
 
         def matvec(X):
-            out = _spmv(rows_c, cols_c, tiles, X, nb, B)
+            out = _spmv(rows_c, cols_c, tiles, X, nb, B, mv_dtype=solver_dtype)
             return out + noise_diag_pad[:, None] * X
 
         M = None
@@ -177,7 +242,15 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
         else:
             m = prior_mean_fn(hps)
         ym = (y_pad - m) * ypad_mask
-        alpha = _cg_fixed(matvec, ym[:, None], cg_iters, M=M)[:, 0]
+        # implicit-VJP CG: the quadratic term's backward is one extra solve
+        # + one matvec-VJP instead of 2·cg_iters tile passes
+        solve = _implicit_cg_factory(nb, B, cg_iters, precondition,
+                                     mv_dtype=solver_dtype)
+        if precondition:
+            op_data = (rows_c, cols_c, tiles, noise_diag_pad, Lb)
+        else:
+            op_data = (rows_c, cols_c, tiles, noise_diag_pad)
+        alpha = solve(op_data, ym[:, None])[:, 0]
         l1 = jnp.dot(ym, alpha)
         logdet, logdet_var = _slq_fixed(matvec, Z, slq_degree, n)
         value = -0.5 * (l1 + logdet + n * jnp.log(2.0 * jnp.pi))
