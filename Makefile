@@ -1,0 +1,25 @@
+# Convenience targets (tests force the CPU backend; bench uses the default
+# accelerator).
+
+.PHONY: test test-fast bench entry native clean
+
+test:
+	python -m pytest tests/ -x -q
+
+test-fast:
+	python -m pytest tests/test_kernels.py tests/test_linalg.py -q
+
+bench:
+	python bench.py
+
+entry:
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	python __graft_entry__.py
+
+native:
+	python -c "from fvgp_tpu.native import get_lib; print(get_lib())"
+
+clean:
+	rm -rf fvgp_tpu/native/_build
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -131,6 +131,51 @@ def align_gmm_components_hungarian(means_ref, vars_ref, means, variances):
     return perm
 
 
+def build_input_mst(x_data):
+    """Minimum spanning tree over station locations; returns (root, parent)
+    arrays (ref ggmp.py:1363).  The root is the station closest to the
+    centroid (ref ggmp.py:1354)."""
+    from scipy.sparse.csgraph import breadth_first_order, minimum_spanning_tree
+    from scipy.spatial.distance import squareform, pdist
+    x = np.asarray(x_data, dtype=float)
+    D = squareform(pdist(x))
+    mst = minimum_spanning_tree(D)
+    sym = mst + mst.T
+    root = int(np.argmin(np.linalg.norm(x - x.mean(axis=0), axis=1)))
+    order, parents = breadth_first_order(sym, root, directed=False,
+                                         return_predecessors=True)
+    return root, order, parents
+
+
+def align_local_gmms_mst(x_data, means_all, vars_all):
+    """Align per-station GMMs along a minimum spanning tree of the input
+    locations — robust when stations are scattered rather than sequential
+    (ref ggmp.py:1436)."""
+    means_out = np.array(means_all, dtype=float)
+    vars_out = np.array(vars_all, dtype=float)
+    root, order, parents = build_input_mst(x_data)
+    for node in order:
+        parent = parents[node]
+        if parent < 0:
+            continue
+        perm = align_gmm_components_hungarian(
+            means_out[parent], vars_out[parent],
+            means_out[node], vars_out[node])
+        means_out[node] = means_out[node][perm]
+        vars_out[node] = vars_out[node][perm]
+    return means_out, vars_out
+
+
+def align_local_gmms(x_data, means_all, vars_all, method="mst"):
+    """Alignment dispatcher: 'mst' (spatial) or 'sequence'
+    (ref ggmp.py:1519)."""
+    if method == "mst":
+        return align_local_gmms_mst(x_data, means_all, vars_all)
+    if method == "sequence":
+        return align_local_gmms_sequence(means_all, vars_all)
+    raise ValueError(f"unknown alignment method {method!r}")
+
+
 def align_local_gmms_sequence(means_all, vars_all):
     """Align per-station GMMs along the station sequence so component k means
     the same mode everywhere (ref ggmp.py:1287)."""
@@ -303,6 +348,24 @@ def fit_station_gmms_cached(y_data, K, *, cache_dir=None, align=True,
     if path is not None:
         _atomic_savez(path, means=means, variances=variances)
     return means, variances
+
+
+def train_gp_mcmc_until_converged(gp, bounds, *, max_rounds=5,
+                                  steps_per_round=1500, rel_tol=1e-3,
+                                  info=False):
+    """Run MCMC training in rounds until the LML stops moving
+    (ref ggmp.py:2089).  Returns (hyperparameters, rounds_used)."""
+    prev = gp.log_likelihood()
+    for r in range(int(max_rounds)):
+        gp.train(method="mcmc", hyperparameter_bounds=bounds,
+                 max_iter=int(steps_per_round))
+        cur = gp.log_likelihood()
+        if info:
+            print(f"mcmc round {r + 1}: LML {prev:.4f} -> {cur:.4f}")
+        if abs(cur - prev) <= rel_tol * max(abs(prev), 1.0):
+            return np.asarray(gp.hyperparameters), r + 1
+        prev = cur
+    return np.asarray(gp.hyperparameters), int(max_rounds)
 
 
 # ---------------------------------------------------------------------------

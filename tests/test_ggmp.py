@@ -115,6 +115,41 @@ def test_station_gmm_cache(tmp_path):
     np.testing.assert_array_equal(m1, m2)
 
 
+def test_mst_alignment(rng):
+    """MST alignment must make component k mean the same mode at every
+    station even when stations are spatially scattered."""
+    from fvgp_tpu.models.ggmp import align_local_gmms
+    x = rng.uniform(0, 10, (25, 2))
+    true_means = np.stack([np.sin(x[:, 0]) - 3.0, np.sin(x[:, 0]) + 3.0],
+                          axis=1)
+    means = true_means.copy()
+    variances = np.full_like(means, 0.25)
+    flip = rng.uniform(size=25) > 0.5          # scramble component order
+    means[flip] = means[flip][:, ::-1]
+    aligned_m, aligned_v = align_local_gmms(x, means, variances, method="mst")
+    # after alignment, each column is one coherent mode (low spread around
+    # its sin curve)
+    resid0 = aligned_m[:, 0] - np.sin(x[:, 0])
+    resid1 = aligned_m[:, 1] - np.sin(x[:, 0])
+    assert np.std(resid0) < 0.5 and np.std(resid1) < 0.5
+    assert abs(abs(resid0.mean() - resid1.mean()) - 6.0) < 0.5
+
+
+def test_mcmc_until_converged(small_data):
+    import warnings as w
+    w.simplefilter("ignore")
+    from fvgp_tpu import GP
+    from fvgp_tpu.models.ggmp import train_gp_mcmc_until_converged
+    x, y = small_data
+    gp = GP(x, y, init_hyperparameters=np.ones(3))
+    bounds = np.array([[0.01, 10.0], [0.1, 20.0], [0.1, 20.0]])
+    hps, rounds = train_gp_mcmc_until_converged(gp, bounds, max_rounds=3,
+                                                steps_per_round=300,
+                                                rel_tol=0.05)
+    assert hps.shape == (3,)
+    assert 1 <= rounds <= 3
+
+
 def test_empirical_pdf():
     samples = np.random.default_rng(1).normal(3.0, 1.0, 5000)
     domain, dens = empirical_pdf_from_samples(samples)

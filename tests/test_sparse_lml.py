@@ -1,0 +1,90 @@
+"""The differentiable sparse LML (ops/sparse_lml): gradient correctness via
+finite differences, bf16 solver option, sentinel handling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fvgp_tpu.kernels import wendland_anisotropic
+from fvgp_tpu.ops import sparse_lml as SL
+from fvgp_tpu.parallel.ordering import morton_order
+from fvgp_tpu.parallel.sharded_cov import _candidate_pairs
+
+
+def _setup(N=600, D=2, B=64, seed=1):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 18, (N, D))
+    x = x[morton_order(x)]
+    y = np.sin(x[:, 0])
+    hps = np.array([1.0, 2.0, 2.0])
+    rows, cols = _candidate_pairs(x, None, hps[1:], 1.0, B, symmetric=True)
+    off = rows < cols
+    rows_f = np.concatenate([rows, cols[off]]).astype(np.int32)
+    cols_f = np.concatenate([cols, rows[off]]).astype(np.int32)
+    nb = -(-N // B)
+    xb, mask, y_pad, ypad_mask, noise_pad = SL.make_padded_inputs(
+        x, y, np.full(N, 1e-2), B, dtype=jnp.float64)
+    Z = jax.random.rademacher(jax.random.PRNGKey(0), (nb * B, 32),
+                              jnp.float64) * ypad_mask[:, None]
+    args = (jnp.asarray(rows_f), jnp.asarray(cols_f), xb, mask, y_pad,
+            ypad_mask, noise_pad, Z)
+    return x, y, hps, nb, B, args
+
+
+def test_implicit_cg_gradient_matches_fd():
+    """The custom-VJP (implicit-function-theorem) gradient must agree with
+    finite differences — this is the scale path's training signal."""
+    x, y, hps, nb, B, args = _setup()
+    lml = SL.make_sparse_lml(wendland_anisotropic, nb, B, cg_iters=150,
+                             slq_degree=25)
+    f = jax.jit(lml)
+    vg = jax.jit(jax.value_and_grad(lml))
+    h = jnp.asarray(hps)
+    v, g = vg(h, *args)
+    eps = 1e-6
+    fd = np.array([(float(f(h.at[i].add(eps), *args)) - float(v)) / eps
+                   for i in range(len(hps))])
+    np.testing.assert_allclose(np.asarray(g), fd, rtol=1e-4)
+
+
+def test_sparse_lml_matches_dense_oracle():
+    """Value agreement with the exact dense LML (tight CG, many probes)."""
+    x, y, hps, nb, B, args = _setup(N=400)
+    lml = SL.make_sparse_lml(wendland_anisotropic, nb, B, cg_iters=200,
+                             slq_degree=30)
+    val = float(jax.jit(lml)(jnp.asarray(hps), *args))
+    # dense oracle
+    K = np.asarray(wendland_anisotropic(x, x, hps))
+    KV = K + np.diag(np.full(len(x), 1e-2))
+    m = y.mean()
+    alpha = np.linalg.solve(KV, y - m)
+    exact = -0.5 * ((y - m) @ alpha + np.linalg.slogdet(KV)[1]
+                    + len(x) * np.log(2 * np.pi))
+    assert abs(val - exact) / abs(exact) < 0.01
+
+
+def test_bf16_solver_close_to_f32():
+    x, y, hps, nb, B, args = _setup()
+    lml32 = SL.make_sparse_lml(wendland_anisotropic, nb, B, cg_iters=100,
+                               slq_degree=20)
+    lml16 = SL.make_sparse_lml(wendland_anisotropic, nb, B, cg_iters=100,
+                               slq_degree=20, solver_dtype=jnp.bfloat16)
+    h = jnp.asarray(hps)
+    v32 = float(jax.jit(lml32)(h, *args))
+    v16 = float(jax.jit(lml16)(h, *args))
+    assert abs(v32 - v16) / abs(v32) < 5e-3
+
+
+def test_sentinel_tiles_are_noops():
+    """Bucket-padding sentinels (index == nb, zero tiles) must not move the
+    value — the 'dynamic sparsity under jit' contract."""
+    x, y, hps, nb, B, args = _setup(N=300, B=32)
+    rj, cj, *rest = args
+    lml = SL.make_sparse_lml(wendland_anisotropic, nb, B, cg_iters=120,
+                             slq_degree=20)
+    v1 = float(jax.jit(lml)(jnp.asarray(hps), rj, cj, *rest))
+    pad = 17
+    rj2 = jnp.concatenate([rj, jnp.full(pad, nb, jnp.int32)])
+    cj2 = jnp.concatenate([cj, jnp.full(pad, nb, jnp.int32)])
+    v2 = float(jax.jit(lml)(jnp.asarray(hps), rj2, cj2, *rest))
+    np.testing.assert_allclose(v1, v2, rtol=1e-10)
