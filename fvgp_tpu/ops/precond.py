@@ -30,13 +30,23 @@ def _batched_cholesky(blocks):
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "p", "n"))
-def _apply_block_jacobi(L, X, nb, p, n):
+def _apply_block_jacobi(Minv, X, nb, p, n):
+    """Apply the batched explicit block inverse — one bmm.  (Triangular
+    solves here are sequential over p rows and dominated the CG hot loop.)"""
     k = X.shape[1]
     Xp = jnp.zeros((nb * p, k), X.dtype).at[:n].set(X)
     Xb = Xp.reshape(nb, p, k)
-    y = jax.scipy.linalg.solve_triangular(L, Xb, lower=True)
-    z = jax.scipy.linalg.solve_triangular(jnp.swapaxes(L, 1, 2), y, lower=False)
+    z = jnp.einsum("rij,rjk->rik", Minv, Xb, preferred_element_type=X.dtype)
     return z.reshape(nb * p, k)[:n]
+
+
+@jax.jit
+def _invert_from_chol(L):
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.broadcast_to(eye, L.shape), lower=True)
+    return jnp.einsum("rji,rjk->rik", Linv, Linv,
+                      preferred_element_type=L.dtype)
 
 
 def _pad_identity(blocks, n, p):
@@ -58,10 +68,10 @@ def _pad_identity(blocks, n, p):
 @functools.lru_cache(maxsize=64)
 def block_jacobi_apply_factory(nb, p, n):
     """Stable apply-fn for the solver operator convention (ops.krylov):
-    ``fn(L, X)`` with the batched Cholesky factors L as traced data."""
+    ``fn(Minv, X)`` with the batched block inverses as traced data."""
 
-    def apply(L, X):
-        return _apply_block_jacobi(L, X, nb, p, n)
+    def apply(Minv, X):
+        return _apply_block_jacobi(Minv, X, nb, p, n)
 
     return apply
 
@@ -70,7 +80,7 @@ def build_block_jacobi_op(KV, args=None):
     """Operator-convention block-Jacobi: returns (stable_fn, L_data) so the
     solvers compile once per shape instead of once per factor."""
     L, nb, p, n = _factor_blocks(KV, args)
-    return block_jacobi_apply_factory(nb, p, n), L
+    return block_jacobi_apply_factory(nb, p, n), _invert_from_chol(L)
 
 
 def build_block_jacobi(KV, args=None):
@@ -81,13 +91,14 @@ def build_block_jacobi(KV, args=None):
     ``args['sparse_preconditioner_block_size']`` (default 128) blocks.
     """
     L, nb, p, n = _factor_blocks(KV, args)
+    Minv = _invert_from_chol(L)
 
     def apply(X):
         X = jnp.asarray(X)
         squeeze = X.ndim == 1
         if squeeze:
             X = X[:, None]
-        out = _apply_block_jacobi(L, X, nb, p, n)
+        out = _apply_block_jacobi(Minv, X, nb, p, n)
         return out[:, 0] if squeeze else out
 
     return apply

@@ -152,11 +152,14 @@ def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None):
     def m_apply(data, X):
         if not precond:
             return X
-        Lb = data[4]
+        # data[4] is the batched explicit block INVERSE: applying it is one
+        # batched matmul.  Triangular solves here were the hot-loop
+        # bottleneck — sequential over B rows, ~11 ms per CG step vs ~2 ms
+        # for the tile matvec itself.
+        Minv = data[4]
         Xb = X.reshape(nb, B, -1)
-        y = jax.scipy.linalg.solve_triangular(Lb, Xb, lower=True)
-        z = jax.scipy.linalg.solve_triangular(jnp.swapaxes(Lb, 1, 2), y,
-                                              lower=False)
+        z = jnp.einsum("rij,rjk->rik", Minv, Xb,
+                       preferred_element_type=X.dtype)
         return z.reshape(nb * B, -1)
 
     @jax.custom_vjp
@@ -228,12 +231,18 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
             eye = jnp.arange(B)
             diag_blocks = diag_blocks.at[:, eye, eye].add(nvb)
             Lb = jnp.linalg.cholesky(jax.lax.stop_gradient(diag_blocks))
+            # explicit block inverse: the one-time batched solve against I
+            # buys a pure-bmm application in every CG iteration
+            eyeB = jnp.eye(B, dtype=Lb.dtype)
+            Linv = jax.scipy.linalg.solve_triangular(
+                Lb, jnp.broadcast_to(eyeB, Lb.shape), lower=True)
+            Minv = jnp.einsum("rji,rjk->rik", Linv, Linv,
+                              preferred_element_type=Lb.dtype)
 
             def M(X):
                 Xb = X.reshape(nb, B, -1)
-                ysol = jax.scipy.linalg.solve_triangular(Lb, Xb, lower=True)
-                z = jax.scipy.linalg.solve_triangular(
-                    jnp.swapaxes(Lb, 1, 2), ysol, lower=False)
+                z = jnp.einsum("rij,rjk->rik", Minv, Xb,
+                               preferred_element_type=X.dtype)
                 return z.reshape(nb * B, -1)
 
         n = jnp.sum(ypad_mask)
@@ -247,7 +256,7 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
         solve = _implicit_cg_factory(nb, B, cg_iters, precondition,
                                      mv_dtype=solver_dtype)
         if precondition:
-            op_data = (rows_c, cols_c, tiles, noise_diag_pad, Lb)
+            op_data = (rows_c, cols_c, tiles, noise_diag_pad, Minv)
         else:
             op_data = (rows_c, cols_c, tiles, noise_diag_pad)
         alpha = solve(op_data, ym[:, None])[:, 0]
