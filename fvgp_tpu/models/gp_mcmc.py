@@ -99,6 +99,98 @@ class ProposalDistribution:
         self.__dict__.update(state)
 
 
+def run_mcmc_vectorized(log_likelihood_batch, bounds, x0s, *, n_updates=10000,
+                        info=False, r_opt=0.234, c_0=10, c_1=0.8, K=10,
+                        break_condition="default", seed=0):
+    """Adaptive Metropolis with C parallel chains whose likelihood
+    evaluations are ONE batched device call per step.
+
+    MCMC adaptation is inherently sequential (SURVEY.md §7 hard part 6);
+    what the TPU can amortize is the expensive part — the C marginal
+    likelihoods per step run as one vmapped program (C batched Choleskys on
+    the MXU).  Each chain keeps its own Shaby-style adaptive proposal.
+
+    Returns the reference-shaped ``mcmc_info`` dict, pooled over chains
+    (quantiles over the union of late samples), plus per-chain traces under
+    ``"x_chains"`` and the usual keys.
+    """
+    bounds = np.asarray(bounds, dtype=float)
+    x0s = np.atleast_2d(np.asarray(x0s, dtype=float))
+    C, H = x0s.shape
+    rng = np.random.default_rng(seed)
+    domain = bounds[:, 1] - bounds[:, 0]
+    prop_sigma = np.tile(np.diag((domain * 0.2 / np.sqrt(12)) ** 2), (C, 1, 1))
+    sigma_m = np.full(C, 2.4 ** 2 / H)
+
+    def prior(X):
+        return np.all((X >= bounds[:, 0]) & (X <= bounds[:, 1]), axis=1)
+
+    X = x0s.copy()
+    like = np.asarray(log_likelihood_batch(X), dtype=float)
+    trace_x = [X.copy()]
+    trace_f = [like.copy()]
+    jumps = np.zeros((0, C))
+    start = time.time()
+    stamps = []
+
+    n_updates = max(int(n_updates), 2)
+    for i in range(1, n_updates):
+        # per-chain multivariate-normal proposals (host; tiny)
+        prop = np.stack([
+            rng.multivariate_normal(X[c], prop_sigma[c]) for c in range(C)])
+        ok = prior(prop)
+        cand = np.where(ok[:, None], prop, X)
+        like_cand = np.asarray(log_likelihood_batch(cand), dtype=float)
+        expo = np.where(ok, like_cand - like, -np.inf)
+        metr = np.where(expo < 50, np.exp(np.minimum(expo, 50)), 1.1)
+        metr = np.where(np.isnan(metr), 0.0, metr)
+        accept = metr > rng.uniform(size=C)
+        X = np.where(accept[:, None], cand, X)
+        like = np.where(accept, like_cand, like)
+        trace_x.append(X.copy())
+        trace_f.append(like.copy())
+        stamps.append(time.time() - start)
+        jumps = np.vstack([jumps, accept.astype(float)])
+
+        if (i % K) == 0 and i >= K:
+            k_off = 3
+            gamma2 = 1.0 / ((i / K) + k_off) ** c_1
+            gamma1 = c_0 * gamma2
+            r_hat = jumps[-K:].mean(axis=0)
+            sigma_m = np.exp(np.log(sigma_m) + gamma1 * (r_hat - r_opt))
+            recent = np.stack(trace_x[-K:], axis=0)      # (K, C, H)
+            for c in range(C):
+                cov = np.cov(recent[:, c, :].T)
+                if np.all(np.isfinite(cov)):
+                    prop_sigma[c] = prop_sigma[c] + gamma2 * (
+                        np.atleast_2d(cov) - prop_sigma[c])
+
+        if info and (i % 10) == 0:
+            print(f"mcmc chains step {i}/{n_updates}: best f(x)= "
+                  f"{np.max(trace_f[-1]):.4f}")
+        if break_condition == "default" and i >= 1000:
+            F = np.asarray(trace_f)
+            pooled = F.mean(axis=1)
+            if abs(pooled[-100:].mean() - pooled[-200:-100].mean()) < 1e-3:
+                break
+
+    Xs = np.asarray(trace_x)            # (steps, C, H)
+    Fs = np.asarray(trace_f)            # (steps, C)
+    flat_idx = np.unravel_index(np.argmax(Fs), Fs.shape)
+    tail = max(1, int(len(Xs) / 100))
+    pooled_tail = Xs[-tail:].reshape(-1, H)
+    return {"f(x)": Fs, "max f(x)": float(Fs[flat_idx]),
+            "MAP": float(Fs[flat_idx]),
+            "max x": Xs[flat_idx[0], flat_idx[1]],
+            "time stamps": stamps,
+            "x": Xs.reshape(-1, H),
+            "x_chains": Xs,
+            "n_chains": C,
+            "mean(x)": pooled_tail.mean(axis=0),
+            "median(x)": np.median(pooled_tail, axis=0),
+            "var(x)": pooled_tail.var(axis=0)}
+
+
 class gpMCMC:
     """Customizable Metropolis sampler (ref gp_mcmc.py:38)."""
 

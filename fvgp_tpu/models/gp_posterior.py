@@ -93,12 +93,13 @@ class GPposterior:
             chunk_size = n_pred if not self.gp2Scale else self.prior.batch_size
         chunk_size = max(1, min(int(chunk_size), n_pred))
         parts = []
-        kd = self._dense(k) if not is_block_sparse(k) else None
+        kd = None if is_block_sparse(k) else jnp.asarray(k)
         for start in range(0, n_pred, chunk_size):
             end = min(start + chunk_size, n_pred)
-            if is_block_sparse(k):
-                cols = jnp.zeros((k.shape[0], end - start), k.dtype)
-                cols = k.to_dense()[:, start:end]   # small slice of rows x chunk
+            if kd is None:
+                # only the chunk is densified: the (N x n_pred) dense array
+                # never exists (the reference's memory contract)
+                cols = k.dense_columns(start, end)
             else:
                 cols = kd[:, start:end]
             solved = self.kv.solve(cols)

@@ -91,6 +91,24 @@ class GPtraining:
                 batched_value_and_grad=batched_value_and_grad)
             hyperparameters = optima[0]["x"]
         elif method == "mcmc":
+            n_chains = int(mcmc_args.get("n_chains", 1))
+            if n_chains > 1 and batched_objective is not None \
+                    and mcmc_prior is None and mcmc_prop_distrs == "normal":
+                # parallel chains: one vmapped device call evaluates every
+                # chain's proposal (gp_mcmc.run_mcmc_vectorized)
+                from .gp_mcmc import run_mcmc_vectorized
+                bounds = np.asarray(hyperparameter_bounds, dtype=np.float64)
+                rng = np.random.default_rng(11)
+                x0s = rng.uniform(bounds[:, 0], bounds[:, 1],
+                                  size=(n_chains, len(bounds)))
+                x0s[0] = np.asarray(init_hyperparameters, dtype=np.float64)
+                res = run_mcmc_vectorized(
+                    lambda X: -np.asarray(batched_objective(X)),
+                    bounds, x0s, n_updates=max_iter, info=info)
+                hyperparameters = res["median(x)"]
+                self.mcmc_info = res
+                return np.asarray(hyperparameters)
+
             def prior_function(theta, bounds, args):
                 return 0. if self._in_bounds(theta, bounds) else -np.inf
 

@@ -210,6 +210,25 @@ class BlockSparseMatrix:
     def toarray(self):
         return np.asarray(self.to_dense())
 
+    def dense_columns(self, start, end):
+        """Dense (n, end-start) slice of columns [start, end) without
+        materializing the full matrix — scatters only the tiles whose
+        column block overlaps the range (the reference's chunked-posterior
+        memory contract, gp_posterior.py:120-136)."""
+        B = self.block_size
+        cb0 = int(start) // B
+        cb1 = (int(end) - 1) // B + 1
+        sel = np.nonzero((np.asarray(self.cols) >= cb0)
+                         & (np.asarray(self.cols) < cb1))[0]
+        width = (cb1 - cb0) * B
+        dense = jnp.zeros((self.nb, cb1 - cb0, B, B), self.tiles.dtype)
+        if len(sel):
+            dense = dense.at[self.rows[sel], self.cols[sel] - cb0].add(
+                self.tiles[jnp.asarray(sel)])
+        dense = dense.transpose(0, 2, 1, 3).reshape(self.nb * B, width)
+        lo = int(start) - cb0 * B
+        return dense[: self.n, lo:lo + (int(end) - int(start))]
+
     def diagonal_tiles(self):
         """(nb, B, B) stack of the diagonal tiles (block-Jacobi input).
         Missing diagonal tiles come back as zero blocks."""

@@ -49,6 +49,19 @@ def test_train_mcmc_sets_info(gp):
     assert info["x"].shape[1] == 3
 
 
+def test_train_mcmc_parallel_chains(gp):
+    """n_chains > 1 runs the vectorized sampler: one batched device call
+    per step, chain traces pooled into mcmc_info."""
+    gp.train(method="mcmc", hyperparameter_bounds=BOUNDS, max_iter=300,
+             mcmc_args={"n_chains": 4})
+    info = gp.mcmc_info
+    assert info["n_chains"] == 4
+    assert info["x_chains"].shape[1] == 4
+    assert info["median(x)"].shape == (3,)
+    # chains should find a better LML than the start
+    assert info["max f(x)"] > -1e6
+
+
 def test_train_adam(gp):
     before = gp.log_likelihood()
     gp.train(method="adam", hyperparameter_bounds=BOUNDS, max_iter=60)
