@@ -120,6 +120,8 @@ def main():
     # ---- reference-style scipy baseline (value only; no gradient exists) --
     vs_baseline = None
     try:
+        if N > 100_000:
+            raise RuntimeError("baseline skipped above N=100k (host memory)")
         import scipy.sparse as sp
         import scipy.sparse.linalg as spla
 

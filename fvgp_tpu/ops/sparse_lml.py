@@ -26,17 +26,35 @@ import jax.numpy as jnp
 __all__ = ["make_sparse_lml", "assemble_tiles"]
 
 
-def assemble_tiles(kernel_fn, xb, mask, rows, cols, hps):
+def _assembly_chunk(T_pad, target=2048):
+    """Largest divisor of T_pad that is <= target (assembly chunk size)."""
+    best = 1
+    d = 1
+    while d * d <= T_pad:
+        if T_pad % d == 0:
+            if d <= target:
+                best = max(best, d)
+            q = T_pad // d
+            if q <= target:
+                best = max(best, q)
+        d += 1
+    return best
+
+
+def assemble_tiles(kernel_fn, xb, mask, rows, cols, hps, out_dtype=None):
     """tiles[t] = k(x block rows[t], x block cols[t]) with padding masked.
 
     xb: (nb, B, D) padded point blocks; mask: (nb, B) validity;
     rows/cols: (T,) int32 (sentinel == nb allowed: gathers clamp, and the
     mask of the clamped block zeroes nothing extra because sentinel tiles
-    are dropped at scatter time).
+    are dropped at scatter time).  ``out_dtype`` casts per tile inside the
+    vmap, so a bf16 tile set never materializes in f32 (the memory ceiling
+    at N~1M on one chip).
     """
     def one(i, j):
         Kt = kernel_fn(xb[i], xb[j], hps)
-        return Kt * (mask[i][:, None] * mask[j][None, :])
+        Kt = Kt * (mask[i][:, None] * mask[j][None, :])
+        return Kt if out_dtype is None else Kt.astype(out_dtype)
 
     return jax.vmap(one)(rows, cols)
 
@@ -104,6 +122,11 @@ def _slq_fixed(matvec, Z, degree, n_logical):
     def lanczos(z):
         v = z / jnp.linalg.norm(z)
 
+        # remat: the backward otherwise saves each step's gathered tile
+        # blocks ((T, B, k) per Lanczos step — ~17 GB at N=500k), which is
+        # THE memory ceiling of the differentiable SLQ.  Recomputing the
+        # matvec in the backward costs ~2x SLQ FLOPs and nothing in memory.
+        @jax.checkpoint
         def step(carry, _):
             v_prev, v, beta_prev = carry
             w = matvec(v[:, None])[:, 0]
@@ -207,10 +230,32 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
     def lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z):
         rows_c = jnp.minimum(rows, nb - 1)
         cols_c = jnp.minimum(cols, nb - 1)
-        tiles = assemble_tiles(kernel_fn, xb, mask, rows_c, cols_c, hps)
-        # zero sentinel tiles so the clamped gather cannot double-count
-        live = (rows < nb)[:, None, None].astype(tiles.dtype)
-        tiles = tiles * live
+        # Chunked, remat'd assembly.  Chunking bounds the assembly-VJP's
+        # temporaries to one chunk (an unchunked vjp materializes a full
+        # f32 (T, B, B) reduce temp — 12.5 GB at N=500k); remat keeps the
+        # per-tile kernel intermediates out of the residuals.  The sentinel
+        # mask (`live`) is folded into the per-tile computation so no
+        # full-size elementwise pass exists outside the chunks.
+        T_pad = rows.shape[0]
+        chunk = _assembly_chunk(T_pad)
+        Rc = rows_c.reshape(-1, chunk)
+        Cc = cols_c.reshape(-1, chunk)
+        Lv = (rows < nb).reshape(-1, chunk)
+
+        @jax.checkpoint
+        def one_chunk(carry, rcl):
+            r, c, lv = rcl
+
+            def one(i, j, alive):
+                Kt = kernel_fn(xb[i], xb[j], hps)
+                Kt = Kt * (mask[i][:, None] * mask[j][None, :])
+                Kt = jnp.where(alive, Kt, 0.0)
+                return Kt if solver_dtype is None else Kt.astype(solver_dtype)
+
+            return carry, jax.vmap(one)(r, c, lv)
+
+        _, tiles = jax.lax.scan(one_chunk, 0, (Rc, Cc, Lv))
+        tiles = tiles.reshape(T_pad, B, B)
 
         def matvec(X):
             out = _spmv(rows_c, cols_c, tiles, X, nb, B, mv_dtype=solver_dtype)
