@@ -188,7 +188,7 @@ class GPMarginalLikelihood:
         args = self.args
         x = np.asarray(self.x_data, dtype=np.float64)
         n = len(x)
-        B = int(args.get("gp2Scale_block_size", min(prior.batch_size, 1024)))
+        B = int(args.get("gp2Scale_block_size", min(prior.batch_size, 256)))
         nb = -(-n // B)
         dtype = config.linalg_dtype(args)
 

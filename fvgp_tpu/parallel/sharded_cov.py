@@ -187,7 +187,8 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
                         "path; use a dense GP for non-Euclidean spaces.")
     x1 = np.asarray(x1, dtype=np.float64)
     x2 = x1 if symmetric else np.asarray(x2, dtype=np.float64)
-    block_size = int(args.get("gp2Scale_block_size", min(int(batch_size), 1024)))
+    block_size = int(args.get("gp2Scale_block_size",
+                               min(int(batch_size), 256)))
     dtype = config.linalg_dtype(args)
 
     lengthscales, radius = support_geometry(prior, hyperparameters, args)
