@@ -196,6 +196,13 @@ class GP:
         """Always None — the TPU build has no Dask; kept for API parity."""
         return None
 
+    def initialize_gp2Scale_dask_client(self, gp2Scale=None, dask_client=None):
+        """API-parity no-op (ref gp.py:2126-2134).  The reference lazily spins
+        up a local ``dask.distributed`` cluster here; the TPU build distributes
+        the covariance over a ``jax.sharding.Mesh`` instead, so there is no
+        client to create.  Returns the (ignored) ``dask_client`` argument."""
+        return dask_client
+
     # ----------------------------------------------------------------------
     def set_args(self, new_args):
         """Change the advanced-settings dict.  New args do not invalidate

@@ -104,9 +104,6 @@ class GPprior:
         self._refresh_device_data()
         self._probe_traceability()
 
-        # gp2Scale covariance engine state (structure cache)
-        self._block_structure = None
-
         self.m, self.K = self._compute_prior(self.x_data, self.hyperparameters)
 
     # -- plumbing properties (tier re-export, ref gp_prior.py:102-152) -----
@@ -185,11 +182,9 @@ class GPprior:
     def augment_state_data(self):
         self.m, self.K = self._update_prior(self.x_old, self.x_new, self.hyperparameters)
         self._refresh_device_data()
-        self._block_structure = None
 
     def update_state_data(self):
         self._refresh_device_data()
-        self._block_structure = None
         self.m, self.K = self._compute_prior(self.x_data, self.hyperparameters)
 
     def update_state_hyperparameters(self):
@@ -285,17 +280,12 @@ class GPprior:
         """Distributed block-sparse covariance over the device mesh —
         replaces the Dask fan-out of ref gp2Scale_covariance.py:230."""
         from ..parallel.sharded_cov import distributed_covariance
-        structure = self._block_structure if symmetric else None
-        result = distributed_covariance(
+        return distributed_covariance(
             self, x1, x2, hyperparameters,
             batch_size=self.batch_size,
             symmetric=symmetric,
             distribution=self.gp2Scale_distribution,
-            structure=structure,
             args=self.args)
-        if symmetric:
-            self._block_structure = result.structure
-        return result
 
     # ------------------------------------------------------------------
     # derivatives
@@ -393,7 +383,6 @@ class GPprior:
         state["m"] = np.asarray(self.m)
         K = self.K
         state["K"] = K if not hasattr(K, "device") else np.asarray(K)
-        state["_block_structure"] = None
         return state
 
     def __setstate__(self, state):

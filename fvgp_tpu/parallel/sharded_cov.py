@@ -171,14 +171,9 @@ def _stable_kernel_closure(prior):
     return kern_fn
 
 
-class _CovResult(BlockSparseMatrix):
-    """BlockSparseMatrix plus the structure handle the prior may cache."""
-    structure = None
-
-
 def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
                            symmetric=False, distribution="blockwise",
-                           structure=None, args=None):
+                           args=None):
     """Assemble k(x1, x2) as a sharded BlockSparseMatrix
     (replaces ref gp2Scale_covariance.py:230)."""
     args = args or {}
@@ -270,8 +265,7 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
         tiles = jnp.concatenate(
             [tiles, jnp.zeros((pad, block_size, block_size), tiles.dtype)])
 
-    result = _CovResult(len(x1), len(x2), block_size, rows, cols, tiles)
-    result.structure = (tuple(rows.tolist()[:0]),)  # placeholder handle
+    result = BlockSparseMatrix(len(x1), len(x2), block_size, rows, cols, tiles)
     shard_tiles(result, mesh)
     # assembly report (the reference's timer + sparsity line,
     # gp2Scale_covariance.py:295-307)
