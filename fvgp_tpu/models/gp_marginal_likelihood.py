@@ -197,11 +197,6 @@ class GPMarginalLikelihood:
         off = rows < cols
         rows_f = np.concatenate([rows, cols[off]]).astype(np.int32)
         cols_f = np.concatenate([cols, rows[off]]).astype(np.int32)
-        T_pad = _bucket(max(len(rows_f), 1))
-        rows_p = np.full(T_pad, nb, np.int32)
-        cols_p = np.full(T_pad, nb, np.int32)
-        rows_p[:len(rows_f)] = rows_f
-        cols_p[:len(cols_f)] = cols_f
 
         cg_iters = int(args.get("sparse_cg_maxiter",
                                 args.get("sparse_krylov_maxiter", 64)) or 64)
@@ -215,7 +210,7 @@ class GPMarginalLikelihood:
 
         if not hasattr(self, "_sparse_cache"):
             self._sparse_cache = {}
-        key = (n, B, nb, T_pad, cg_iters, probes, degree, str(dtype), str(sdt),
+        key = (n, B, nb, cg_iters, probes, degree, str(dtype), str(sdt),
                self.data.point_number)
         entry = self._sparse_cache.get(key)
         if entry is None:
@@ -229,16 +224,65 @@ class GPMarginalLikelihood:
             lml = make_sparse_lml(kern_fn, nb, B, cg_iters=cg_iters,
                                   slq_degree=degree, with_variance=True,
                                   solver_dtype=sdt)
+            # one jitted fn across occupancy buckets: jit's own shape cache
+            # keeps every bucket's program warm as the hp moves change T_pad
             fn = jax.jit(lml)
-            entry = (fn, xb, mask, y_pad, ypad_mask, noise_pad, 0)
+            entry = (fn, kern_fn, xb, mask, y_pad, ypad_mask, noise_pad, 0)
             self._sparse_cache = {key: entry}
-        fn, xb, mask, y_pad, ypad_mask, noise_pad, counter = entry
+        fn, kern_fn, xb, mask, y_pad, ypad_mask, noise_pad, counter = entry
         rng_key = jax.random.fold_in(jax.random.PRNGKey(42), counter)
-        self._sparse_cache[key] = (fn, xb, mask, y_pad, ypad_mask, noise_pad,
-                                   counter + 1)
+        self._sparse_cache[key] = (fn, kern_fn, xb, mask, y_pad, ypad_mask,
+                                   noise_pad, counter + 1)
+
+        # exact-sparsity pass: the box prune is loose (boxes overlap even
+        # when no point pair is inside the support), so drop exact-zero
+        # tiles before CG+SLQ run hundreds of matvec passes over them.
+        # The keep mask is cached under the framework's drift policy: while
+        # the candidate structure is byte-identical and the support
+        # lengthscales moved < gp2Scale_filter_drift (default 5%), the mask
+        # is reused — the only tiles whose status could flip under such a
+        # move sit exactly on the support boundary where k ~ 0, far below
+        # the SLQ estimator's own noise.  So the filter pass costs one
+        # assembly every few dozen MCMC/BO moves, not one per eval.
+        hps_dev = config.asarray(hyperparameters, args)
+        if (bool(args.get("gp2Scale_tile_filter", True))
+                and np.isfinite(radius) and len(rows_f)):
+            pair_key = rows_f.astype(np.int64) * (nb + 1) + cols_f
+            ls_now = np.asarray(ls, dtype=np.float64)
+            tol = float(args.get("gp2Scale_filter_drift", 0.05))
+            cache = getattr(self, "_filter_mask_cache", None)
+            if (cache is not None
+                    and np.all(np.abs(ls_now / cache[0] - 1.0) <= tol)):
+                # reuse: known-dead pairs stay dropped; candidates not seen
+                # at the reference lengthscales are conservatively kept
+                keep = ~np.isin(pair_key, cache[1])
+            else:
+                from ..ops.sparse_lml import tile_maxabs
+                fchunk = min(4096, _bucket(len(rows_f)))
+                nfc = -(-len(rows_f) // fchunk)
+                rpad = np.full(nfc * fchunk, max(nb - 1, 0), np.int32)
+                cpad = np.full(nfc * fchunk, max(nb - 1, 0), np.int32)
+                rpad[:len(rows_f)] = rows_f
+                cpad[:len(cols_f)] = cols_f
+                live = []
+                for s in range(0, nfc * fchunk, fchunk):
+                    v = tile_maxabs(kern_fn, xb, mask,
+                                    jnp.asarray(rpad[s:s + fchunk]),
+                                    jnp.asarray(cpad[s:s + fchunk]), hps_dev)
+                    live.append(np.asarray(v) > 0)
+                keep = np.concatenate(live)[:len(rows_f)]
+                self._filter_mask_cache = (ls_now, np.sort(pair_key[~keep]))
+            rows_f = rows_f[keep]
+            cols_f = cols_f[keep]
+
+        T_pad = _bucket(max(len(rows_f), 1))
+        rows_p = np.full(T_pad, nb, np.int32)
+        cols_p = np.full(T_pad, nb, np.int32)
+        rows_p[:len(rows_f)] = rows_f
+        cols_p[:len(cols_f)] = cols_f
         Z = jax.random.rademacher(rng_key, (nb * B, probes), dtype=dtype)
         Z = Z * ypad_mask[:, None]
-        val, var = fn(config.asarray(hyperparameters, args),
+        val, var = fn(hps_dev,
                       jnp.asarray(rows_p), jnp.asarray(cols_p),
                       xb, mask, y_pad, ypad_mask, noise_pad, Z)
         self.kv.last_logdet_variance = float(var)

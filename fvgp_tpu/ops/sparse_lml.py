@@ -23,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["make_sparse_lml", "assemble_tiles"]
+__all__ = ["make_sparse_lml", "assemble_tiles", "tile_maxabs"]
 
 
 def _assembly_chunk(T_pad, target=2048):
@@ -57,6 +57,18 @@ def assemble_tiles(kernel_fn, xb, mask, rows, cols, hps, out_dtype=None):
         return Kt if out_dtype is None else Kt.astype(out_dtype)
 
     return jax.vmap(one)(rows, cols)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_fn",))
+def tile_maxabs(kernel_fn, xb, mask, rows, cols, hps):
+    """Per-tile max|k| for the zero-tile filter: the bounding-box prune is
+    loose (boxes overlap even when no point pair is inside the support), so
+    one cheap assembly pass drops the exact zeros before the many matvec
+    passes of CG/SLQ touch them.  ``kernel_fn`` is a static (identity-cached)
+    closure; ``xb``/``mask`` are traced arguments so large point sets are
+    never baked into the compiled program as constants."""
+    t = assemble_tiles(kernel_fn, xb, mask, rows, cols, hps)
+    return jnp.max(jnp.abs(t), axis=(1, 2))
 
 
 def _spmv(rows, cols, tiles, X, nb, B, mv_dtype=None):

@@ -199,10 +199,15 @@ class BlockSparseMatrix:
 
     # -- conversions ---------------------------------------------------
     def to_dense(self):
+        # sub-f32 storage (args['gp2Scale_storage_dtype']) is a tile FORMAT;
+        # dense materializations feed LAPACK/linalg and upcast to f32
+        out_dtype = self.tiles.dtype
+        if jnp.finfo(out_dtype).bits < 32:
+            out_dtype = jnp.float32
         B = self.block_size
         n_pad_r = self.nb * B
         n_pad_c = self.nb_cols * B
-        dense = jnp.zeros((self.nb, self.nb_cols, B, B), self.tiles.dtype)
+        dense = jnp.zeros((self.nb, self.nb_cols, B, B), out_dtype)
         dense = dense.at[self.rows, self.cols].add(self.tiles)
         dense = dense.transpose(0, 2, 1, 3).reshape(n_pad_r, n_pad_c)
         return dense[: self.n, : self.n_cols]
@@ -221,7 +226,10 @@ class BlockSparseMatrix:
         sel = np.nonzero((np.asarray(self.cols) >= cb0)
                          & (np.asarray(self.cols) < cb1))[0]
         width = (cb1 - cb0) * B
-        dense = jnp.zeros((self.nb, cb1 - cb0, B, B), self.tiles.dtype)
+        out_dtype = self.tiles.dtype
+        if jnp.finfo(out_dtype).bits < 32:
+            out_dtype = jnp.float32
+        dense = jnp.zeros((self.nb, cb1 - cb0, B, B), out_dtype)
         if len(sel):
             dense = dense.at[self.rows[sel], self.cols[sel] - cb0].add(
                 self.tiles[jnp.asarray(sel)])

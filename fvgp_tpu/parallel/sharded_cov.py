@@ -141,6 +141,20 @@ def _compute_tiles(kernel_fn, x1b, x2b, mask1, mask2, rows, cols, hps,
     return jax.vmap(one)(rows, cols)
 
 
+@functools.partial(jax.jit, static_argnames=("kernel_fn", "block_size"))
+def _tile_live(kernel_fn, x1b, x2b, mask1, mask2, rows, cols, hps,
+               block_size):
+    """Per-tile liveness (max|k| > 0) without retaining the tiles — the
+    zero-tile filter's cheap first pass."""
+
+    def one(i, j):
+        K = kernel_fn(x1b[i], x2b[j], hps)
+        K = K * (mask1[i][:, None] * mask2[j][None, :])
+        return jnp.max(jnp.abs(K)) > 0
+
+    return jax.vmap(one)(rows, cols)
+
+
 def _blocks_device(x, block_size, dtype):
     n, d = np.asarray(x).shape
     nb = -(-n // block_size)
@@ -192,14 +206,20 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
 
     nb1 = -(-len(x1) // block_size)
     nb2 = -(-len(x2) // block_size)
-
-    if symmetric:
-        # upper triangle scheduled; mirror below via a device transpose
-        off_diag = rows < cols
-        total = len(rows) + int(np.sum(off_diag))
-    else:
-        total = len(rows)
     n_sched = len(rows)
+
+    # the box prune is loose (boxes overlap even when no point pair is
+    # inside the support): one maxabs pass per chunk drops the exact-zero
+    # tiles BEFORE they are retained, so they never occupy HBM and never
+    # ride along in downstream solves/posteriors
+    do_filter = (bool(args.get("gp2Scale_tile_filter", True))
+                 and np.isfinite(radius))
+    # storage dtype (e.g. "bfloat16"): halves tile HBM at assembly time —
+    # the construction memory ceiling at N~1M on one chip.  Opt-in; meant
+    # for the stochastic MCMC/BO training regime like the solver dtype.
+    storage_dtype = args.get("gp2Scale_storage_dtype", None)
+    if isinstance(storage_dtype, str):
+        storage_dtype = jnp.dtype(storage_dtype)
 
     # evaluate scheduled tiles
     if prior.kernel_traceable:
@@ -215,20 +235,49 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
         # hyperparameters ("dynamic sparsity under jit", SURVEY.md §7)
         chunk = int(args.get("gp2Scale_tile_chunk", 512))
         chunk = min(chunk, _bucket(max(n_sched, 1)))
-        n_chunks = max(-(-n_sched // chunk), 1)
-        rows_pad = np.full(n_chunks * chunk, nb1, np.int32)
-        cols_pad = np.full(n_chunks * chunk, nb2, np.int32)
-        rows_pad[:n_sched] = rows
-        cols_pad[:n_sched] = cols
+
+        def _sched_chunks(r_arr, c_arr, count):
+            n_chunks = max(-(-count // chunk), 1)
+            rp = np.full(n_chunks * chunk, nb1, np.int32)
+            cp = np.full(n_chunks * chunk, nb2, np.int32)
+            rp[:count] = r_arr
+            cp[:count] = c_arr
+            return rp, cp, n_chunks
+
+        if do_filter and n_sched:
+            # pass 1: per-tile liveness only (fixed shapes, one compiled
+            # program, tiny device->host outputs).  Survivor tiles are
+            # re-evaluated in pass 2 — ~1.5x the kernel evals, but zero
+            # tiles never occupy HBM and no varying-shape gather triggers
+            # a fresh (remote) compile per chunk.
+            rp, cp, nch = _sched_chunks(rows, cols, n_sched)
+            live_parts = []
+            for s in range(0, nch * chunk, chunk):
+                r_c = jnp.asarray(np.minimum(rp[s:s + chunk], nb1 - 1))
+                c_c = jnp.asarray(np.minimum(cp[s:s + chunk], nb2 - 1))
+                live_parts.append(_tile_live(kern_fn, x1b, x2b, m1, m2,
+                                             r_c, c_c, hps, block_size))
+            keep = np.concatenate([np.asarray(p) for p in live_parts])[:n_sched]
+            rows = rows[keep]
+            cols = cols[keep]
+            n_sched = len(rows)
+
+        # pass 2 (or the only pass): assemble the scheduled tiles in
+        # fixed-size sentinel-padded chunks — every call compiles the same
+        # program regardless of how the occupancy moved ("dynamic sparsity
+        # under jit", SURVEY.md §7)
+        rp, cp, nch = _sched_chunks(rows, cols, n_sched)
         tiles_parts = []
-        for s in range(0, n_chunks * chunk, chunk):
-            r = jnp.asarray(rows_pad[s:s + chunk])
-            # sentinel indices clamp in the gather; the mask of the clamped
-            # block is irrelevant because these tiles are dropped below
-            c = jnp.asarray(np.minimum(cols_pad[s:s + chunk], nb2 - 1))
-            r_c = jnp.asarray(np.minimum(rows_pad[s:s + chunk], nb1 - 1))
-            tiles_parts.append(_compute_tiles(kern_fn, x1b, x2b, m1, m2,
-                                              r_c, c, hps, block_size))
+        for s in range(0, nch * chunk, chunk):
+            # sentinel indices clamp in the gather; the clamped block's
+            # values are irrelevant because these tiles are sliced off below
+            c = jnp.asarray(np.minimum(cp[s:s + chunk], nb2 - 1))
+            r_c = jnp.asarray(np.minimum(rp[s:s + chunk], nb1 - 1))
+            part = _compute_tiles(kern_fn, x1b, x2b, m1, m2,
+                                  r_c, c, hps, block_size)
+            if storage_dtype is not None:
+                part = part.astype(storage_dtype)
+            tiles_parts.append(part)
         tiles = jnp.concatenate(tiles_parts)[:n_sched]
     else:
         # host kernel: the reference's arbitrary-kernel contract
@@ -240,7 +289,20 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
             b = x2[j * block_size:(j + 1) * block_size]
             blk = prior.compute_covariances(a, b, hps_np)
             tiles_np[t, :blk.shape[0], :blk.shape[1]] = np.asarray(blk)
-        tiles = jnp.asarray(tiles_np, dtype=dtype)
+        if do_filter and n_sched:
+            keep = np.abs(tiles_np).max(axis=(1, 2)) > 0
+            rows = rows[keep]
+            cols = cols[keep]
+            tiles_np = tiles_np[keep]
+            n_sched = len(rows)
+        tiles = jnp.asarray(tiles_np, dtype=storage_dtype or dtype)
+
+    if symmetric:
+        # upper triangle scheduled; mirror below via a device transpose
+        off_diag = rows < cols
+        total = n_sched + int(np.sum(off_diag))
+    else:
+        total = n_sched
 
     if symmetric and np.any(off_diag):
         rows_m = cols[off_diag]

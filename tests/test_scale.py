@@ -273,3 +273,39 @@ def test_sharded_gp_end_to_end(eight_devices):
              init_hyperparameters=HPS, kernel_function=wendland_anisotropic)
     assert abs(lml - gpd.log_likelihood()) / abs(lml) < 0.02
     np.testing.assert_allclose(pm, gpd.posterior_mean(xp)["m(x)"], atol=1e-6)
+
+
+def test_zero_tile_filter_reduces_tiles_exactly():
+    """The bounding-box prune is loose; the exact-sparsity pass must drop
+    the all-zero tiles without changing the assembled covariance."""
+    x, y = _sparse_dataset(n=2500, span=120.0)
+    gp_on = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+               args={"gp2Scale_block_size": 64})
+    gp_off = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                args={"gp2Scale_block_size": 64,
+                      "gp2Scale_tile_filter": False})
+    live_on = int(np.sum(gp_on.K.rows < gp_on.K.nb))
+    live_off = int(np.sum(gp_off.K.rows < gp_off.K.nb))
+    assert live_on < live_off
+    np.testing.assert_allclose(np.asarray(gp_on.K.to_dense()),
+                               np.asarray(gp_off.K.to_dense()), atol=1e-12)
+    # the traced sparse LML must agree between filtered and unfiltered
+    # structures (zero tiles contribute zero to every matvec)
+    assert abs(gp_on.log_likelihood() - gp_off.log_likelihood()) \
+        / abs(gp_off.log_likelihood()) < 1e-6
+
+
+def test_storage_dtype_bf16():
+    """args['gp2Scale_storage_dtype'] assembles tiles at reduced precision
+    (the N~1M construction-memory lever); values stay within bf16 tolerance."""
+    import jax.numpy as jnp
+    x, y = _sparse_dataset(n=600, span=30.0)
+    gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+            args={"gp2Scale_block_size": 64,
+                  "gp2Scale_storage_dtype": "bfloat16"})
+    assert gp.K.tiles.dtype == jnp.bfloat16
+    Kref = np.asarray(wendland_anisotropic(np.asarray(gp.x_data),
+                                           np.asarray(gp.x_data), HPS))
+    np.testing.assert_allclose(
+        np.asarray(gp.K.to_dense()).astype(np.float64), Kref, atol=1e-2)
+    assert np.isfinite(gp.log_likelihood())
