@@ -31,7 +31,12 @@ __all__ = ["GGMP", "hyperparameters", "NormalLikelihood", "constant_mean",
            "gaussian_w2_squared", "optimize_weights_em_density",
            "optimize_weights_em_samples", "bhattacharyya_distance",
            "kl_divergence", "wasserstein_1d_density",
-           "fit_station_gmms_cached"]
+           "fit_station_gmms_cached",
+           "fit_gmm_free_weights_multivariate", "fit_local_gmms_multivariate",
+           "optimize_weights_em_multivariate_samples",
+           "loglik_multivariate_mixture_samples", "sample_gmm_multivariate",
+           "gaussian_w2_squared_mv", "energy_distance_multivariate",
+           "sliced_wasserstein_distance", "mmd_rbf"]
 
 
 def constant_mean(x, hps):
@@ -112,9 +117,36 @@ def fit_gmm_fixed_weights(domain, density, K, *, max_iter=200, tol=1e-8,
 
 
 def gaussian_w2_squared(mu1, var1, mu2, var2):
-    """Squared 2-Wasserstein distance between 1-d Gaussians
-    (ref ggmp.py:1224 specialized to diagonal)."""
+    """Squared 2-Wasserstein distance between Gaussians (ref ggmp.py:1224).
+
+    Scalar (mean, variance) pairs use the closed 1-d form; (d,) means with
+    (d, d) covariances use the Bures form
+    ||m1-m2||^2 + tr(C1 + C2 - 2 (C1^1/2 C2 C1^1/2)^1/2)."""
+    if np.ndim(var1) >= 2:
+        return gaussian_w2_squared_mv(mu1, var1, mu2, var2)
     return float((mu1 - mu2) ** 2 + (np.sqrt(var1) - np.sqrt(var2)) ** 2)
+
+
+def _sym_psd(a):
+    a = np.asarray(a, dtype=float)
+    return 0.5 * (a + a.T)
+
+
+def _sqrtm_psd(a, *, eps=1e-12):
+    """PSD matrix square root by eigendecomposition (ref ggmp.py:1216)."""
+    vals, vecs = np.linalg.eigh(_sym_psd(a))
+    return (vecs * np.sqrt(np.clip(vals, eps, None))) @ vecs.T
+
+
+def gaussian_w2_squared_mv(mean_a, cov_a, mean_b, cov_b):
+    """Squared Bures-Wasserstein distance between multivariate Gaussians."""
+    diff = np.asarray(mean_a, dtype=float).ravel() \
+        - np.asarray(mean_b, dtype=float).ravel()
+    ca, cb = _sym_psd(cov_a), _sym_psd(cov_b)
+    ra = _sqrtm_psd(ca)
+    cross = _sqrtm_psd(ra @ cb @ ra)
+    return float(diff @ diff
+                 + max(np.trace(ca + cb - 2.0 * cross), 0.0))
 
 
 def align_gmm_components_hungarian(means_ref, vars_ref, means, variances):
@@ -179,7 +211,9 @@ def align_local_gmms(x_data, means_all, vars_all, method="mst"):
 def align_local_gmms_sequence(means_all, vars_all):
     """Align per-station GMMs along the station sequence so component k means
     the same mode everywhere (ref ggmp.py:1287)."""
-    N, K = means_all.shape
+    means_all = np.asarray(means_all, dtype=float)
+    vars_all = np.asarray(vars_all, dtype=float)
+    N, K = means_all.shape[:2]
     means_out = means_all.copy()
     vars_out = vars_all.copy()
     for n in range(1, N):
@@ -688,3 +722,260 @@ class GGMP:
                 out[m] += w[k] * gaussian_pdf(domain, means[k, m],
                                               gp_vars[k, m] + mean_noise[k])
         return out
+
+
+# ---------------------------------------------------------------------------
+# multivariate-output GMMs (ref ggmp.py:1036-1207, :1556-1779)
+# ---------------------------------------------------------------------------
+
+def _as_2d(y):
+    """(n,) -> (n, 1); (n, d) passes through (ref ggmp.py:1036)."""
+    y = np.asarray(y, dtype=float)
+    if y.ndim == 1:
+        y = y[:, None]
+    if y.ndim != 2:
+        raise ValueError("samples must be 1-d or 2-d")
+    return y
+
+
+def _log_mvn_density(y, mean, cov, *, reg=1e-9):
+    """Row-wise log N(y | mean, cov) via Cholesky (ref ggmp.py:1556).
+    Vectorized over the n rows of y; no scipy.stats object per call."""
+    y = _as_2d(y)
+    mean = np.asarray(mean, dtype=float).ravel()
+    d = mean.size
+    cov = _sym_psd(cov) + reg * np.eye(d)
+    L = np.linalg.cholesky(cov)
+    z = np.linalg.solve(L, (y - mean).T)          # (d, n)
+    maha = np.sum(z * z, axis=0)
+    logdet = 2.0 * np.sum(np.log(np.diag(L)))
+    return -0.5 * (maha + logdet + d * np.log(2.0 * np.pi))
+
+
+def _kmeanspp(y, K, rng):
+    """k-means++ seeding for the EM initial means."""
+    n = len(y)
+    centers = [y[rng.integers(n)]]
+    for _ in range(1, K):
+        d2 = np.min(np.stack([np.sum((y - c) ** 2, axis=1)
+                              for c in centers]), axis=0)
+        total = d2.sum()
+        if total > 0:
+            centers.append(y[rng.choice(n, p=d2 / total)])
+        else:                       # all points coincide with a center
+            centers.append(y[rng.integers(n)])
+    return np.stack(centers)
+
+
+def fit_gmm_free_weights_multivariate(y, K, *, covariance_type="diag",
+                                      reg_covar=1e-6, n_init=4, max_iter=300,
+                                      tol=1e-4, random_state=42,
+                                      weight_floor=1e-9, sort_if_1d=True):
+    """K-component multivariate GMM with free weights
+    (ref ggmp.py:1083, which delegates to sklearn; self-contained
+    vectorized EM here — k-means++ seeding, log-space E-step, diag/full
+    M-step, best of ``n_init`` restarts).
+
+    Returns (weights (K,), means (K, d), covs (K, d, d), info dict)."""
+    y = _as_2d(y)
+    n, d = y.shape
+    K = int(K)
+    if n < K:
+        raise ValueError(f"Need at least K samples. n={n}, K={K}")
+    cov_type = str(covariance_type).lower()
+    if cov_type not in ("diag", "full", "spherical"):
+        raise ValueError(f"Unsupported covariance_type={covariance_type!r}")
+
+    base = np.random.default_rng(random_state)
+    best = None
+    for trial in range(max(1, int(n_init))):
+        rng = np.random.default_rng(base.integers(2 ** 63)) \
+            if random_state is not None else np.random.default_rng()
+        means = _kmeanspp(y, K, rng)
+        var0 = np.maximum(y.var(axis=0), reg_covar)
+        covs = np.tile(np.diag(var0), (K, 1, 1))
+        w = np.full(K, 1.0 / K)
+        prev = -np.inf
+        n_iter = 0
+        converged = False
+        for n_iter in range(1, int(max_iter) + 1):
+            logp = np.stack([_log_mvn_density(y, means[k], covs[k],
+                                              reg=reg_covar)
+                             for k in range(K)], axis=1)       # (n, K)
+            log_num = logp + np.log(np.maximum(w, 1e-300))
+            m = log_num.max(axis=1, keepdims=True)
+            log_den = m + np.log(np.sum(np.exp(log_num - m), axis=1,
+                                        keepdims=True))
+            ll = float(log_den.sum()) / n
+            r = np.exp(log_num - log_den)                      # (n, K)
+            Nk = np.maximum(r.sum(axis=0), 1e-12)
+            w = np.maximum(Nk / n, weight_floor)
+            w = w / w.sum()
+            means = (r.T @ y) / Nk[:, None]
+            for k in range(K):
+                diff = y - means[k]
+                if cov_type == "full":
+                    C = (r[:, k, None] * diff).T @ diff / Nk[k]
+                    covs[k] = _sym_psd(C) + reg_covar * np.eye(d)
+                elif cov_type == "diag":
+                    v = (r[:, k] @ diff ** 2) / Nk[k] + reg_covar
+                    covs[k] = np.diag(v)
+                else:                                          # spherical
+                    v = float((r[:, k] @ np.sum(diff ** 2, axis=1))
+                              / (Nk[k] * d)) + reg_covar
+                    covs[k] = v * np.eye(d)
+            if abs(ll - prev) < tol:
+                converged = True
+                break
+            prev = ll
+        if best is None or ll > best[0]:
+            best = (ll, w, means, covs.copy(), converged, n_iter)
+
+    ll, w, means, covs, converged, n_iter = best
+    if sort_if_1d and d == 1:
+        order = np.argsort(means[:, 0])
+        w, means, covs = w[order], means[order], covs[order]
+    n_cov = {"full": K * d * (d + 1) // 2, "diag": K * d,
+             "spherical": K}[cov_type]
+    n_params = (K - 1) + K * d + n_cov
+    info = {"converged": converged, "n_iter": n_iter, "lower_bound": ll,
+            "aic": 2.0 * n_params - 2.0 * ll * n,
+            "bic": n_params * np.log(n) - 2.0 * ll * n,
+            "covariance_type": cov_type, "reg_covar": float(reg_covar),
+            "n_init": int(max(1, n_init))}
+    return w, means, covs, info
+
+
+def fit_local_gmms_multivariate(y_list, K, **kwargs):
+    """One free-weight multivariate GMM per station (ref ggmp.py:1159).
+    Returns {"weights", "means", "covs", "fit_info", "K", "d"}."""
+    rs = kwargs.pop("random_state", 42)
+    out = {"weights": [], "means": [], "covs": [], "fit_info": []}
+    for i, y in enumerate(y_list):
+        w, m, c, info = fit_gmm_free_weights_multivariate(
+            y, K, random_state=None if rs is None else rs + i,
+            sort_if_1d=False, **kwargs)
+        out["weights"].append(w)
+        out["means"].append(m)
+        out["covs"].append(c)
+        out["fit_info"].append(info)
+    out["K"] = int(K)
+    out["d"] = int(out["means"][0].shape[1])
+    return out
+
+
+def optimize_weights_em_multivariate_samples(y_list, means_list, covs_list, *,
+                                             K, weight_floor=1e-9,
+                                             max_iter=200, tol_l1=1e-10,
+                                             log_every=None, w0=None,
+                                             cov_reg=1e-9):
+    """EM over SHARED mixture weights for the multivariate-samples objective
+    sum_n sum_t log sum_k w_k N(y_nt | mu_nk, C_nk) (ref ggmp.py:1584).
+    Returns (weights, weight history, objective history)."""
+    K = int(K)
+    w = (np.full(K, 1.0 / K) if w0 is None
+         else np.maximum(np.asarray(w0, dtype=float).ravel(), 1e-12))
+    w = w / w.sum()
+    # per-station log-pdf tables do not change across iterations
+    tables = []
+    for y_n, mus, cvs in zip(y_list, means_list, covs_list):
+        y_n = _as_2d(y_n)
+        tables.append(np.stack([_log_mvn_density(y_n, mus[k], cvs[k],
+                                                 reg=cov_reg)
+                                for k in range(K)], axis=1))
+    w_hist, obj_hist = [], []
+    for _ in range(int(max_iter)):
+        counts = np.zeros(K)
+        obj = 0.0
+        log_w = np.log(np.maximum(w, 1e-300))
+        for logp in tables:
+            log_num = logp + log_w
+            m = log_num.max(axis=1, keepdims=True)
+            log_den = m + np.log(np.sum(np.exp(log_num - m), axis=1,
+                                        keepdims=True))
+            counts += np.exp(log_num - log_den).sum(axis=0)
+            obj += float(log_den.sum())
+        w_new = np.maximum(counts / max(counts.sum(), 1e-300), weight_floor)
+        w_new = w_new / w_new.sum()
+        w_hist.append(w_new.copy())
+        obj_hist.append(obj)
+        if np.abs(w_new - w).sum() < tol_l1:
+            w = w_new
+            break
+        w = w_new
+    return w, np.asarray(w_hist), np.asarray(obj_hist)
+
+
+def loglik_multivariate_mixture_samples(y, weights, means, covs, *,
+                                        cov_reg=1e-9):
+    """Per-sample mixture log-likelihood (ref ggmp.py:1650)."""
+    y = _as_2d(y)
+    weights = np.asarray(weights, dtype=float).ravel()
+    logp = np.stack([_log_mvn_density(y, means[k], covs[k], reg=cov_reg)
+                     for k in range(len(weights))], axis=1)
+    log_num = logp + np.log(np.maximum(weights, 1e-300))
+    m = log_num.max(axis=1)
+    return m + np.log(np.sum(np.exp(log_num - m[:, None]), axis=1))
+
+
+def sample_gmm_multivariate(weights, means, covs, n_samples, *,
+                            random_state=None, cov_reg=1e-9):
+    """Draw from a multivariate Gaussian mixture (ref ggmp.py:1674)."""
+    rng = np.random.default_rng(random_state)
+    weights = np.asarray(weights, dtype=float).ravel()
+    means = np.asarray(means, dtype=float)
+    comp = rng.choice(len(weights), size=int(n_samples),
+                      p=weights / weights.sum())
+    out = np.zeros((int(n_samples), means.shape[1]))
+    for k in range(len(weights)):
+        idx = np.nonzero(comp == k)[0]
+        if len(idx):
+            C = _sym_psd(covs[k]) + cov_reg * np.eye(means.shape[1])
+            out[idx] = rng.multivariate_normal(means[k], C, size=len(idx))
+    return out
+
+
+def _pairwise_sqdist(a, b):
+    """||a_i - b_j||^2 by the matmul expansion — O(nm) memory instead of
+    the reference's O(nmd) broadcast (ref ggmp.py:1758)."""
+    aa = np.sum(a * a, axis=1)
+    bb = np.sum(b * b, axis=1)
+    return np.maximum(aa[:, None] + bb[None, :] - 2.0 * (a @ b.T), 0.0)
+
+
+def energy_distance_multivariate(a, b):
+    """Energy distance between multivariate sample sets (ref ggmp.py:1703)."""
+    a, b = _as_2d(a), _as_2d(b)
+    d_ab = np.sqrt(_pairwise_sqdist(a, b))
+    d_aa = np.sqrt(_pairwise_sqdist(a, a))
+    d_bb = np.sqrt(_pairwise_sqdist(b, b))
+    return float(max(2.0 * d_ab.mean() - d_aa.mean() - d_bb.mean(), 0.0))
+
+
+def sliced_wasserstein_distance(a, b, *, n_projections=64, random_state=42):
+    """Mean 1-d Wasserstein distance over random projections
+    (ref ggmp.py:1719)."""
+    from scipy.stats import wasserstein_distance
+    a, b = _as_2d(a), _as_2d(b)
+    rng = np.random.default_rng(random_state)
+    v = rng.normal(size=(int(max(1, n_projections)), a.shape[1]))
+    v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    return float(np.mean([wasserstein_distance(a @ vi, b @ vi) for vi in v]))
+
+
+def mmd_rbf(a, b, *, gamma=None):
+    """Unbiased MMD^2 with an RBF kernel (ref ggmp.py:1743)."""
+    a, b = _as_2d(a), _as_2d(b)
+    n, m = len(a), len(b)
+    if n < 2 or m < 2:
+        return float("nan")
+    d_aa, d_bb, d_ab = (_pairwise_sqdist(a, a), _pairwise_sqdist(b, b),
+                        _pairwise_sqdist(a, b))
+    if gamma is None:
+        gamma = 1.0 / max(2.0 * float(np.median(d_ab)), 1e-12)
+    k_aa = np.exp(-gamma * d_aa)
+    k_bb = np.exp(-gamma * d_bb)
+    np.fill_diagonal(k_aa, 0.0)
+    np.fill_diagonal(k_bb, 0.0)
+    return float(k_aa.sum() / (n * (n - 1)) + k_bb.sum() / (m * (m - 1))
+                 - 2.0 * np.mean(np.exp(-gamma * d_ab)))

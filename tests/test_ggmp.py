@@ -191,3 +191,122 @@ def test_ggmp_requires_init_order():
         ggmp.initGPs()
     with pytest.raises(ValueError):
         ggmp.posterior_mean(x)
+
+
+# ---------------------------------------------------------------------------
+# multivariate-output GMMs (ref ggmp.py:1036-1207, :1556-1779)
+# ---------------------------------------------------------------------------
+
+def _two_cluster_2d(n=400, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.multivariate_normal([0.0, 0.0], [[0.2, 0.05], [0.05, 0.1]],
+                                size=n // 2)
+    b = rng.multivariate_normal([4.0, 3.0], [[0.3, -0.1], [-0.1, 0.2]],
+                                size=n // 2)
+    return np.vstack([a, b])
+
+
+def test_fit_gmm_free_weights_multivariate_recovers_clusters():
+    from fvgp_tpu.models.ggmp import fit_gmm_free_weights_multivariate
+    y = _two_cluster_2d()
+    w, means, covs, info = fit_gmm_free_weights_multivariate(
+        y, 2, covariance_type="full", n_init=3)
+    assert w.shape == (2,) and means.shape == (2, 2) and covs.shape == (2, 2, 2)
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(w, [0.5, 0.5], atol=0.05)
+    got = means[np.argsort(means[:, 0])]
+    np.testing.assert_allclose(got, [[0.0, 0.0], [4.0, 3.0]], atol=0.15)
+    assert info["converged"] and np.isfinite(info["bic"])
+
+
+def test_fit_gmm_multivariate_diag_and_1d_sort():
+    from fvgp_tpu.models.ggmp import fit_gmm_free_weights_multivariate
+    rng = np.random.default_rng(1)
+    y = np.concatenate([rng.normal(-2.0, 0.3, 150), rng.normal(2.0, 0.5, 150)])
+    w, means, covs, _ = fit_gmm_free_weights_multivariate(
+        y, 2, covariance_type="diag")
+    assert means[0, 0] < means[1, 0]          # sorted when d == 1
+    np.testing.assert_allclose(means[:, 0], [-2.0, 2.0], atol=0.15)
+    assert covs[0].shape == (1, 1)
+
+
+def test_gaussian_w2_squared_dispatch():
+    from fvgp_tpu.models.ggmp import gaussian_w2_squared
+    # 1-d closed form and multivariate Bures form must agree on scalars
+    w2_scalar = gaussian_w2_squared(1.0, 0.5, 3.0, 2.0)
+    w2_mv = gaussian_w2_squared(np.array([1.0]), np.array([[0.5]]),
+                                np.array([3.0]), np.array([[2.0]]))
+    np.testing.assert_allclose(w2_scalar, w2_mv, rtol=1e-10)
+    # identical Gaussians -> 0
+    C = np.array([[0.4, 0.1], [0.1, 0.3]])
+    assert abs(gaussian_w2_squared(np.zeros(2), C, np.zeros(2), C)) < 1e-10
+
+
+def test_hungarian_alignment_multivariate():
+    from fvgp_tpu.models.ggmp import align_gmm_components_hungarian
+    means = np.array([[0.0, 0.0], [4.0, 3.0], [-3.0, 2.0]])
+    covs = np.tile(np.eye(2) * 0.1, (3, 1, 1))
+    perm_in = np.array([2, 0, 1])
+    perm = align_gmm_components_hungarian(means, covs,
+                                          means[perm_in], covs[perm_in])
+    np.testing.assert_array_equal(means[perm_in][perm], means)
+
+
+def test_em_multivariate_weights_recovery():
+    from fvgp_tpu.models.ggmp import (
+        optimize_weights_em_multivariate_samples, sample_gmm_multivariate)
+    true_w = np.array([0.75, 0.25])
+    means = np.array([[0.0, 0.0], [5.0, 5.0]])
+    covs = np.tile(np.eye(2) * 0.2, (2, 1, 1))
+    y_list = [sample_gmm_multivariate(true_w, means, covs, 600,
+                                      random_state=i) for i in range(3)]
+    w, w_hist, obj = optimize_weights_em_multivariate_samples(
+        y_list, [means] * 3, [covs] * 3, K=2)
+    np.testing.assert_allclose(w, true_w, atol=0.03)
+    assert np.all(np.diff(obj) >= -1e-6)      # EM monotonicity
+
+
+def test_loglik_multivariate_matches_scipy():
+    from fvgp_tpu.models.ggmp import loglik_multivariate_mixture_samples
+    from scipy.stats import multivariate_normal
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=(50, 2))
+    w = np.array([0.6, 0.4])
+    means = np.array([[0.0, 0.0], [1.0, -1.0]])
+    covs = np.stack([np.eye(2) * 0.5, [[0.8, 0.2], [0.2, 0.6]]])
+    got = loglik_multivariate_mixture_samples(y, w, means, covs, cov_reg=0.0)
+    want = np.log(w[0] * multivariate_normal.pdf(y, means[0], covs[0])
+                  + w[1] * multivariate_normal.pdf(y, means[1], covs[1]))
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_fit_local_gmms_multivariate_contract():
+    from fvgp_tpu.models.ggmp import fit_local_gmms_multivariate
+    y_list = [_two_cluster_2d(200, seed=i) for i in range(3)]
+    out = fit_local_gmms_multivariate(y_list, 2, n_init=2)
+    assert out["K"] == 2 and out["d"] == 2
+    assert len(out["weights"]) == 3 and out["covs"][0].shape == (2, 2, 2)
+
+
+def test_multivariate_sample_distances():
+    from fvgp_tpu.models.ggmp import (energy_distance_multivariate,
+                                      sliced_wasserstein_distance, mmd_rbf)
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(200, 3))
+    b = rng.normal(size=(200, 3))
+    c = rng.normal(loc=3.0, size=(200, 3))
+    for fn in (energy_distance_multivariate, sliced_wasserstein_distance,
+               mmd_rbf):
+        near = fn(a, b)
+        far = fn(a, c)
+        assert far > near, fn.__name__
+    assert energy_distance_multivariate(a, a) < 1e-9
+
+
+def test_fit_gmm_multivariate_degenerate_samples():
+    """All-identical samples must not crash k-means++ seeding."""
+    from fvgp_tpu.models.ggmp import fit_gmm_free_weights_multivariate
+    w, m, c, info = fit_gmm_free_weights_multivariate(np.ones((30, 2)), 2,
+                                                      n_init=1)
+    assert np.isfinite(m).all() and np.isfinite(c).all()
+    np.testing.assert_allclose(w.sum(), 1.0)
