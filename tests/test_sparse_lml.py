@@ -88,3 +88,67 @@ def test_sentinel_tiles_are_noops():
     cj2 = jnp.concatenate([cj, jnp.full(pad, nb, jnp.int32)])
     v2 = float(jax.jit(lml)(jnp.asarray(hps), rj2, cj2, *rest))
     np.testing.assert_allclose(v1, v2, rtol=1e-10)
+
+
+def test_mbcg_matches_dense_oracle():
+    """The fused mBCG solver's value must agree with the exact dense LML —
+    its logdet quadrature is degree cg_iters, preconditioned, so it should
+    be at least as accurate as the separate-SLQ path."""
+    x, y, hps, nb, B, args = _setup(N=400)
+    lml = SL.make_sparse_lml(wendland_anisotropic, nb, B, cg_iters=100,
+                             slq_degree=1, solver="mbcg")
+    val = float(jax.jit(lml)(jnp.asarray(hps), *args))
+    K = np.asarray(wendland_anisotropic(x, x, hps))
+    KV = K + np.diag(np.full(len(x), 1e-2))
+    m = y.mean()
+    alpha = np.linalg.solve(KV, y - m)
+    exact = -0.5 * ((y - m) @ alpha + np.linalg.slogdet(KV)[1]
+                    + len(x) * np.log(2 * np.pi))
+    assert abs(val - exact) / abs(exact) < 0.01
+
+
+def test_mbcg_gradient_matches_exact_dense():
+    """mBCG's stochastic-trace backward (probe-solve reuse) must agree with
+    the exact dense gradient within the probe-noise floor."""
+    x, y, hps, nb, B, args = _setup(N=400)
+    lml = SL.make_sparse_lml(wendland_anisotropic, nb, B, cg_iters=150,
+                             slq_degree=1, solver="mbcg")
+    v, g = jax.jit(jax.value_and_grad(lml))(jnp.asarray(hps), *args)
+
+    def dense_lml(h):
+        K = np.asarray(wendland_anisotropic(x, x, h))
+        KV = K + np.diag(np.full(len(x), 1e-2))
+        m = y.mean()
+        a = np.linalg.solve(KV, y - m)
+        return -0.5 * ((y - m) @ a + np.linalg.slogdet(KV)[1]
+                       + len(x) * np.log(2 * np.pi))
+
+    eps = 1e-6
+    fd = np.array([(dense_lml(hps + eps * np.eye(len(hps))[i])
+                    - dense_lml(hps - eps * np.eye(len(hps))[i])) / (2 * eps)
+                   for i in range(len(hps))])
+    # 32 probes: the trace estimator's own noise bounds the agreement
+    np.testing.assert_allclose(np.asarray(g), fd, rtol=0.05)
+    assert np.isfinite(float(v))
+
+
+def test_mbcg_sentinel_tiles_are_noops():
+    x, y, hps, nb, B, args = _setup(N=300, B=32)
+    rj, cj, *rest = args
+    lml = SL.make_sparse_lml(wendland_anisotropic, nb, B, cg_iters=120,
+                             slq_degree=1, solver="mbcg")
+    v1 = float(jax.jit(lml)(jnp.asarray(hps), rj, cj, *rest))
+    pad = 17
+    rj2 = jnp.concatenate([rj, jnp.full(pad, nb, jnp.int32)])
+    cj2 = jnp.concatenate([cj, jnp.full(pad, nb, jnp.int32)])
+    v2 = float(jax.jit(lml)(jnp.asarray(hps), rj2, cj2, *rest))
+    np.testing.assert_allclose(v1, v2, rtol=1e-10)
+
+
+def test_mbcg_variance_contract():
+    """with_variance returns the per-probe quadrature variance."""
+    x, y, hps, nb, B, args = _setup(N=300, B=32)
+    lml = SL.make_sparse_lml(wendland_anisotropic, nb, B, cg_iters=80,
+                             slq_degree=1, solver="mbcg", with_variance=True)
+    v, var = jax.jit(lml)(jnp.asarray(hps), *args)
+    assert np.isfinite(float(v)) and float(var) >= 0.0
