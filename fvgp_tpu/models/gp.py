@@ -286,8 +286,14 @@ class GP:
             warnings.warn(f"gp2Scale does not allow asynchronous training "
                           f"(method=`{method}`)! `asynchronous` set to False.")
         if self.gp2Scale and method not in ("mcmc", "bo"):
-            warnings.warn("gp2Scale enabled. Method switched to MCMC!")
-            method = "mcmc"
+            # the reference forces MCMC here (ref gp.py:947-949) because its
+            # sparse path has no gradient.  Our sparse LML is differentiable
+            # (ops/sparse_lml mBCG custom VJP), so gradient-based training
+            # stays available whenever the kernel is jax-traceable.
+            if not self.marginal_likelihood._sparse_traced_ready():
+                warnings.warn("gp2Scale enabled with a non-traceable kernel. "
+                              "Method switched to MCMC!")
+                method = "mcmc"
 
         _async_methods = {"hgdl", "mcmc", "adam", "bo"}
         if asynchronous and method not in _async_methods:
@@ -365,6 +371,13 @@ class GP:
                 return _ml.batched_neg_log_likelihood(P)
 
             batched_vg = ml.batched_value_and_grad_device()
+        elif (not user_provided_obj
+              and self.marginal_likelihood._sparse_traced_ready()):
+            ml = self.marginal_likelihood
+
+            def fused_vg(hps, _ml=ml):
+                val, grad = _ml.log_likelihood_value_and_gradient(hps)
+                return -val, -grad
 
         common = dict(
             objective_function=objective_function,

@@ -180,7 +180,7 @@ class GPMarginalLikelihood:
                 and self.likelihood._mode != "callable"
                 and bool(self.args.get("gp2Scale_traced_lml", True)))
 
-    def _sparse_lml_eval(self, hyperparameters):
+    def _sparse_lml_eval(self, hyperparameters, want_grad=False):
         from ..ops.sparse_lml import make_padded_inputs, make_sparse_lml
         from ..parallel.sharded_cov import (_bucket, _candidate_pairs,
                                             support_geometry)
@@ -231,13 +231,23 @@ class GPMarginalLikelihood:
                                   solver_dtype=sdt, solver=solver)
             # one jitted fn across occupancy buckets: jit's own shape cache
             # keeps every bucket's program warm as the hp moves change T_pad
-            fn = jax.jit(lml)
-            entry = (fn, kern_fn, xb, mask, y_pad, ypad_mask, noise_pad, 0)
+            entry = {"fn": jax.jit(lml), "vg": None, "lml": lml,
+                     "kern_fn": kern_fn, "xb": xb, "mask": mask,
+                     "y_pad": y_pad, "ypad_mask": ypad_mask,
+                     "noise_pad": noise_pad, "counter": 0}
             self._sparse_cache = {key: entry}
-        fn, kern_fn, xb, mask, y_pad, ypad_mask, noise_pad, counter = entry
-        rng_key = jax.random.fold_in(jax.random.PRNGKey(42), counter)
-        self._sparse_cache[key] = (fn, kern_fn, xb, mask, y_pad, ypad_mask,
-                                   noise_pad, counter + 1)
+        if want_grad and entry["vg"] is None:
+            # the differentiable sparse LML (no reference equivalent: its
+            # sparse training is MCMC/BO only, gp_marginal_likelihood.py:240)
+            entry["vg"] = jax.jit(jax.value_and_grad(entry["lml"],
+                                                     has_aux=True))
+        fn = entry["vg"] if want_grad else entry["fn"]
+        kern_fn = entry["kern_fn"]
+        xb, mask = entry["xb"], entry["mask"]
+        y_pad, ypad_mask = entry["y_pad"], entry["ypad_mask"]
+        noise_pad = entry["noise_pad"]
+        rng_key = jax.random.fold_in(jax.random.PRNGKey(42), entry["counter"])
+        entry["counter"] += 1
 
         # exact-sparsity pass: the box prune is loose (boxes overlap even
         # when no point pair is inside the support), so drop exact-zero
@@ -287,12 +297,19 @@ class GPMarginalLikelihood:
         cols_p[:len(cols_f)] = cols_f
         Z = jax.random.rademacher(rng_key, (nb * B, probes), dtype=dtype)
         Z = Z * ypad_mask[:, None]
-        val, var = fn(hps_dev,
-                      jnp.asarray(rows_p), jnp.asarray(cols_p),
-                      xb, mask, y_pad, ypad_mask, noise_pad, Z)
+        out = fn(hps_dev,
+                 jnp.asarray(rows_p), jnp.asarray(cols_p),
+                 xb, mask, y_pad, ypad_mask, noise_pad, Z)
+        if want_grad:
+            (val, var), grad = out
+        else:
+            val, var = out
         self.kv.last_logdet_variance = float(var)
         self.kv.last_logdet_info = {"variance": float(var),
                                     "num_samples": probes, "degree": degree}
+        if want_grad:
+            return float(val), np.asarray(config.to_numpy(grad),
+                                          dtype=np.float64)
         return float(val)
 
     # ------------------------------------------------------------------
@@ -398,14 +415,31 @@ class GPMarginalLikelihood:
             _, vg = self._get_traced()
             val, grad = vg(config.asarray(hyperparameters))
             return float(val), config.to_numpy(grad)
+        if self._sparse_traced_ready():
+            # differentiable gp2Scale LML (mBCG custom VJP) — the reference
+            # has NO sparse gradient and restricts training to MCMC/BO
+            val, grad = self._sparse_lml_eval(hyperparameters, want_grad=True)
+            if not np.isfinite(val):
+                return -np.inf, np.zeros_like(hyperparameters, dtype=float)
+            return val, grad
         val = self.log_likelihood(hyperparameters)
         grad = -self.neg_log_likelihood_gradient(hyperparameters)
         return val, np.asarray(grad)
 
     def neg_log_likelihood_gradient(self, hyperparameters=None, component=0):
-        """Gradient of -L (ref gp_marginal_likelihood.py:224)."""
+        """Gradient of -L (ref gp_marginal_likelihood.py:224).  Under
+        gp2Scale the gradient exists HERE (traced mBCG sparse LML) whenever
+        the kernel is traceable — the reference raises unconditionally."""
         if self.gp2Scale:
-            raise Exception("Can't compute neg_log_likelihood_gradient for gp2Scale")
+            if self._sparse_traced_ready():
+                hps = (self.hyperparameters if hyperparameters is None
+                       else hyperparameters)
+                _, grad = self._sparse_lml_eval(np.asarray(hps),
+                                                want_grad=True)
+                return -grad
+            raise Exception("Can't compute neg_log_likelihood_gradient for "
+                            "gp2Scale with a non-traceable (host numpy) "
+                            "kernel")
         if hyperparameters is not None and self._traced_ready():
             _, vg = self._get_traced()
             _, grad = vg(config.asarray(np.asarray(hyperparameters)))

@@ -205,9 +205,20 @@ def test_gp2scale_slq_lml_close_to_exact():
 
 
 def test_gp2scale_training_guard():
+    """The MCMC fallback (the reference's unconditional behavior,
+    ref gp.py:947-949) now fires only when the kernel is a host numpy
+    callable — a traceable kernel keeps gradient methods available."""
     x, y = _sparse_dataset(n=400)
+
+    def host_kernel(x1, x2, hps):           # numpy -> not jax-traceable
+        d = np.linalg.norm(x1[:, None, :] / hps[1:] - x2[None, :, :] / hps[1:],
+                           axis=-1)
+        return hps[0] * np.maximum(1.0 - d, 0.0) ** 2
+
     gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
-            args={"gp2Scale_block_size": 128})
+            kernel_function=host_kernel,
+            args={"gp2Scale_block_size": 128,
+                  "gp2Scale_lengthscales": lambda h: h[1:]})
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         gp.train(method="local", max_iter=3,
@@ -309,3 +320,53 @@ def test_storage_dtype_bf16():
     np.testing.assert_allclose(
         np.asarray(gp.K.to_dense()).astype(np.float64), Kref, atol=1e-2)
     assert np.isfinite(gp.log_likelihood())
+
+
+def test_gp2scale_gradient_training_local():
+    """Gradient-based training under gp2Scale — the reference forces MCMC
+    here (ref gp.py:947-949) because its sparse path has no gradient; our
+    mBCG sparse LML is differentiable, so method='local' must run without
+    the method switch and improve the LML."""
+    import warnings as W
+    x, y = _sparse_dataset(n=1500, span=15.0)
+    gp = GP(x, y, init_hyperparameters=np.array([0.6, 1.8, 1.8]),
+            noise_variances=np.full(len(x), 1e-2), gp2Scale=True,
+            args={"gp2Scale_block_size": 64, "sparse_cg_maxiter": 80})
+    l0 = gp.log_likelihood()
+    bounds = np.array([[0.1, 5.0], [0.5, 5.0], [0.5, 5.0]])
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        gp.train(hyperparameter_bounds=bounds, method="local", max_iter=20)
+    assert not any("switched" in str(w.message).lower() for w in rec)
+    assert gp.log_likelihood() > l0
+
+
+def test_gp2scale_value_and_gradient_matches_fd():
+    """The public value_and_gradient under gp2Scale against central FD of
+    the value path (same probe sequence is NOT guaranteed, so the SLQ noise
+    floor bounds the comparison; lengthscale components dominate)."""
+    x, y = _sparse_dataset(n=1200, span=12.0)
+    gp = GP(x, y, init_hyperparameters=HPS,
+            noise_variances=np.full(len(x), 1e-2), gp2Scale=True,
+            args={"gp2Scale_block_size": 64, "sparse_cg_maxiter": 120,
+                  "random_logdet_fixed_probes": 64})
+    ml = gp.marginal_likelihood
+    v, g = ml.log_likelihood_value_and_gradient(HPS)
+    assert np.isfinite(v) and np.isfinite(g).all()
+    # FD oracle on the EXACT dense LML
+    from fvgp_tpu.kernels import wendland_anisotropic as wk
+    xd = np.asarray(gp.x_data)
+    yd = np.asarray(gp.y_data)[:, 0]
+
+    def dense_lml(h):
+        K = np.asarray(wk(xd, xd, h)) + np.diag(np.full(len(xd), 1e-2))
+        ym = yd - yd.mean()
+        s = np.linalg.solve(K, ym)
+        return -0.5 * (ym @ s + np.linalg.slogdet(K)[1]
+                       + len(xd) * np.log(2 * np.pi))
+
+    eps = 1e-6
+    fd = np.array([(dense_lml(HPS + eps * np.eye(3)[i])
+                    - dense_lml(HPS - eps * np.eye(3)[i])) / (2 * eps)
+                   for i in range(3)])
+    np.testing.assert_allclose(g, fd, rtol=0.05)
