@@ -65,21 +65,12 @@ def main():
     xb, mask, y_pad, ypad_mask, noise_pad = make_padded_inputs(
         x, y, noise, B, dtype=dtype)
 
-    # exact-sparsity pass: the box prune is loose (boxes overlap), so
-    # evaluate the candidate tiles once and drop the all-zero ones — the
+    # exact-sparsity pass: the box prune is loose (boxes overlap), so drop
+    # the tiles with no point pair inside the support (native C++ runtime;
+    # equivalent to max|k| > 0 for the compactly supported kernel) — the
     # surviving structure is reused for every timed evaluation
-    from fvgp_tpu.ops.sparse_lml import assemble_tiles
-    import jax.numpy as _jnp
-    keep_chunks = []
-    chunk = 2048
-    for s in range(0, len(rows_full), chunk):
-        t_chunk = assemble_tiles(
-            wendland_anisotropic, xb, mask,
-            _jnp.asarray(rows_full[s:s + chunk]),
-            _jnp.asarray(cols_full[s:s + chunk]),
-            _jnp.asarray(hps, dtype))
-        keep_chunks.append(np.asarray(_jnp.max(_jnp.abs(t_chunk), axis=(1, 2))) > 0)
-    keep = np.concatenate(keep_chunks)
+    from fvgp_tpu.native import tile_live
+    keep = tile_live(x / hps[1:], rows_full, cols_full, B, 1.0)
     log(f"zero-tile filter: {int(keep.sum())}/{len(rows_full)} tiles survive")
     rows_full = rows_full[keep]
     cols_full = cols_full[keep]

@@ -56,6 +56,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64]
         lib.candidate_pairs.restype = ctypes.c_int64
+        lib.tile_live.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint8)]
         _LIB = lib
     except Exception as exc:
         warnings.warn(f"fvgp_tpu native runtime unavailable ({exc}); "
@@ -131,3 +136,34 @@ def candidate_pairs(lo, hi, radius):
         if count <= cap:
             return rows[:count], cols[:count]
         cap = int(count)
+
+
+def tile_live(x_whitened, rows, cols, block_size, radius):
+    """Exact per-tile liveness: True where some point pair of blocks
+    (rows[t], cols[t]) lies within `radius` in the whitened coordinates.
+    Native (OpenMP, early-exit) if available, else a numpy block loop.
+    Sentinel indices (>= nb) come back dead."""
+    x = np.ascontiguousarray(x_whitened, dtype=np.float64)
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    n, d = x.shape
+    nb = -(-n // block_size)
+    out = np.zeros(len(rows), dtype=np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        lib.tile_live(_dptr(x), n, d, block_size, 
+                      rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                      cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                      len(rows), float(radius),
+                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out.astype(bool)
+    r2 = float(radius) ** 2
+    for t in range(len(rows)):
+        bi, bj = int(rows[t]), int(cols[t])
+        if bi >= nb or bj >= nb:
+            continue
+        a = x[bi * block_size:(bi + 1) * block_size]
+        b = x[bj * block_size:(bj + 1) * block_size]
+        d2 = np.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+        out[t] = bool(np.any(d2 < r2))
+    return out.astype(bool)

@@ -114,4 +114,42 @@ int64_t candidate_pairs(const double* lo, const double* hi, int64_t nb,
     return count;
 }
 
+// Exact per-tile liveness: tiles[t] = (block rows[t], block cols[t]) is
+// live iff SOME point pair sits within `radius` in whitened coordinates.
+// The bounding-box prune is loose (boxes overlap even when no pair is
+// inside the support); this is the tight check, with an early exit on the
+// first close pair (live tiles finish almost immediately).
+// `x` is the whitened (n, d) point array; padded tail handled by n.
+void tile_live(const double* x, int64_t n, int64_t d, int64_t block_size,
+               const int32_t* rows, const int32_t* cols, int64_t n_tiles,
+               double radius, uint8_t* out) {
+    const double r2 = radius * radius;
+    const int64_t nb = (n + block_size - 1) / block_size;
+#pragma omp parallel for schedule(dynamic, 16)
+    for (int64_t t = 0; t < n_tiles; ++t) {
+        const int64_t bi = rows[t];
+        const int64_t bj = cols[t];
+        if (bi >= nb || bj >= nb) { out[t] = 0; continue; }  // sentinel
+        const int64_t i0 = bi * block_size;
+        const int64_t i1 = std::min(n, i0 + block_size);
+        const int64_t j0 = bj * block_size;
+        const int64_t j1 = std::min(n, j0 + block_size);
+        uint8_t live = 0;
+        for (int64_t i = i0; i < i1 && !live; ++i) {
+            const double* xi = x + i * d;
+            for (int64_t j = j0; j < j1; ++j) {
+                const double* xj = x + j * d;
+                double dist2 = 0.0;
+                for (int64_t k = 0; k < d; ++k) {
+                    const double diff = xi[k] - xj[k];
+                    dist2 += diff * diff;
+                    if (dist2 >= r2) break;
+                }
+                if (dist2 < r2) { live = 1; break; }
+            }
+        }
+        out[t] = live;
+    }
+}
+
 }  // extern "C"

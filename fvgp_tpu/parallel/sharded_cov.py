@@ -245,19 +245,28 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
             return rp, cp, n_chunks
 
         if do_filter and n_sched:
-            # pass 1: per-tile liveness only (fixed shapes, one compiled
-            # program, tiny device->host outputs).  Survivor tiles are
-            # re-evaluated in pass 2 — ~1.5x the kernel evals, but zero
-            # tiles never occupy HBM and no varying-shape gather triggers
-            # a fresh (remote) compile per chunk.
-            rp, cp, nch = _sched_chunks(rows, cols, n_sched)
-            live_parts = []
-            for s in range(0, nch * chunk, chunk):
-                r_c = jnp.asarray(np.minimum(rp[s:s + chunk], nb1 - 1))
-                c_c = jnp.asarray(np.minimum(cp[s:s + chunk], nb2 - 1))
-                live_parts.append(_tile_live(kern_fn, x1b, x2b, m1, m2,
-                                             r_c, c_c, hps, block_size))
-            keep = np.concatenate([np.asarray(p) for p in live_parts])[:n_sched]
+            # pass 1: per-tile liveness only, so zero tiles never occupy
+            # HBM.  Symmetric priors use the exact geometric test in the
+            # native C++ runtime (a tile is live iff some point pair sits
+            # inside the support radius — equivalent to max|k| > 0 for
+            # compactly supported kernels, and the TPU stays free);
+            # rectangular blocks fall back to a device assembly pass with
+            # fixed shapes (no varying-shape gather -> no per-chunk
+            # recompile).
+            if symmetric and lengthscales is not None:
+                from ..native import tile_live
+                keep = tile_live(x1 / lengthscales, rows, cols, block_size,
+                                 radius)
+            else:
+                rp, cp, nch = _sched_chunks(rows, cols, n_sched)
+                live_parts = []
+                for s in range(0, nch * chunk, chunk):
+                    r_c = jnp.asarray(np.minimum(rp[s:s + chunk], nb1 - 1))
+                    c_c = jnp.asarray(np.minimum(cp[s:s + chunk], nb2 - 1))
+                    live_parts.append(_tile_live(kern_fn, x1b, x2b, m1, m2,
+                                                 r_c, c_c, hps, block_size))
+                keep = np.concatenate(
+                    [np.asarray(p) for p in live_parts])[:n_sched]
             rows = rows[keep]
             cols = cols[keep]
             n_sched = len(rows)

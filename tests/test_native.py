@@ -78,3 +78,51 @@ def test_structure_discovery_uses_native(lib, rng):
         nat._LIB = saved
     np.testing.assert_array_equal(r1, r2)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_tile_live_native_matches_numpy():
+    import fvgp_tpu.native as N
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 25, (1500, 3))
+    B = 64
+    nb = -(-len(x) // B)
+    rows = np.repeat(np.arange(nb), nb).astype(np.int32)
+    cols = np.tile(np.arange(nb), nb).astype(np.int32)
+    got = N.tile_live(x, rows, cols, B, 1.0)
+    # numpy oracle
+    r2 = 1.0
+    want = np.zeros(len(rows), bool)
+    for t in range(len(rows)):
+        a = x[rows[t] * B:(rows[t] + 1) * B]
+        b = x[cols[t] * B:(cols[t] + 1) * B]
+        d2 = np.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+        want[t] = bool(np.any(d2 < r2))
+    np.testing.assert_array_equal(got, want)
+    # sentinels dead
+    s = N.tile_live(x, np.array([nb], np.int32), np.array([0], np.int32),
+                    B, 1.0)
+    assert not s[0]
+
+
+def test_tile_live_agrees_with_kernel_maxabs():
+    """Geometric liveness == (max|wendland| > 0) for the compactly
+    supported kernel family (the production filter contract)."""
+    import jax.numpy as jnp
+    import fvgp_tpu.native as N
+    from fvgp_tpu.kernels import wendland_anisotropic
+    from fvgp_tpu.ops.sparse_lml import make_padded_inputs, tile_maxabs
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 40, (800, 2))
+    B = 32
+    nb = -(-len(x) // B)
+    hps = np.array([1.0, 1.3, 0.8])
+    rows = np.repeat(np.arange(nb), nb).astype(np.int32)
+    cols = np.tile(np.arange(nb), nb).astype(np.int32)
+    geo = N.tile_live(x / hps[1:], rows, cols, B, 1.0)
+    xb, mask, *_ = make_padded_inputs(x, np.zeros(len(x)),
+                                      np.full(len(x), 1e-2), B,
+                                      dtype=jnp.float64)
+    mx = np.asarray(tile_maxabs(wendland_anisotropic, xb, mask,
+                                jnp.asarray(rows), jnp.asarray(cols),
+                                jnp.asarray(hps)))
+    np.testing.assert_array_equal(geo, mx > 0)
