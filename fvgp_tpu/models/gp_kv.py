@@ -116,21 +116,48 @@ class GPkv:
             self.data.args = resolved
 
         self.linalg_mode = linalg_mode
-        self.KV = None
+        self._KV = None
+        self._KV_dirty = False
         self.KVinv = None
         self.Chol_factor = None
-        self.logdet_KV = None
+        self._KVinvY = None
+        self._logdet_KV = None
+        self._x0_hint = None
+        self._m_vec = None
         self.custom_obj = None
         self._reset_sparse_preconditioner()
 
-        K, V, m = self._get_KVm()
         if self.gp2Scale:
-            self.mode = self._set_gp2Scale_mode(self.addKV(K, V))
+            # mode selection needs the materialized covariance structure —
+            # resolved lazily together with KV (below)
+            self.mode = None
         elif linalg_mode is not None:
             self.mode = linalg_mode
         else:
             self.mode = "Chol"
         self._refresh(rank_n_update=False)
+
+    # ------------------------------------------------------------------
+    # lazy KV materialization (gp2Scale): the traced sparse LML assembles
+    # its own tiles in-trace, so the stored K/KV pair (~15 GB at N ~ 1M)
+    # is only built when a consumer (posterior solve, logdet, fingerprint)
+    # actually touches it
+    # ------------------------------------------------------------------
+    @property
+    def KV(self):
+        if self._KV is None and self._KV_dirty:
+            self._KV_dirty = False
+            K, V, m = self._get_KVm()
+            self._m_vec = m
+            kv_mat = self.addKV(K, V)
+            if self.mode is None:
+                self.mode = self._set_gp2Scale_mode(kv_mat)
+            self.set_KV(kv_mat)
+        return self._KV
+
+    @KV.setter
+    def KV(self, value):
+        self._KV = value
 
     # -- plumbing ----------------------------------------------------------
     @property
@@ -306,6 +333,16 @@ class GPkv:
 
     def _refresh(self, rank_n_update):
         from ..utils.logging import phase_timer
+        if self.gp2Scale:
+            # defer everything: KV materializes on first access, KVinvY /
+            # logdet on first use (the traced LML recomputes per step)
+            self._x0_hint = self._KVinvY if rank_n_update else None
+            self._KV = None
+            self._KV_dirty = True
+            self._KVinvY = None
+            self._logdet_KV = None
+            self._m_vec = None
+            return
         K, V, m = self._get_KVm()
         KV = self.addKV(K, V)
         with phase_timer(f"KV factorization ({self.mode}, "
@@ -314,10 +351,41 @@ class GPkv:
                 self.update_KV(KV)
             else:
                 self.set_KV(KV)
-        y_mean = jnp.asarray(self.y_data, dtype=config.linalg_dtype(self.args)) - m[:, None]
-        x0 = self.KVinvY if rank_n_update else None
-        self.KVinvY = jnp.reshape(self.solve(y_mean, x0=x0), y_mean.shape)
-        self.logdet_KV = self.logdet()
+        # KVinvY / logdet are LAZY: the traced training paths (dense and
+        # sparse) recompute both per step anyway, so eager evaluation at
+        # construction is pure waste — at N ~ 1M it is the difference
+        # between the public API fitting on one chip or OOMing.  The old
+        # solution survives as a warm-start hint for the next solve.
+        self._x0_hint = self._KVinvY if rank_n_update else None
+        self._m_vec = m
+        self._KVinvY = None
+        self._logdet_KV = None
+
+    @property
+    def KVinvY(self):
+        if self._KVinvY is None:
+            _ = self.KV        # materialize (also sets self._m_vec)
+            y_mean = jnp.asarray(
+                self.y_data, dtype=config.linalg_dtype(self.args)) \
+                - self._m_vec[:, None]
+            self._KVinvY = jnp.reshape(self.solve(y_mean, x0=self._x0_hint),
+                                       y_mean.shape)
+            self._x0_hint = None
+        return self._KVinvY
+
+    @KVinvY.setter
+    def KVinvY(self, value):
+        self._KVinvY = value
+
+    @property
+    def logdet_KV(self):
+        if self._logdet_KV is None:
+            self._logdet_KV = self.logdet()
+        return self._logdet_KV
+
+    @logdet_KV.setter
+    def logdet_KV(self, value):
+        self._logdet_KV = value
 
     # ------------------------------------------------------------------
     def set_KV(self, KV):
@@ -412,6 +480,9 @@ class GPkv:
         as compile-time constants (see ops.krylov)."""
         if is_block_sparse(KV):
             from ..parallel.block_sparse import bsm_matvec_factory
+            if KV.diag is not None:
+                fn = bsm_matvec_factory(KV.nb, KV.block_size, KV.n, True)
+                return fn, (KV.rows, KV.cols, KV.tiles, KV.diag)
             fn = bsm_matvec_factory(KV.nb, KV.block_size, KV.n, False)
             return fn, (KV.rows, KV.cols, KV.tiles)
         return krylov.dense_matvec, jnp.asarray(KV)
@@ -478,8 +549,15 @@ class GPkv:
         info = {}
         dtype = config.linalg_dtype(self.args)
         fn, data = self._matvec_op(KV)
+        # probe-batch memory: the block SpMM gathers (T, B, k) per matvec —
+        # clamp k so that temp stays under ~1 GB at N ~ 1M
+        batch = None
+        if is_block_sparse(KV):
+            T = int(KV.tiles.shape[0])
+            B = int(KV.block_size)
+            batch = max(4, min(32, (1 << 28) // max(T * B * 4, 1)))
         result = slq.slq_logdet(
-            fn, KV.shape[0], dtype=dtype, operator=data,
+            fn, KV.shape[0], dtype=dtype, operator=data, batch=batch,
             degree=int(self.args.get("random_logdet_lanczos_degree", 20)),
             min_num_samples=int(self.args.get("random_logdet_min_num_samples", 10)),
             max_num_samples=int(self.args.get("random_logdet_max_num_samples", 5000)),
@@ -555,7 +633,7 @@ class GPkv:
 
     def __getstate__(self):
         state = dict(self.__dict__)
-        for key in ("KV", "KVinv", "Chol_factor", "KVinvY"):
+        for key in ("_KV", "KVinv", "Chol_factor", "_KVinvY", "_m_vec"):
             val = state.get(key)
             if val is not None and not is_block_sparse(val):
                 state[key] = np.asarray(val)
@@ -564,7 +642,7 @@ class GPkv:
 
     def __setstate__(self, state):
         self.__dict__.update(state)
-        for key in ("KV", "KVinv", "Chol_factor", "KVinvY"):
+        for key in ("_KV", "KVinv", "Chol_factor", "_KVinvY", "_m_vec"):
             val = self.__dict__.get(key)
             if isinstance(val, np.ndarray):
                 setattr(self, key, jnp.asarray(val))

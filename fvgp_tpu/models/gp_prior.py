@@ -104,7 +104,37 @@ class GPprior:
         self._refresh_device_data()
         self._probe_traceability()
 
-        self.m, self.K = self._compute_prior(self.x_data, self.hyperparameters)
+        # LAZY under gp2Scale: assembling the block-sparse covariance at
+        # N ~ 1M costs tens of seconds and ~10 GB of HBM, and the traced
+        # sparse LML never reads it — materialize on first access instead
+        # (posteriors, direct K inspection).
+        self._m = None
+        self._K = None
+        if not self.gp2Scale:
+            self.m, self.K = self._compute_prior(self.x_data,
+                                                 self.hyperparameters)
+
+    @property
+    def m(self):
+        if self._m is None:
+            self._m, self._K = self._compute_prior(self.x_data,
+                                                    self.hyperparameters)
+        return self._m
+
+    @m.setter
+    def m(self, value):
+        self._m = value
+
+    @property
+    def K(self):
+        if self._K is None:
+            self._m, self._K = self._compute_prior(self.x_data,
+                                                    self.hyperparameters)
+        return self._K
+
+    @K.setter
+    def K(self, value):
+        self._K = value
 
     # -- plumbing properties (tier re-export, ref gp_prior.py:102-152) -----
     @property
@@ -185,10 +215,20 @@ class GPprior:
 
     def update_state_data(self):
         self._refresh_device_data()
-        self.m, self.K = self._compute_prior(self.x_data, self.hyperparameters)
+        if self.gp2Scale:
+            self._m = None
+            self._K = None
+        else:
+            self.m, self.K = self._compute_prior(self.x_data,
+                                                 self.hyperparameters)
 
     def update_state_hyperparameters(self):
-        self.m, self.K = self._compute_prior(self.x_data, self.hyperparameters)
+        if self.gp2Scale:
+            self._m = None
+            self._K = None
+        else:
+            self.m, self.K = self._compute_prior(self.x_data,
+                                                 self.hyperparameters)
 
     # ------------------------------------------------------------------
     # covariance / mean evaluation
@@ -380,15 +420,17 @@ class GPprior:
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_x_dev"] = None
-        state["m"] = np.asarray(self.m)
-        K = self.K
-        state["K"] = K if not hasattr(K, "device") else np.asarray(K)
+        if self._m is not None:
+            state["_m"] = np.asarray(self._m)
+        K = self._K
+        state["_K"] = K if (K is None or not hasattr(K, "device")) \
+            else np.asarray(K)
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._refresh_device_data()
-        if self.m is not None:
-            self.m = jnp.asarray(self.m)
-        if isinstance(self.K, np.ndarray):
-            self.K = jnp.asarray(self.K)
+        if self._m is not None:
+            self._m = jnp.asarray(self._m)
+        if isinstance(self._K, np.ndarray):
+            self._K = jnp.asarray(self._K)

@@ -89,7 +89,7 @@ class BlockSparseMatrix:
     blockwise scheduling, gp2Scale_covariance.py:278-287).
     """
 
-    def __init__(self, n, n_cols, block_size, rows, cols, tiles):
+    def __init__(self, n, n_cols, block_size, rows, cols, tiles, diag=None):
         self.n = int(n)                  # logical rows
         self.n_cols = int(n_cols)        # logical cols
         self.block_size = int(block_size)
@@ -98,6 +98,11 @@ class BlockSparseMatrix:
         self.rows = jnp.asarray(rows, dtype=jnp.int32)
         self.cols = jnp.asarray(cols, dtype=jnp.int32)
         self.tiles = jnp.asarray(tiles)
+        # optional extra diagonal, stored SEPARATELY from the tiles:
+        # K+V shares K's tile buffer instead of copying ~the whole matrix
+        # (at N ~ 1M that copy alone is half the HBM), and the noise keeps
+        # full precision even under bf16 tile storage
+        self.diag = None if diag is None else jnp.asarray(diag)
 
     # -- basic facts -----------------------------------------------------
     @property
@@ -128,6 +133,8 @@ class BlockSparseMatrix:
         else:
             out = _bsm_matmat(self.rows, self.cols, self.tiles, X,
                               self.nb, self.block_size)
+            if self.diag is not None:
+                out = out + self.diag[:, None] * X
         return out[:, 0] if squeeze else out
 
     __matmul__ = matmat
@@ -158,6 +165,8 @@ class BlockSparseMatrix:
                           preferred_element_type=X.dtype)
         out = jax.ops.segment_sum(prod, self.cols, num_segments=self.nb_cols)
         out = out.reshape(self.nb_cols * self.block_size, k)[: self.n_cols]
+        if self.diag is not None:
+            out = out + self.diag[:, None] * X
         return out[:, 0] if squeeze else out
 
     @property
@@ -165,37 +174,42 @@ class BlockSparseMatrix:
         """Transposed view (swaps the block grid)."""
         t = BlockSparseMatrix(self.n_cols, self.n, self.block_size,
                               self.cols, self.rows,
-                              jnp.swapaxes(self.tiles, 1, 2))
+                              jnp.swapaxes(self.tiles, 1, 2),
+                              diag=self.diag)
         return t
 
     # -- diagonal ops --------------------------------------------------
     def diagonal(self):
-        return _bsm_diagonal(self.rows, self.cols, self.tiles,
-                             self.nb, self.block_size, self.n)
+        d = _bsm_diagonal(self.rows, self.cols, self.tiles,
+                          self.nb, self.block_size, self.n)
+        if self.diag is not None:
+            d = d + self.diag
+        return d
 
     def add_diagonal(self, v):
-        """Return a new matrix with v added on the diagonal (K+V,
-        ref gp_kv.py:650-655)."""
+        """Return K + diag(v) as a VIEW sharing this matrix's tile buffer
+        (K+V, ref gp_kv.py:650-655) — no tile copy, and the diagonal keeps
+        its own (full) precision under reduced-precision tile storage."""
         if self.n != self.n_cols:
             raise AssertionError("add_diagonal requires a square matrix")
-        v = jnp.asarray(v, dtype=self.tiles.dtype)
-        n_pad = self.nb * self.block_size
-        vp = jnp.zeros((n_pad,), v.dtype).at[: self.n].set(v)
-        vb = vp.reshape(self.nb, self.block_size)
-        # `rows < nb` excludes padding sentinel tiles (rows == cols == nb)
-        diag_mask = (self.rows == self.cols) & (self.rows < self.nb)
-        idx = jnp.arange(self.block_size)
-        add = jnp.where(diag_mask[:, None], vb[self.rows], 0.0)
-        tiles = self.tiles.at[:, idx, idx].add(add)
+        v = jnp.broadcast_to(jnp.asarray(v), (self.n,))
+        d = v if self.diag is None else self.diag + v
         return BlockSparseMatrix(self.n, self.n_cols, self.block_size,
-                                 self.rows, self.cols, tiles)
+                                 self.rows, self.cols, self.tiles, diag=d)
 
     def trace_and_fro(self):
         """One pass over stored tiles: (trace, frobenius norm) for the
-        drift fingerprint (ref gp_kv.py:216-239)."""
+        drift fingerprint (ref gp_kv.py:216-239).  The extra diagonal is
+        folded in exactly: ||K+D||_F^2 = ||K||_F^2 + 2<diag K, d> + ||d||^2."""
         tr = jnp.sum(self.diagonal())
-        fro = jnp.sqrt(jnp.sum(self.tiles * self.tiles))
-        return tr, fro
+        acc = jnp.promote_types(self.tiles.dtype, jnp.float32)
+        fro2 = jnp.sum(self.tiles.astype(acc) ** 2)
+        if self.diag is not None:
+            base = _bsm_diagonal(self.rows, self.cols, self.tiles,
+                                 self.nb, self.block_size, self.n)
+            fro2 = fro2 + 2.0 * jnp.sum(base * self.diag) \
+                + jnp.sum(self.diag * self.diag)
+        return tr, jnp.sqrt(fro2)
 
     # -- conversions ---------------------------------------------------
     def to_dense(self):
@@ -210,7 +224,11 @@ class BlockSparseMatrix:
         dense = jnp.zeros((self.nb, self.nb_cols, B, B), out_dtype)
         dense = dense.at[self.rows, self.cols].add(self.tiles)
         dense = dense.transpose(0, 2, 1, 3).reshape(n_pad_r, n_pad_c)
-        return dense[: self.n, : self.n_cols]
+        dense = dense[: self.n, : self.n_cols]
+        if self.diag is not None:
+            i = jnp.arange(self.n)
+            dense = dense.at[i, i].add(self.diag.astype(dense.dtype))
+        return dense
 
     def toarray(self):
         return np.asarray(self.to_dense())
@@ -235,26 +253,38 @@ class BlockSparseMatrix:
                 self.tiles[jnp.asarray(sel)])
         dense = dense.transpose(0, 2, 1, 3).reshape(self.nb * B, width)
         lo = int(start) - cb0 * B
-        return dense[: self.n, lo:lo + (int(end) - int(start))]
+        dense = dense[: self.n, lo:lo + (int(end) - int(start))]
+        if self.diag is not None:
+            i = jnp.arange(int(start), int(end))
+            dense = dense.at[i, i - int(start)].add(
+                self.diag[int(start):int(end)].astype(dense.dtype))
+        return dense
 
     def diagonal_tiles(self):
         """(nb, B, B) stack of the diagonal tiles (block-Jacobi input).
         Missing diagonal tiles come back as zero blocks."""
         diag_mask = (self.rows == self.cols) & (self.rows < self.nb)
-        out = jnp.zeros((self.nb, self.block_size, self.block_size),
-                        self.tiles.dtype)
         contrib = jnp.where(diag_mask[:, None, None], self.tiles, 0.0)
         out = jax.ops.segment_sum(contrib, self.rows, num_segments=self.nb)
+        if self.diag is not None:
+            out = out.astype(jnp.promote_types(out.dtype, self.diag.dtype))
+            dp = jnp.zeros((self.nb * self.block_size,), self.diag.dtype)
+            dp = dp.at[: self.n].set(self.diag)
+            idx = jnp.arange(self.block_size)
+            out = out.at[:, idx, idx].add(
+                dp.reshape(self.nb, self.block_size))
         return out
 
     def __getstate__(self):
         return dict(n=self.n, n_cols=self.n_cols, block_size=self.block_size,
                     rows=np.asarray(self.rows), cols=np.asarray(self.cols),
-                    tiles=np.asarray(self.tiles))
+                    tiles=np.asarray(self.tiles),
+                    diag=None if self.diag is None else np.asarray(self.diag))
 
     def __setstate__(self, state):
         self.__init__(state["n"], state["n_cols"], state["block_size"],
-                      state["rows"], state["cols"], state["tiles"])
+                      state["rows"], state["cols"], state["tiles"],
+                      diag=state.get("diag"))
 
 
 def stack_augmented_covariance(K, B, D):

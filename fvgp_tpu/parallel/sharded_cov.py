@@ -141,6 +141,14 @@ def _compute_tiles(kernel_fn, x1b, x2b, mask1, mask2, rows, cols, hps,
     return jax.vmap(one)(rows, cols)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_tile_chunk(buf, part, start):
+    """In-place (donated) write of an assembled tile chunk into the final
+    buffer — keeps construction peak memory at one tile set + one chunk."""
+    return jax.lax.dynamic_update_slice(buf, part.astype(buf.dtype),
+                                        (start, 0, 0))
+
+
 @functools.partial(jax.jit, static_argnames=("kernel_fn", "block_size"))
 def _tile_live(kernel_fn, x1b, x2b, mask1, mask2, rows, cols, hps,
                block_size):
@@ -274,20 +282,70 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
         # pass 2 (or the only pass): assemble the scheduled tiles in
         # fixed-size sentinel-padded chunks — every call compiles the same
         # program regardless of how the occupancy moved ("dynamic sparsity
-        # under jit", SURVEY.md §7)
+        # under jit", SURVEY.md §7).  Chunks are written STRAIGHT into the
+        # final bucket-padded tile buffer with buffer donation — the old
+        # concatenate-then-mirror-then-pad pipeline held 2x the tile set
+        # live at its peak, which is the whole HBM budget at N ~ 1M.
+        if symmetric:
+            off_idx = np.nonzero(rows < cols)[0]
+        else:
+            off_idx = np.empty(0, dtype=np.int64)
+        total = n_sched + len(off_idx)
+        mesh = current_mesh()
+        n_dev = 1
+        if mesh is not None:
+            n_dev = int(np.prod(list(mesh.shape.values())))
+        padded = _bucket(max(total, 1))
+        # every chunk write must FIT: dynamic_update_slice clamps start
+        # indices, so an out-of-range write would silently land at the
+        # wrong offset and corrupt earlier tiles
+        n_mirror_chunks = -(-len(off_idx) // chunk) if len(off_idx) else 0
+        nch_main = max(-(-n_sched // chunk), 1)
+        padded = max(padded, nch_main * chunk,
+                     n_sched + n_mirror_chunks * chunk)
+        padded = -(-padded // n_dev) * n_dev
+        rows_final = np.full(padded, nb1, np.int32)
+        cols_final = np.full(padded, nb2, np.int32)
+        rows_final[:n_sched] = rows
+        cols_final[:n_sched] = cols
+        rows_final[n_sched:total] = cols[off_idx]
+        cols_final[n_sched:total] = rows[off_idx]
+
+        buf = jnp.zeros((padded, block_size, block_size),
+                        storage_dtype or dtype)
         rp, cp, nch = _sched_chunks(rows, cols, n_sched)
-        tiles_parts = []
-        for s in range(0, nch * chunk, chunk):
+        for st in range(0, nch * chunk, chunk):
             # sentinel indices clamp in the gather; the clamped block's
-            # values are irrelevant because these tiles are sliced off below
-            c = jnp.asarray(np.minimum(cp[s:s + chunk], nb2 - 1))
-            r_c = jnp.asarray(np.minimum(rp[s:s + chunk], nb1 - 1))
+            # garbage values are masked to zero before the write so the
+            # padding region stays exactly zero (fingerprints read it)
+            c = jnp.asarray(np.minimum(cp[st:st + chunk], nb2 - 1))
+            r_c = jnp.asarray(np.minimum(rp[st:st + chunk], nb1 - 1))
             part = _compute_tiles(kern_fn, x1b, x2b, m1, m2,
                                   r_c, c, hps, block_size)
-            if storage_dtype is not None:
-                part = part.astype(storage_dtype)
-            tiles_parts.append(part)
-        tiles = jnp.concatenate(tiles_parts)[:n_sched]
+            if st + chunk > n_sched:
+                live = np.arange(st, st + chunk) < n_sched
+                part = part * jnp.asarray(live, part.dtype)[:, None, None]
+            buf = _write_tile_chunk(buf, part, st)
+        # mirror the off-diagonal tiles by a chunked device transpose
+        for st in range(0, len(off_idx), chunk):
+            idx = off_idx[st:st + chunk]
+            real = len(idx)
+            if real < chunk:
+                idx = np.concatenate([idx, np.zeros(chunk - real, idx.dtype)])
+            g = jnp.swapaxes(buf[jnp.asarray(idx)], 1, 2)
+            if real < chunk:
+                live = np.arange(chunk) < real
+                g = g * jnp.asarray(live, g.dtype)[:, None, None]
+            buf = _write_tile_chunk(buf, g, n_sched + st)
+        result = BlockSparseMatrix(len(x1), len(x2), block_size,
+                                   rows_final, cols_final, buf)
+        shard_tiles(result, mesh)
+        from ..utils.logging import logger
+        logger.debug("covariance assembled: %d/%d tiles scheduled, block %d, "
+                     "fill %.4f, %s", total, nb1 * nb2, block_size,
+                     result.sparsity(),
+                     "sharded" if n_dev > 1 else "single-device")
+        return result
     else:
         # host kernel: the reference's arbitrary-kernel contract
         tiles_np = np.zeros((n_sched, block_size, block_size))
@@ -306,6 +364,7 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
             n_sched = len(rows)
         tiles = jnp.asarray(tiles_np, dtype=storage_dtype or dtype)
 
+    # ---- host-kernel tail: mirror + pad (small-N regime) -----------------
     if symmetric:
         # upper triangle scheduled; mirror below via a device transpose
         off_diag = rows < cols

@@ -42,7 +42,9 @@ def test_preconditioner_refresh_interval_cap(small_data):
     gp = _gp(small_data, linalg_mode="sparseCGpre",
              args={"sparse_preconditioner_refresh_interval": 3})
     kv = gp.kv
-    # construction's own solve already reused once (counter == 1)
+    # KVinvY is lazy: the first access runs construction's solve, which
+    # builds the preconditioner and reuses it once
+    kv.KVinvY
     assert kv.Preconditioner_reuse_counter == 1
     gp.marginal_likelihood.log_likelihood(HPS * 1.0001)  # reuse 2
     assert kv.Preconditioner_reuse_counter == 2
@@ -193,5 +195,6 @@ def test_log_likelihood_variance_contract(small_data):
     gp2 = GP(x, y, init_hyperparameters=HPS, linalg_mode="sparseCG",
              args={"random_logdet_min_num_samples": 16,
                    "random_logdet_max_num_samples": 64})
+    gp2.log_likelihood()     # logdet is lazy; evaluate the LML first
     v = gp2.marginal_likelihood.log_likelihood_variance()
     assert v is not None and v >= 0.0
