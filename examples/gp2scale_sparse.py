@@ -1,8 +1,13 @@
 """BASELINE config 5 — gp2Scale equivalent: compactly-supported Wendland
 covariance as Morton-ordered block-sparse tiles sharded over the device
-mesh, trained over the traced sparse LML (CG + SLQ in one compiled
-program).  Scale N up on real hardware; this script sizes itself modestly
-so it runs anywhere."""
+mesh, trained over the traced sparse LML (the fused mBCG solver: one
+preconditioned CG yields the solve AND the logdet, with a gradient).
+Because the sparse LML is differentiable here, GRADIENT-based training
+(method="local"/"adam") works at scale — the reference restricts this
+regime to MCMC/BO.  Scale N up on real hardware (the public API runs
+N=1,000,000 on one TPU chip with args={"gp2Scale_storage_dtype":
+"bfloat16", "gp2Scale_solver_dtype": "bfloat16"}); this script sizes
+itself modestly so it runs anywhere."""
 
 import numpy as np
 
@@ -10,7 +15,10 @@ from fvgp_tpu import GP
 from fvgp_tpu.parallel import mesh
 
 
-def main(n=20_000, neighbors=40, support=2.0):
+def main(n=None, neighbors=40, support=2.0):
+    if n is None:
+        import jax
+        n = 20_000 if jax.default_backend() != "cpu" else 5_000
     rng = np.random.default_rng(3)
     # size the domain so each point has ~`neighbors` others inside the
     # kernel support — the regime compactly-supported covariance is for
@@ -27,10 +35,12 @@ def main(n=20_000, neighbors=40, support=2.0):
               f"{K.block_size}x{K.block_size}, fill {K.sparsity():.4f}, "
               f"devices {len(K.tiles.sharding.device_set)}")
         print("LML:", gp.log_likelihood())
-        gp.train(method="mcmc", max_iter=100,
+        # gradient-based training on the differentiable sparse LML
+        gp.train(method="local", max_iter=40,
                  hyperparameter_bounds=np.array([[0.5, 2.0], [1.5, 4.0],
                                                  [1.5, 4.0], [1.5, 4.0]]))
-        print("trained hps:", gp.hyperparameters)
+        print("trained hps:", gp.hyperparameters,
+              " LML:", gp.log_likelihood())
         xp = rng.uniform(0, span, (5, 3))
         print("posterior mean:", np.round(gp.posterior_mean(xp)["m(x)"], 4))
         print("truth:        ", np.round(np.sin(0.2 * xp[:, 0]), 4))

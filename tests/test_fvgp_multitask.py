@@ -147,3 +147,22 @@ def test_deep_kernel_gp_trains(rng):
     # FD reference is noisy on this high-curvature surface; compare vectors
     fd, an = gp.test_log_likelihood_gradient(init, epsilon=1e-7)
     assert np.linalg.norm(fd - an) / np.linalg.norm(fd) < 0.02
+
+
+def test_fvgp_gp2scale_multitask():
+    """Multi-task + gp2Scale: the Wendland kernel runs over the fused
+    (x, task) product space with block-sparse tiles (the reference supports
+    this combination through the same fusion, fvgp.py:214-231)."""
+    from fvgp_tpu import fvGP
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 25, (400, 2))
+    y = np.stack([np.sin(x[:, 0]), np.cos(x[:, 1])], axis=1)
+    gp = fvGP(x, y, init_hyperparameters=np.array([1.0, 1.5, 1.5, 1.0]),
+              gp2Scale=True, args={"gp2Scale_block_size": 64})
+    assert len(gp.x_data) == 800          # task-fused
+    assert np.isfinite(gp.log_likelihood())
+    xp = x[:5] + 0.02
+    pm = gp.posterior_mean(xp, x_out=np.array([0, 1]))["m(x)"]
+    truth = np.stack([np.sin(xp[:, 0]), np.cos(xp[:, 1])], axis=1)
+    assert pm.shape == (5, 2)
+    np.testing.assert_allclose(pm, truth, atol=0.15)
