@@ -276,18 +276,24 @@ def default_matern_ard(x1, x2, hyperparameters):
 # ---------------------------------------------------------------------------
 
 def wasserstein_1d(a, b):
-    """W₁ between two empirical 1-d samples of equal length: mean |sorted
-    difference| (ref kernels.py:843)."""
-    a = jnp.sort(jnp.asarray(a).ravel())
-    b = jnp.sort(jnp.asarray(b).ravel())
+    """W₁ between two (unnormalized) 1-d measures of equal length: each is
+    normalized by its sum, then mean |sorted difference| (ref
+    kernels.py:843)."""
+    a = jnp.asarray(a).ravel()
+    b = jnp.asarray(b).ravel()
+    a = jnp.sort(a / jnp.sum(a))
+    b = jnp.sort(b / jnp.sum(b))
     return jnp.mean(jnp.abs(a - b))
 
 
 def wasserstein_1d_outer_vec(a, b):
-    """Pairwise W₁ distance matrix between two batches of 1-d samples:
-    a (N1, S), b (N2, S) → (N1, N2) (ref kernels.py:865)."""
-    a = jnp.sort(jnp.atleast_2d(jnp.asarray(a)), axis=1)
-    b = jnp.sort(jnp.atleast_2d(jnp.asarray(b)), axis=1)
+    """Pairwise W₁ distance matrix between two batches of unnormalized 1-d
+    measures: rows are normalized by their sums first; a (N1, S), b (N2, S)
+    → (N1, N2) (ref kernels.py:865)."""
+    a = jnp.atleast_2d(jnp.asarray(a))
+    b = jnp.atleast_2d(jnp.asarray(b))
+    a = jnp.sort(a / jnp.sum(a, axis=1, keepdims=True), axis=1)
+    b = jnp.sort(b / jnp.sum(b, axis=1, keepdims=True), axis=1)
     return jnp.mean(jnp.abs(a[:, None, :] - b[None, :, :]), axis=-1)
 
 
@@ -303,16 +309,19 @@ def bump(d, r, beta=1., ampl=1.):
 
 
 def sle_kernel(x1, x2, hps, args):
-    """Sparse landmark-embedding kernel (ref kernels.py:921).
+    """Sparse-landmark-embedding kernel (ref kernels.py:921): embed points
+    by bump-function similarity to the training locations ``args['x_data']``
+    (falling back to ``args['landmarks']`` for an explicit landmark set),
+    then a squared-exponential kernel on the embedding space.
 
-    Embeds points by bump-function similarity to a landmark set
-    ``args['landmarks']`` and returns the (compactly supported) linear
-    kernel of the embeddings, scaled by hps[0]; hps[1] is the bump radius,
-    hps[2] the bump sharpness.
+    hps = [amplitude, bump radius, bump sharpness beta, length_scale] —
+    the reference's 4-hyperparameter signature.
     """
-    landmarks = jnp.asarray(args["landmarks"])
+    landmarks = jnp.asarray(args["x_data"] if "x_data" in args
+                            else args["landmarks"])
     d1 = get_distance_matrix(x1, landmarks)
     d2 = get_distance_matrix(x2, landmarks)
     e1 = bump(d1, hps[1], beta=hps[2])
     e2 = bump(d2, hps[1], beta=hps[2])
-    return hps[0] * (e1 @ e2.T)
+    D = get_distance_matrix(e1, e2)
+    return hps[0] * jnp.exp(-D ** 2 / hps[3])

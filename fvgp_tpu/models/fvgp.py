@@ -84,14 +84,22 @@ class fvGP(GP):
             raise AssertionError("Wrong format in y_new.")
         if len(x_new) != len(y_new):
             raise AssertionError("updated x and y do not have the same lengths.")
+        if append and noise_variances_new is not None \
+                and not isinstance(noise_variances_new, np.ndarray):
+            raise AssertionError("noise_variances_new must be np.ndarray")
+        # transform + base update FIRST — if base validation raises (e.g.
+        # noise provided at init but absent here) the multi-task bookkeeping
+        # must stay untouched (round-1 advisor finding: inconsistent state)
+        x_data, y_data, noise_variances = self._transform_index_set2(
+            x_new, y_new, noise_variances_new)
+        super().update_gp_data(x_data, y_data, noise_variances, append=append,
+                               rank_n_update=rank_n_update)
         if append:
             if noise_variances_new is not None:
-                if not isinstance(noise_variances_new, np.ndarray):
-                    raise AssertionError("noise_variances_new must be np.ndarray")
                 fvgp_noise_variances = np.vstack([self.fvgp_noise_variances,
                                                   noise_variances_new])
             else:
-                fvgp_noise_variances = None
+                fvgp_noise_variances = self.fvgp_noise_variances
             if isinstance(x_new, np.ndarray):
                 fvgp_x_data = np.vstack([self.fvgp_x_data, x_new])
             else:
@@ -103,10 +111,6 @@ class fvGP(GP):
             fvgp_y_data = y_new
         self.data.set_fvgp_data(fvgp_x_data, fvgp_y_data, fvgp_noise_variances,
                                 np.arange(0, self.output_num))
-        x_data, y_data, noise_variances = self._transform_index_set2(
-            x_new, y_new, noise_variances_new)
-        super().update_gp_data(x_data, y_data, noise_variances, append=append,
-                               rank_n_update=rank_n_update)
 
     # ------------------------------------------------------------------
     def _transform_index_set2(self, x_data, y_data, noise_variances):

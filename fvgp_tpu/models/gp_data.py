@@ -62,6 +62,10 @@ class GPdata:
         self.x_old = self.y_old = self.noise_variances_old = None
         self.x_new = self.y_new = self.noise_variances_new = None
         self.point_number = len(x_data)
+        # monotone data-identity token: bumped on every update() so caches
+        # keyed on dataset content (e.g. the gp2Scale tile-liveness mask)
+        # can tell "same N, different points" apart from "unchanged data"
+        self.generation = 0
         self.ram_economy = ram_economy
         self.gp2Scale = gp2Scale
         self.gp2Scale_batch_size = gp2Scale_batch_size
@@ -146,6 +150,7 @@ class GPdata:
             if isinstance(noise_variances_new, np.ndarray):
                 self.noise_variances = np.append(self.noise_variances, noise_variances_new)
         self.point_number = len(self.x_data)
+        self.generation += 1
         self._check_for_nan()
 
     def _check_for_nan(self):
@@ -159,3 +164,5 @@ class GPdata:
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        if "generation" not in state:  # pickles from before the token existed
+            self.generation = 0

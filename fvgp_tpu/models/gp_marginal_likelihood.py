@@ -164,6 +164,10 @@ class GPMarginalLikelihood:
     def invalidate_traced(self):
         self._traced_key = None
         self._sparse_cache = {}
+        # the tile-liveness keep mask is a function of the dataset as well as
+        # the lengthscales — a stale mask after update_gp_data would silently
+        # drop live covariance tiles (corrupting LML and gradient)
+        self._filter_mask_cache = None
 
     # ------------------------------------------------------------------
     # traced sparse fast path (gp2Scale training hot loop)
@@ -265,8 +269,10 @@ class GPMarginalLikelihood:
             pair_key = rows_f.astype(np.int64) * (nb + 1) + cols_f
             ls_now = np.asarray(ls, dtype=np.float64)
             tol = float(args.get("gp2Scale_filter_drift", 0.05))
+            data_token = (self.data.point_number, self.data.generation)
             cache = getattr(self, "_filter_mask_cache", None)
             if (cache is not None
+                    and cache[2] == data_token
                     and np.all(np.abs(ls_now / cache[0] - 1.0) <= tol)):
                 # reuse: known-dead pairs stay dropped; candidates not seen
                 # at the reference lengthscales are conservatively kept
@@ -279,7 +285,8 @@ class GPMarginalLikelihood:
                 # pass at N=1M and it leaves the TPU free
                 from ..native import tile_live
                 keep = tile_live(x / ls_now, rows_f, cols_f, B, radius)
-                self._filter_mask_cache = (ls_now, np.sort(pair_key[~keep]))
+                self._filter_mask_cache = (ls_now, np.sort(pair_key[~keep]),
+                                           data_token)
             rows_f = rows_f[keep]
             cols_f = cols_f[keep]
 
@@ -541,3 +548,4 @@ class GPMarginalLikelihood:
         self._lml_vmap = None
         self._bvg_dev = None
         self._sparse_cache = {}
+        self._filter_mask_cache = None

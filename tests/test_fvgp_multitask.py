@@ -166,3 +166,26 @@ def test_fvgp_gp2scale_multitask():
     truth = np.stack([np.sin(xp[:, 0]), np.cos(xp[:, 1])], axis=1)
     assert pm.shape == (5, 2)
     np.testing.assert_allclose(pm, truth, atol=0.15)
+
+
+def test_update_gp_data_failed_validation_keeps_state(mt_data, rng):
+    """Regression (round-1 advisor, low): a failing base-class validation in
+    update_gp_data must not leave the multi-task bookkeeping mutated."""
+    x, y = mt_data
+    nv = np.full_like(y, 1e-2)
+    f = fvGP(x, y, init_hyperparameters=np.ones(4), noise_variances=nv)
+    x2 = rng.uniform(0, 5, (4, 2))
+    y2 = np.stack([np.sin(x2[:, 0]), np.cos(x2[:, 1]), x2[:, 0] * 0.1], axis=1)
+    with pytest.raises(Exception):
+        # noise was given at init, so omitting it here must raise ...
+        f.update_gp_data(x2, y2, append=True)
+    # ... and the object must be unchanged on every tier
+    np.testing.assert_array_equal(f.fvgp_x_data, x)
+    np.testing.assert_array_equal(f.fvgp_y_data, y)
+    np.testing.assert_array_equal(f.fvgp_noise_variances, nv)
+    assert f.data.point_number == 90
+    # a subsequent valid update works and stays consistent
+    f.update_gp_data(x2, y2, noise_variances_new=np.full_like(y2, 1e-2),
+                     append=True)
+    assert f.fvgp_x_data.shape == (34, 2)
+    assert f.data.point_number == 90 + 12

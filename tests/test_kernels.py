@@ -123,12 +123,16 @@ def test_nonstat_kernel_and_gradient(rng):
 
 
 def test_wasserstein():
+    # reference semantics (ref kernels.py:843): rows are UNNORMALIZED
+    # measures, normalized by their sums before sorting
     a = np.array([0.0, 1.0, 2.0])
     b = np.array([1.0, 2.0, 3.0])
-    assert abs(float(K.wasserstein_1d(a, b)) - 1.0) < 1e-12
+    an, bn = np.sort(a / a.sum()), np.sort(b / b.sum())
+    expected = np.mean(np.abs(an - bn))
+    assert abs(float(K.wasserstein_1d(a, b)) - expected) < 1e-12
     W = np.asarray(K.wasserstein_1d_outer_vec(np.stack([a, b]), np.stack([a, b])))
     assert W.shape == (2, 2)
-    assert abs(W[0, 1] - 1.0) < 1e-12 and abs(W[0, 0]) < 1e-12
+    assert abs(W[0, 1] - expected) < 1e-7 and abs(W[0, 0]) < 1e-12
 
 
 def test_bump_and_sle(rng):
@@ -137,10 +141,27 @@ def test_bump_and_sle(rng):
     assert vals[0] == 1.0  # ampl*exp(beta)*exp(-beta) at 0
     assert vals[3] == 0.0 and vals[4] == 0.0
     x = rng.uniform(0, 2, (6, 2))
-    lm = rng.uniform(0, 2, (3, 2))
-    S = np.asarray(K.sle_kernel(x, x, np.array([1.0, 1.5, 1.0]), {"landmarks": lm}))
+    lm = rng.uniform(0, 2, (4, 2))
+    # reference 4-hp signature [ampl, radius, beta, length_scale] with the
+    # embedding basis at args['x_data'] (ref kernels.py:921-956)
+    hps = np.array([1.0, 1.5, 1.0, 0.7])
+    S = np.asarray(K.sle_kernel(x, x, hps, {"x_data": lm}))
     eig = np.linalg.eigvalsh(S)
-    assert eig.min() > -1e-10
+    assert eig.min() > -1e-6
+    # numpy oracle of the reference formula
+    def np_bump(dd, r, beta):
+        a = 1.0 - dd ** 2 / r ** 2
+        out = np.zeros_like(dd)
+        i = a > 0
+        out[i] = np.exp(-beta / a[i] + beta)
+        return out
+    dmat = np.linalg.norm(x[:, None, :] - lm[None, :, :], axis=-1)
+    phi = np_bump(dmat, hps[1], hps[2])
+    D = np.linalg.norm(phi[:, None, :] - phi[None, :, :], axis=-1)
+    np.testing.assert_allclose(S, hps[0] * np.exp(-D ** 2 / hps[3]), atol=1e-6)
+    # landmarks key still accepted for an explicit landmark set
+    S2 = np.asarray(K.sle_kernel(x, x, hps, {"landmarks": lm}))
+    np.testing.assert_allclose(S, S2, atol=1e-12)
 
 
 def test_dot_product_family():

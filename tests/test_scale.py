@@ -239,6 +239,24 @@ def test_gp2scale_update_gp_data_append():
     np.testing.assert_allclose(Kd, Kref, atol=1e-12)
 
 
+def test_gp2scale_overwrite_invalidates_tile_filter():
+    """Regression (round-1 advisor, high): the tile-liveness keep mask was
+    keyed on lengthscale drift only, so update_gp_data(append=False) with an
+    unchanged block count reused a stale mask and silently dropped live
+    tiles.  The LML after an overwrite must match a fresh GP on the same
+    data."""
+    x1, y1 = _sparse_dataset(n=800, span=40.0, seed=3)
+    x2, y2 = _sparse_dataset(n=800, span=40.0, seed=11)
+    args = {"gp2Scale_block_size": 64}
+    gp = GP(x1, y1, init_hyperparameters=HPS, gp2Scale=True, args=dict(args))
+    _ = gp.log_likelihood()          # populates the filter-mask cache
+    gp.update_gp_data(x2, y2, append=False)
+    fresh = GP(x2, y2, init_hyperparameters=HPS, gp2Scale=True,
+               args=dict(args))
+    np.testing.assert_allclose(gp.log_likelihood(), fresh.log_likelihood(),
+                               rtol=1e-6)
+
+
 def test_rowwise_matches_blockwise():
     x, y = _sparse_dataset(n=500)
     gp1 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
