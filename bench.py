@@ -11,14 +11,85 @@ system on this host with scipy (CSR CG solve + sparse LU log-determinant,
 the reference's sparseLU/sparseMINRES machinery, gp_lin_alg.py:203-230,
 :1184-1291) — value only, since the reference has no sparse gradient.
 
-Prints one JSON line:
-  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N}
+On an accelerator backend a SECOND metric is emitted first: the north-star
+large-N run (N>=500k, HBM-guarded) through the PUBLIC ``GP`` API —
+construction + steady-state LML+gradient.  Its ``vs_baseline`` is the
+BASELINE.json north-star target (N=1M step < 10 s on a v5p-32 pod) divided
+by the measured single-chip step time: > 1 beats the pod target on one chip.
+
+The LAST stdout line stays the headline N=50k JSON metric (the driver's
+parse contract); the large-N metric is its own earlier JSON line.
 """
 
 import json
 import time
 
 import numpy as np
+
+
+def large_n_metric(log):
+    """North-star capture: N>=500k through the public GP API on one chip.
+    Returns the metric dict, or None when the phase must be skipped."""
+    import os
+
+    import jax
+
+    if os.environ.get("BENCH_LARGE", "1") != "1":
+        return None
+    if jax.default_backend() == "cpu" and "BENCH_LARGE_N" not in os.environ:
+        return None
+
+    N = int(os.environ.get("BENCH_LARGE_N", 0))
+    if N == 0:
+        # HBM guard: ~7.2 GB of bf16 solver traffic at N=1M (B=128);
+        # halve the problem when the chip reports less than 12 GB
+        limit = 0
+        try:
+            limit = int(jax.local_devices()[0].memory_stats()["bytes_limit"])
+        except Exception:
+            pass
+        N = 1_000_000 if (limit == 0 or limit >= 12e9) else 500_000
+    log(f"large-N phase: N={N}")
+
+    from fvgp_tpu import GP
+
+    rng = np.random.default_rng(1)
+    hps = np.array([1.0, 2.0, 2.0, 2.0])
+    span = (N * 4.19 * 2.0 ** 3 / 40.0) ** (1.0 / 3.0)   # ~40 support nbrs
+    x = rng.uniform(0, span, (N, 3))
+    y = np.sin(0.2 * x[:, 0]) + 0.05 * rng.standard_normal(N)
+
+    t0 = time.time()
+    gp = GP(x, y, init_hyperparameters=hps,
+            noise_variances=np.full(N, 1e-2), gp2Scale=True,
+            args={"gp2Scale_block_size": 128,
+                  "gp2Scale_solver_dtype": "bfloat16",
+                  "gp2Scale_storage_dtype": "bfloat16",
+                  "sparse_cg_maxiter": 48,
+                  "random_logdet_fixed_probes": 16})
+    log(f"GP construction (lazy prior): {time.time() - t0:.1f}s")
+
+    ml = gp.marginal_likelihood
+    t0 = time.time()
+    val, grad = ml.log_likelihood_value_and_gradient(hps)
+    log(f"first LML+grad (structure + compile): {time.time() - t0:.1f}s, "
+        f"lml={val:.2f}")
+    assert np.isfinite(val) and np.all(np.isfinite(grad))
+
+    n_evals = 5
+    t0 = time.time()
+    for i in range(n_evals):
+        val, grad = ml.log_likelihood_value_and_gradient(
+            hps * (1.0 + 1e-4 * (i + 1)))
+    per_eval = (time.time() - t0) / n_evals
+    log(f"steady state: {per_eval:.2f} s per LML+grad eval")
+    return {
+        "metric": f"public-API sparse LML+grad seconds/eval at N={N} "
+                  f"(gp2Scale path, one chip; north star: <10 s on v5p-32)",
+        "value": round(per_eval, 3),
+        "unit": "s/eval",
+        "vs_baseline": round(10.0 / per_eval, 2),
+    }
 
 
 def main():
@@ -179,6 +250,14 @@ def main():
     except Exception as exc:  # baseline must never sink the benchmark
         import sys
         print(f"baseline failed: {exc}", file=sys.stderr)
+
+    # the north-star large-N line first; the headline line stays LAST
+    try:
+        big = large_n_metric(log)
+        if big is not None:
+            print(json.dumps(big), flush=True)
+    except Exception as exc:       # the headline metric must never sink
+        log(f"large-N phase failed: {exc}")
 
     result = {
         "metric": f"sparse LML+grad evals/sec at N={N} (gp2Scale path, "

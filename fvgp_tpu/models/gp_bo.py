@@ -1,29 +1,35 @@
-"""Bayesian-optimization hyperparameter trainer
-(parity target: /root/reference/fvgp/gp_bo.py).
+"""Bayesian-optimization hyperparameter trainer.
 
-``method='bo'`` exists for the expensive / noisy / gradient-free LML regime
-(stochastic-Lanczos logdet + truncated CG), where repeated evaluations of the
-same hyperparameters disagree.  Contract preserved from the reference:
-per-dimension log/linear transform to the unit cube, Sobol initial design
-with warm start, inner GP surrogate (Matérn-5/2 ARD + diagonal-quadratic
-polynomial mean + known or learned homoscedastic noise), noisy-EI
-acquisition, multi-start acquisition maximization, scale-free patience
-convergence, noise-aware recommendation, Laplace theta-posterior and
-curvature sensitivity, and the ``bo_info`` dict keys.
+Contract target (NOT a port): /root/reference/fvgp/gp_bo.py:529-851 defines
+the behavior to match — ``method='bo'`` for the expensive / noisy /
+gradient-free LML regime (stochastic-Lanczos logdet + truncated CG), with a
+per-dimension log/linear search-space warp, a Sobol initial design seeded by
+the warm start, an inner GP surrogate (Matérn-5/2 ARD + diagonal-quadratic
+trend + known or learned homoscedastic noise), noisy expected improvement,
+value-and-location patience convergence, a noise-aware recommendation, a
+Laplace theta-posterior with curvature sensitivity, and the ``bo_info`` dict
+keys.
 
-TPU-first redesign: the surrogate's kernel/mean/noise are jnp functions, so
-its type-II ML training runs on the fused jitted ``value_and_grad`` — none
-of the reference's hand-derived kernel gradients (gp_bo.py:132-210) exist
-here.  The noisy-EI acquisition value *and* gradient are one jitted
-``jax.value_and_grad`` program over the surrogate's stored state, and the
-Laplace curvature is an exact ``jax.hessian`` instead of a 4-point stencil.
+TPU-first design decisions (no equivalent in the reference):
+
+* the surrogate's kernel/mean/noise are jnp functions, so its type-II ML
+  training runs on the fused jitted ``value_and_grad`` — none of the
+  reference's hand-derived kernel gradients exist here;
+* the noisy-EI acquisition is a pure function of the surrogate's committed
+  state, and its maximization is a **vmapped projected-Adam multistart**
+  compiled into ONE device program (`lax.scan` over lockstep ascent steps) —
+  the same device-multistart idiom as the HGDL-replacement trainer
+  (gp_training.py), replacing host-side scipy L-BFGS-B restarts;
+* the Laplace curvature is an exact ``jax.hessian``, not an FD stencil.
 """
 
+import dataclasses
 import warnings
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from scipy.stats import qmc
 
 from ..kernels import get_anisotropic_distance_matrix, matern_kernel_diff2
@@ -32,50 +38,66 @@ __all__ = ["bayesian_optimize", "default_initial_design_size"]
 
 
 def default_initial_design_size(dim, max_iter):
-    """Sobol design size: ~2(d+1) clipped into [5, 10d] and the budget
-    (ref gp_bo.py:104-112)."""
-    n_init = min(max(2 * (dim + 1), 5), max(10 * dim, 5))
-    return max(2, min(n_init, max_iter))
+    """Sobol design size: the ~2(d+1) rule of thumb clipped into [5, 10d]
+    and the evaluation budget (contract: ref gp_bo.py:104-112)."""
+    rule = min(max(2 * dim + 2, 5), max(10 * dim, 5))
+    return max(2, min(rule, max_iter))
 
 
-class _SearchTransform:
-    """Per-dimension log/affine map onto the unit cube
-    (ref gp_bo.py:45-98): log where bounds are strictly positive (scale-like
-    hyperparameters), identity elsewhere; overridable via ``log_scale``."""
+# ---------------------------------------------------------------------------
+# search space: unit-cube reparameterization
+# ---------------------------------------------------------------------------
 
-    def __init__(self, bounds, log_scale=None):
-        bounds = np.asarray(bounds, dtype=float)
-        positive = (bounds[:, 0] > 0.0) & (bounds[:, 1] > 0.0)
+@dataclasses.dataclass(frozen=True)
+class _SearchSpace:
+    """Unit-cube warp of the hyperparameter box.
+
+    Scale-like hyperparameters (strictly positive bounds) act
+    multiplicatively, so they are searched in log space; everything else
+    linearly.  ``log_scale`` overrides the positivity heuristic per
+    dimension; a log request on a box touching zero is refused with a
+    warning (contract: ref gp_bo.py:45-98).
+    """
+
+    log_mask: np.ndarray     # (D,) bool — searched logarithmically
+    origin: np.ndarray       # (D,) warped lower bound
+    width: np.ndarray        # (D,) warped span (>= tiny)
+
+    @staticmethod
+    def create(bounds, log_scale=None):
+        box = np.asarray(bounds, dtype=float)
+        loggable = np.all(box > 0.0, axis=1)
         if log_scale is None:
-            self.log_mask = positive
+            use_log = loggable
         else:
-            req = np.broadcast_to(np.asarray(log_scale, dtype=bool),
-                                  (len(bounds),)).copy()
-            impossible = req & ~positive
-            if np.any(impossible):
+            want = np.broadcast_to(np.asarray(log_scale, dtype=bool),
+                                   (len(box),))
+            refused = want & ~loggable
+            if refused.any():
                 warnings.warn(
                     f"log_scale requested for hyperparameter(s) "
-                    f"{list(np.flatnonzero(impossible))} whose bounds are not "
+                    f"{list(np.flatnonzero(refused))} whose bounds are not "
                     f"strictly positive; searched linearly instead.")
-            self.log_mask = req & positive
-        lo = np.where(self.log_mask,
-                      np.log(np.where(self.log_mask, bounds[:, 0], 1.0)),
-                      bounds[:, 0])
-        hi = np.where(self.log_mask,
-                      np.log(np.where(self.log_mask, bounds[:, 1], 1.0)),
-                      bounds[:, 1])
-        self.lo, self.hi = lo, hi
-        self.span = np.where(hi > lo, hi - lo, 1.0)
-        self.dim = len(bounds)
+            use_log = want & loggable
+        safe = np.where(loggable[:, None], box, 1.0)
+        warped = np.where(use_log[:, None], np.log(safe), box)
+        width = warped[:, 1] - warped[:, 0]
+        return _SearchSpace(use_log, warped[:, 0],
+                            np.where(width > 0.0, width, 1.0))
 
-    def to_unit(self, theta):
-        theta = np.atleast_2d(np.asarray(theta, dtype=float))
-        w = np.where(self.log_mask, np.log(np.clip(theta, 1e-300, None)), theta)
-        return np.clip((w - self.lo) / self.span, 0.0, 1.0)
+    @property
+    def dim(self):
+        return self.origin.size
 
-    def from_unit(self, u):
-        u = np.atleast_2d(np.asarray(u, dtype=float))
-        w = self.lo + np.clip(u, 0.0, 1.0) * self.span
+    def encode(self, theta):
+        """Hyperparameters → unit cube, rows of a 2-d array."""
+        th = np.atleast_2d(np.asarray(theta, dtype=float))
+        w = np.where(self.log_mask, np.log(np.maximum(th, 1e-300)), th)
+        return np.clip((w - self.origin) / self.width, 0.0, 1.0)
+
+    def decode(self, u):
+        """Unit cube → hyperparameters, rows of a 2-d array."""
+        w = self.origin + np.clip(np.atleast_2d(u), 0.0, 1.0) * self.width
         return np.where(self.log_mask, np.exp(w), w)
 
 
@@ -84,39 +106,43 @@ class _SearchTransform:
 # ---------------------------------------------------------------------------
 
 def _surrogate_kernel(x1, x2, hps):
-    """Matérn-5/2 ARD: hps[0] signal variance, hps[1:1+D] length scales
-    (ref gp_bo.py:115-126).  jnp, so the surrogate trains on jax.grad."""
+    """Matérn-5/2 ARD: hps[0] signal variance, hps[1:1+D] length scales.
+    jnp, so the surrogate trains on jax.grad."""
     d = get_anisotropic_distance_matrix(x1, x2, hps[1:1 + x1.shape[1]])
     return hps[0] * matern_kernel_diff2(d, 1.0)
 
 
-def _make_quadratic_mean(coef, dim):
-    coef = jnp.asarray(coef)
+def _poly_features(u):
+    """Diagonal-quadratic feature map [1, u, u²] — shared between the trend
+    fit and the trend evaluation so the two can never drift apart."""
+    u = jnp.atleast_2d(u)
+    return jnp.concatenate(
+        [jnp.ones((u.shape[0], 1), u.dtype), u, u * u], axis=1)
+
+
+def _quadratic_trend(u_data, y_data):
+    """Fit the diagonal-quadratic trend that absorbs the global bowl of the
+    likelihood surface.  Returns a prior-mean callable carrying its
+    coefficients, or None when the design cannot determine 1+2d
+    coefficients with headroom (contract: ref gp_bo.py:265-296)."""
+    n, d = u_data.shape
+    n_coef = 1 + 2 * d
+    if n < 2 * n_coef:
+        return None
+    F = np.asarray(_poly_features(jnp.asarray(u_data)))
+    try:
+        coef = np.linalg.lstsq(F, y_data, rcond=None)[0]
+    except np.linalg.LinAlgError:
+        return None
+    if not np.isfinite(coef).all():
+        return None
+    coef_dev = jnp.asarray(coef)
 
     def mean_f(x, hps):
-        x = jnp.atleast_2d(x)
-        feats = jnp.concatenate(
-            [jnp.ones((x.shape[0], 1), x.dtype), x, x ** 2], axis=1)
-        return feats @ coef
+        return _poly_features(jnp.asarray(x)) @ coef_dev
 
     mean_f.coefficients = np.asarray(coef)
     return mean_f
-
-
-def _fit_quadratic_coefficients(u_data, y_data, dim):
-    """Diagonal quadratic (1+2d coefficients) absorbing the global bowl of
-    the likelihood surface; None with too little data (ref gp_bo.py:265-296)."""
-    n_coef = 1 + 2 * dim
-    if len(u_data) < 2 * n_coef:
-        return None
-    design = np.hstack([np.ones((len(u_data), 1)), u_data, u_data ** 2])
-    try:
-        coef, *_ = np.linalg.lstsq(design, y_data, rcond=None)
-    except np.linalg.LinAlgError:
-        return None
-    if not np.all(np.isfinite(coef)):
-        return None
-    return coef
 
 
 def _make_learned_noise(dim):
@@ -126,13 +152,12 @@ def _make_learned_noise(dim):
 
 
 def _fit_surrogate(u_data, y_data, v_data, dim, train_max_iter):
-    """Inner exact GP on the evaluated points (ref gp_bo.py:306-394).
-    CholInv mode so the acquisition's variance_only einsum fast path is
-    available; autodiff supplies every gradient."""
+    """Inner exact GP on the evaluated points.  CholInv mode so the
+    acquisition's variance einsum fast path is available; autodiff supplies
+    every gradient."""
     from .gp import GP
 
-    coef = _fit_quadratic_coefficients(u_data, y_data, dim)
-    mean_f = _make_quadratic_mean(coef, dim) if coef is not None else None
+    mean_f = _quadratic_trend(u_data, y_data)
     if mean_f is not None:
         residual = y_data - np.asarray(mean_f(u_data, None))
     else:
@@ -145,7 +170,7 @@ def _fit_surrogate(u_data, y_data, v_data, dim, train_max_iter):
     bounds = np.vstack([[1e-4 * scale + 1e-12, 1e2 * scale + 1e-9],
                         np.tile([1e-2, 2.0], (dim, 1))])
     # nugget against near-duplicate design rows (a converged BO proposes
-    # points a whisker apart; ref gp_bo.py:342-356 documents the calibration)
+    # points a whisker apart)
     nugget = max(1e-7 * scale, 1e-12)
 
     kwargs = dict(kernel_function=_surrogate_kernel)
@@ -172,33 +197,34 @@ def _fit_surrogate(u_data, y_data, v_data, dim, train_max_iter):
 
 
 # ---------------------------------------------------------------------------
-# acquisition: noisy expected improvement as one jitted program
+# acquisition: noisy EI + its vmapped projected-Adam maximizer
 # ---------------------------------------------------------------------------
 
-def _make_acquisition(gp, y_best_samples, dim):
-    """Build (batched NEI values, NEI value_and_grad, posterior mean fn) as
-    jitted closures over the surrogate's committed state.
+def _make_acquisition(gp, y_best_samples, dim, ascent_steps, ascent_lr):
+    """Compile (batched NEI, one-program multistart ascender, posterior mean)
+    as jitted closures over the surrogate's committed state.
 
-    Replaces the reference's hand-derived dEI/dx (gp_bo.py:441-488) with
-    ``jax.value_and_grad`` through the posterior algebra — exact, and one
-    compiled program instead of five host matvecs.
+    The ascender runs ALL restarts in lockstep: a `lax.scan` of vmapped
+    value-and-grad Adam steps with projection onto the unit cube — one
+    compiled program per surrogate refit instead of a host optimizer loop.
     """
     x_data = jnp.asarray(np.asarray(gp.x_data, dtype=float))
     hps = jnp.asarray(np.asarray(gp.hyperparameters, dtype=float))
     kvinv_y = jnp.asarray(gp.kv.KVinvY)[:, 0]
     KVinv = jnp.asarray(gp.kv.KVinv)
     mean_f = getattr(gp, "_bo_mean_function", None)
-    coef = jnp.asarray(mean_f.coefficients) if mean_f is not None else None
+    coef = (jnp.asarray(mean_f.coefficients)
+            if mean_f is not None else None)
+    y_mean = float(np.mean(np.asarray(gp.y_data)[:, 0]))
     ybs = jnp.asarray(y_best_samples)
     floor = 1e-10 * max(float(hps[0]), 1e-300)
 
     def post_mean_var(u):
         k = _surrogate_kernel(x_data, u[None, :], hps)[:, 0]
         if coef is not None:
-            feats = jnp.concatenate([jnp.ones((1,), u.dtype), u, u ** 2])
-            prior = feats @ coef
+            prior = (_poly_features(u[None, :]) @ coef)[0]
         else:
-            prior = jnp.mean(jnp.asarray(np.asarray(gp.y_data))[:, 0])
+            prior = y_mean
         mean = prior + k @ kvinv_y
         var = hps[0] - k @ (KVinv @ k)
         return mean, jnp.maximum(var, floor)
@@ -206,279 +232,397 @@ def _make_acquisition(gp, y_best_samples, dim):
     def nei(u):
         mean, var = post_mean_var(u)
         std = jnp.sqrt(var)
-        imp = mean - ybs
-        z = imp / std
+        z = (mean - ybs) / std
         cdf = jax.scipy.stats.norm.cdf(z)
         pdf = jax.scipy.stats.norm.pdf(z)
-        return jnp.maximum(jnp.mean(imp * cdf + std * pdf), 0.0)
+        return jnp.maximum(jnp.mean((mean - ybs) * cdf + std * pdf), 0.0)
 
     nei_batch = jax.jit(jax.vmap(nei))
-    nei_vg = jax.jit(jax.value_and_grad(nei))
+    vg_batch = jax.vmap(jax.value_and_grad(nei))
+    opt = optax.adam(ascent_lr)
+
+    def ascend(U0):
+        def step(carry, _):
+            U, st = carry
+            _, G = vg_batch(U)
+            upd, st = opt.update(jax.tree_util.tree_map(jnp.negative, G), st)
+            U = jnp.clip(optax.apply_updates(U, upd), 0.0, 1.0)
+            return (U, st), None
+
+        (U, _), _ = jax.lax.scan(step, (U0, opt.init(U0)), None,
+                                 length=ascent_steps)
+        vals, _ = vg_batch(U)
+        return U, vals
+
+    ascend_jit = jax.jit(ascend)
     post_mean = jax.jit(lambda u: post_mean_var(u)[0])
-    return nei_batch, nei_vg, post_mean
+    return nei_batch, ascend_jit, post_mean
 
 
-def _maximize_acquisition(nei_batch, nei_vg, dim, rng, n_restarts, n_raw):
-    """Random pre-screen (one batched device call) + multi-start L-BFGS-B on
-    the exact jitted gradient (ref gp_bo.py:491-523)."""
-    from scipy.optimize import minimize
-
-    raw = rng.random((n_raw, dim))
-    vals = np.asarray(nei_batch(jnp.asarray(raw)))
-    starts = raw[np.argsort(-vals)[:n_restarts]]
-    best_u, best_v = starts[0], float(vals.max())
-
-    def objective(z):
-        v, g = nei_vg(jnp.asarray(z))
-        return -float(v), -np.asarray(g, dtype=np.float64)
-
-    for u0 in starts:
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            res = minimize(objective, u0, jac=True, method="L-BFGS-B",
-                           bounds=[(0.0, 1.0)] * dim)
-        if res.success and -res.fun > best_v:
-            best_v, best_u = -float(res.fun), np.clip(res.x, 0.0, 1.0)
-    return best_u, best_v
+def _propose(nei_batch, ascend, dim, rng, n_restarts, n_raw):
+    """Random pre-screen (one batched call) → top-k starts → one-program
+    lockstep ascent → best of {screened, ascended}."""
+    screen = rng.random((n_raw, dim))
+    screen_vals = np.asarray(nei_batch(jnp.asarray(screen)))
+    order = np.argsort(-screen_vals)[:max(1, n_restarts)]
+    U_fin, v_fin = ascend(jnp.asarray(screen[order]))
+    U_fin = np.asarray(U_fin)
+    v_fin = np.asarray(v_fin)
+    k = int(np.argmax(v_fin))
+    if float(v_fin[k]) >= float(screen_vals[order[0]]):
+        return np.clip(U_fin[k], 0.0, 1.0), float(v_fin[k])
+    return screen[order[0]], float(screen_vals[order[0]])
 
 
-def _laplace_posterior(post_mean, u_best, tf):
-    """Laplace theta-posterior from the surrogate curvature
-    (ref gp_bo.py:397-435), via exact jax.hessian instead of an FD stencil."""
-    neg_mean = lambda u: -post_mean(u)                      # noqa: E731
-    hess = np.asarray(jax.hessian(neg_mean)(jnp.asarray(u_best, dtype=jnp.float64)))
-    jac = np.diag(1.0 / tf.span)
-    hess_w = jac @ hess @ jac
-    hess_w = 0.5 * (hess_w + hess_w.T)
-    eig = np.linalg.eigvalsh(hess_w)
-    if not np.all(np.isfinite(hess_w)) or np.any(eig <= 0.0):
-        return None, hess_w
+def _laplace_posterior(post_mean, u_best, space):
+    """Laplace theta-posterior from the surrogate curvature (contract: ref
+    gp_bo.py:397-435) via exact jax.hessian."""
+    hess = np.asarray(jax.hessian(lambda u: -post_mean(u))(
+        jnp.asarray(u_best, dtype=jnp.float64)))
+    jac = np.diag(1.0 / space.width)
+    curv = jac @ hess @ jac
+    curv = 0.5 * (curv + curv.T)
+    if not np.isfinite(curv).all() or np.any(np.linalg.eigvalsh(curv) <= 0.0):
+        return None, curv
     try:
-        return np.linalg.inv(hess_w), hess_w
+        return np.linalg.inv(curv), curv
     except np.linalg.LinAlgError:
-        return None, hess_w
+        return None, curv
 
 
 # ---------------------------------------------------------------------------
 # the optimizer
 # ---------------------------------------------------------------------------
 
+_SETTING_DEFAULTS = dict(
+    seed=0, n_init=None, n_restarts=3, n_raw=512, n_incumbent_samples=64,
+    ei_tolerance=0.0, patience=10, f_rtol=1e-3, x_tol=1e-3, refit_every=1,
+    surrogate_train_max_iter=100, ascent_steps=80, ascent_lr=0.05,
+    noise_function=None, noise_variance=None, log_scale=None,
+)
+
+
+class _EvalLog:
+    """Preallocated record of every objective evaluation: unit-cube point,
+    hyperparameters, value, and (optional) reported variance."""
+
+    def __init__(self, capacity, dim):
+        self.u = np.empty((capacity, dim))
+        self.theta = np.empty((capacity, dim))
+        self.y = np.empty(capacity)
+        self.v = np.full(capacity, np.nan)
+        self.count = 0
+
+    def record(self, u, theta, value, variance):
+        i = self.count
+        self.u[i] = u
+        self.theta[i] = theta
+        self.y[i] = value
+        if variance is not None:
+            self.v[i] = variance
+        self.count = i + 1
+        return i
+
+    @property
+    def U(self):
+        return self.u[:self.count]
+
+    @property
+    def Y(self):
+        return self.y[:self.count]
+
+    @property
+    def best(self):
+        return int(np.argmin(self.Y))
+
+    def variances(self):
+        """Per-point variances for the surrogate: None when nothing was
+        reported; partial reports filled with the mean of what is known."""
+        v = self.v[:self.count]
+        known = v[np.isfinite(v)]
+        if known.size == 0:
+            return None
+        return np.where(np.isfinite(v), v, float(known.mean()))
+
+    def reported_noise(self):
+        v = self.v[:self.count]
+        known = v[np.isfinite(v)]
+        return float(known.mean()) if known.size else None
+
+
+class _BayesOpt:
+    """One BO run.  Host state lives here; every per-iteration numeric step
+    (surrogate posterior, acquisition, ascent) is a compiled device call."""
+
+    def __init__(self, objective, bounds, x0, max_iter, settings, info,
+                 callback, early_stop):
+        self.objective = objective
+        self.space = _SearchSpace.create(np.asarray(bounds, dtype=float),
+                                         log_scale=settings["log_scale"])
+        self.cfg = settings
+        self.max_iter = int(max_iter)
+        self.info = info
+        self.callback = callback
+        self.early_stop = early_stop
+        self.rng = np.random.default_rng(settings["seed"])
+        self.log = _EvalLog(self.max_iter, self.space.dim)
+        self.x0 = np.asarray(x0, dtype=float)
+        self.surrogate = None
+        self.post_mean_fn = None
+        self.ei_history = []
+        self.stopped_early = False
+        self.stopping_reason = "budget"
+        self._stall = 0
+        self._incumbent = (np.inf, None)   # (best value, best unit point)
+
+    # -- plumbing ----------------------------------------------------------
+    def _stop_requested(self):
+        return callable(self.early_stop) and self.early_stop()
+
+    def _known_variance(self, theta):
+        """Observation variance for the evaluation that just happened: the
+        caller's noise_function (e.g. the SLQ estimator's self-reported
+        spread) wins, then a fixed noise_variance, else unknown."""
+        nf = self.cfg["noise_function"]
+        if callable(nf):
+            v = nf(theta)
+            ok = v is not None and np.isfinite(v) and float(v) > 0.0
+            return float(v) if ok else None
+        fixed = self.cfg["noise_variance"]
+        return None if fixed is None else max(float(fixed), 1e-12)
+
+    def _evaluate(self, u_row, iteration):
+        theta = self.space.decode(u_row)[0]
+        value = float(self.objective(theta))
+        if not np.isfinite(value):
+            # a failed factorization / diverged solve must not poison the
+            # surrogate: stand in a large-but-finite penalty
+            value = np.finfo(float).max / 1e6
+        self.log.record(np.asarray(u_row, dtype=float), theta, value,
+                        self._known_variance(theta))
+        if callable(self.callback):
+            b = self.log.best
+            self.callback(self.log.theta[b], self.log.y[b], iteration,
+                          {"n_evaluations": self.log.count})
+        return value
+
+    # -- phases ------------------------------------------------------------
+    def _initial_design(self):
+        d = self.space.dim
+        n_init = self.cfg["n_init"]
+        if n_init is None:
+            n_init = default_initial_design_size(d, self.max_iter)
+        n_init = max(2, min(int(n_init), self.max_iter))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            design = qmc.Sobol(d=d, scramble=True,
+                               seed=int(self.cfg["seed"])).random(n_init)
+        design[0] = self.space.encode(self.x0)[0]      # warm start
+        if self.info:
+            print(f"fvgp_tpu bo: space-filling design of {n_init} points in "
+                  f"{d} hyperparameters (budget {self.max_iter})")
+        for i, row in enumerate(design):
+            if self._stop_requested():
+                self.stopped_early = True
+                return
+            self._evaluate(row, i)
+        if self.info and self.log.count:
+            print(f"fvgp_tpu bo: design complete, best f(x)= "
+                  f"{self.log.Y.min()}")
+
+    def _refit_if_due(self):
+        due = (self.surrogate is None
+               or self.log.count % max(1, int(self.cfg["refit_every"])) == 0)
+        if not due:
+            return True
+        try:
+            # the surrogate models the NEGATED objective (BO maximizes)
+            self.surrogate = _fit_surrogate(
+                self.log.U, -self.log.Y, self.log.variances(),
+                self.space.dim, int(self.cfg["surrogate_train_max_iter"]))
+            return True
+        except Exception as ex:
+            warnings.warn(f"Inner BO surrogate fit failed ({ex}); "
+                          f"stopping BO early.")
+            return False
+
+    def _incumbent_samples(self):
+        """Posterior samples of the best observed value (common random
+        numbers per iteration) — the 'noisy' in noisy EI."""
+        gp = self.surrogate
+        U = self.log.U
+        m = np.asarray(gp.posterior_mean(U)["m(x)"]).reshape(len(U))
+        v = np.asarray(gp.posterior_covariance(
+            U, variance_only=True)["v(x)"]).reshape(len(U))
+        draws = m[:, None] + np.sqrt(np.maximum(v, 1e-12))[:, None] \
+            * self.rng.standard_normal((len(U), self.cfg["n_incumbent_samples"]))
+        return np.max(draws, axis=0)
+
+    def _iterate(self):
+        """One BO step: refit → acquire → evaluate.  Returns False when the
+        loop must stop."""
+        if self._stop_requested():
+            self.stopped_early = True
+            self.stopping_reason = "stopped"
+            return False
+        if not self._refit_if_due():
+            return False
+
+        nei_batch, ascend, self.post_mean_fn = _make_acquisition(
+            self.surrogate, self._incumbent_samples(), self.space.dim,
+            int(self.cfg["ascent_steps"]), float(self.cfg["ascent_lr"]))
+        u_next, ei = _propose(nei_batch, ascend, self.space.dim, self.rng,
+                              int(self.cfg["n_restarts"]),
+                              int(self.cfg["n_raw"]))
+        self.ei_history.append(ei)
+        ei_tol = float(self.cfg["ei_tolerance"])
+        if ei_tol > 0.0 and ei < ei_tol:
+            self.stopping_reason = "ei_tolerance"
+            return False
+
+        latest = self._evaluate(u_next, self.log.count)
+        if self.info:
+            print(f"fvgp_tpu bo evaluation {self.log.count} of at most "
+                  f"{self.max_iter}: f(x)= {latest}, best= "
+                  f"{self.log.Y.min()}, EI was {ei}")
+        return not self._converged()
+
+    def _converged(self):
+        """Patience test on BOTH the best value and its location, judged
+        against the observed spread (scale-free: the LML may be huge,
+        negative, or near zero)."""
+        b = self.log.best
+        best_val = float(self.log.y[b])
+        best_u = self.log.u[b].copy()
+        spread = float(np.ptp(self.log.Y))
+        scale = spread if spread > 0.0 else max(abs(best_val), 1.0)
+        prev_val, prev_u = self._incumbent
+        gained = (prev_val - best_val) / scale
+        moved = (np.inf if prev_u is None
+                 else float(np.linalg.norm(best_u - prev_u)))
+        self._stall = (self._stall + 1
+                       if gained <= float(self.cfg["f_rtol"])
+                       and moved <= float(self.cfg["x_tol"]) else 0)
+        self._incumbent = (best_val, best_u)
+        patience = int(self.cfg["patience"])
+        if patience > 0 and self._stall >= patience:
+            self.stopping_reason = "converged"
+            return True
+        return False
+
+    # -- wrap-up -----------------------------------------------------------
+    def _recommend(self):
+        """Pick the answer.  Under REPORTED noise the smallest observation
+        is partly a lucky draw, so prefer the evaluated point with the best
+        surrogate posterior mean unless it is >3σ worse than the best
+        observation; a learned noise level never overrides observations
+        (it cannot separate estimator noise from surrogate misfit)."""
+        best_idx = self.log.best
+        reported = self.log.reported_noise()
+        learned = (getattr(self.surrogate, "_bo_learned_noise", None)
+                   if self.surrogate is not None else None)
+        if reported is not None:
+            noise_var, noise_learned = reported, False
+        elif learned is not None:
+            noise_var, noise_learned = float(learned), True
+        else:
+            noise_var, noise_learned = 0.0, False
+        if self.surrogate is not None and reported and noise_var > 0.0:
+            try:
+                U = self.log.U
+                m = np.asarray(self.surrogate.posterior_mean(U)["m(x)"]
+                               ).reshape(len(U))
+                cand = int(np.argmax(m))        # surrogate is negated
+                tol = 3.0 * np.sqrt(noise_var)
+                if self.log.y[cand] <= self.log.y[best_idx] + tol:
+                    best_idx = cand
+            except Exception:
+                pass
+        return best_idx, noise_var, noise_learned
+
+    def _diagnostics(self, best_idx):
+        """Sensitivity ranking + approximate theta-posterior, free from the
+        surrogate.  Curvature of the fitted surface is the honest ranking
+        (the quadratic trend saturates the ARD values); raw ARD exposed
+        separately."""
+        gp = self.surrogate
+        if gp is None:
+            return None, None, None, None, None
+        hps = np.asarray(gp.hyperparameters, dtype=float)
+        ard = hps[1:1 + self.space.dim]
+        post_cov = curv = sens = None
+        if self.post_mean_fn is not None:
+            try:
+                post_cov, curv = _laplace_posterior(
+                    self.post_mean_fn, self.log.u[best_idx], self.space)
+                if curv is not None:
+                    sens = np.abs(np.diag(curv))
+            except Exception:
+                pass
+        if sens is None:
+            sens = 1.0 / np.maximum(ard, 1e-12)
+        return hps, ard, sens, post_cov, curv
+
+    def run(self):
+        self._initial_design()
+        while self.log.count < self.max_iter and not self.stopped_early:
+            if not self._iterate():
+                break
+
+        best_idx, noise_var, noise_learned = self._recommend()
+        theta_best = np.asarray(self.log.theta[best_idx], dtype=float)
+        hps, ard, sens, post_cov, curv = self._diagnostics(best_idx)
+        if self.info:
+            print(f"fvgp_tpu bo finished after {self.log.count} evaluations "
+                  f"({self.stopping_reason}): f(x)= {self.log.y[best_idx]} "
+                  f"at {theta_best}")
+        bo_info = {
+            "x": theta_best,
+            "f(x)": float(self.log.y[best_idx]),
+            "trace x": self.log.theta[:self.log.count].copy(),
+            "trace f(x)": self.log.Y.copy(),
+            "trace u": self.log.U.copy(),
+            "n_evaluations": self.log.count,
+            "ei history": np.asarray(self.ei_history),
+            "surrogate hyperparameters": hps,
+            "ard length scales": ard,
+            "sensitivity": sens,
+            "posterior covariance": post_cov,
+            "curvature": curv,
+            "log-transformed dimensions": self.space.log_mask,
+            "stopped early": self.stopped_early,
+            "stopping reason": self.stopping_reason,
+            "observation noise variance": noise_var if noise_var > 0.0 else None,
+            "noise was learned": noise_learned,
+            "surrogate": self.surrogate,
+        }
+        return theta_best, bo_info
+
+
 def bayesian_optimize(objective_function, hyperparameter_bounds,
                       init_hyperparameters, max_iter=50, bo_args=None,
                       info=False, callback=None, early_stop=None):
     """Minimize ``objective_function`` over ``hyperparameter_bounds`` by
-    Bayesian optimization; returns (theta, bo_info)
-    (ref gp_bo.py:529-851; bo_info keys preserved)."""
+    Bayesian optimization; returns (theta, bo_info).
+
+    ``bo_args`` keys (contract: ref gp_bo.py:556-561): ``log_scale``,
+    ``n_init``, ``n_restarts``, ``n_raw``, ``n_incumbent_samples``,
+    ``seed``, ``noise_function``, ``noise_variance``,
+    ``surrogate_train_max_iter``, ``refit_every``, and the stopping
+    controls ``patience``, ``f_rtol``, ``x_tol``, ``ei_tolerance``; plus
+    the device-ascent knobs ``ascent_steps``/``ascent_lr`` (this
+    implementation's acquisition maximizer).  ``progress_callback`` /
+    ``stop_requested`` are the async-actor plumbing.
+    """
     a = dict(bo_args or {})
-    # async-actor plumbing
     if callback is None and "progress_callback" in a:
         pc = a.pop("progress_callback")
         callback = lambda th, f, i, st: pc(th, f)            # noqa: E731
     if early_stop is None and "stop_requested" in a:
         early_stop = a.pop("stop_requested")
+    settings = {k: a.get(k, v) for k, v in _SETTING_DEFAULTS.items()}
 
-    bounds = np.asarray(hyperparameter_bounds, dtype=float)
-    dim = len(bounds)
-    tf = _SearchTransform(bounds, log_scale=a.get("log_scale", None))
-    rng = np.random.default_rng(a.get("seed", 0))
-
-    n_init = (int(a["n_init"]) if "n_init" in a
-              else default_initial_design_size(dim, max_iter))
-    n_init = max(2, min(n_init, max_iter))
-    n_restarts = int(a.get("n_restarts", 3))
-    n_raw = int(a.get("n_raw", 512))
-    n_inc = int(a.get("n_incumbent_samples", 64))
-    ei_tol = float(a.get("ei_tolerance", 0.0))
-    patience = int(a.get("patience", 10))
-    f_rtol = float(a.get("f_rtol", 1e-3))
-    x_tol = float(a.get("x_tol", 1e-3))
-    refit_every = max(1, int(a.get("refit_every", 1)))
-    train_max_iter = int(a.get("surrogate_train_max_iter", 100))
-    noise_function = a.get("noise_function", None)
-    fixed_noise = a.get("noise_variance", None)
-
-    def _noise_for(theta):
-        """Known observation variance reported immediately after evaluation
-        (lets the SLQ estimator describe that specific evaluation,
-        ref gp.py:999-1016)."""
-        if callable(noise_function):
-            v = noise_function(theta)
-            if v is not None and np.isfinite(v) and float(v) > 0.0:
-                return float(v)
-            return None
-        if fixed_noise is not None:
-            return max(float(fixed_noise), 1e-12)
-        return None
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        u_init = qmc.Sobol(d=dim, scramble=True,
-                           seed=int(a.get("seed", 0))).random(n_init)
-    u_init[0] = tf.to_unit(init_hyperparameters)[0]
-
-    u_list, y_list, v_list, theta_list = [], [], [], []
-    stopped_early = False
-
-    def _evaluate(u_row, iteration):
-        theta = tf.from_unit(u_row)[0]
-        val = float(objective_function(theta))
-        if not np.isfinite(val):
-            val = np.finfo(float).max / 1e6
-        u_list.append(np.asarray(u_row, dtype=float))
-        theta_list.append(theta)
-        y_list.append(val)
-        v_list.append(_noise_for(theta))
-        if callable(callback):
-            best = int(np.argmin(y_list))
-            callback(theta_list[best], y_list[best], iteration,
-                     {"n_evaluations": len(y_list)})
-        return val
-
-    if info:
-        print(f"fvgp_tpu bo: space-filling design of {len(u_init)} points in "
-              f"{dim} hyperparameters (budget {max_iter})")
-    for i in range(len(u_init)):
-        if callable(early_stop) and early_stop():
-            stopped_early = True
-            break
-        _evaluate(u_init[i], i)
-    if info and y_list:
-        print(f"fvgp_tpu bo: design complete, best f(x)= {min(y_list)}")
-
-    gp = None
-    post_mean_fn = None
-    ei_history = []
-    n_eval = len(y_list)
-    stall = 0
-    previous_best = float(np.min(y_list)) if y_list else np.inf
-    previous_u = (np.asarray(u_list[int(np.argmin(y_list))])
-                  if y_list else None)
-    stopping_reason = "budget"
-
-    while n_eval < max_iter and not stopped_early:
-        if callable(early_stop) and early_stop():
-            stopped_early = True
-            stopping_reason = "stopped"
-            break
-        u_arr = np.asarray(u_list)
-        y_arr = -np.asarray(y_list)        # surrogate models the negated objective
-        if all(v is None for v in v_list):
-            v_arr = None
-        else:
-            known = [v for v in v_list if v is not None]
-            filler = float(np.mean(known))
-            v_arr = np.array([filler if v is None else v for v in v_list])
-
-        if gp is None or (n_eval % refit_every) == 0:
-            try:
-                gp = _fit_surrogate(u_arr, y_arr, v_arr, dim, train_max_iter)
-            except Exception as ex:
-                warnings.warn(f"Inner BO surrogate fit failed ({ex}); "
-                              f"stopping BO early.")
-                break
-
-        # incumbent posterior samples (common random numbers per iteration)
-        m_obs = np.asarray(gp.posterior_mean(u_arr)["m(x)"]).reshape(len(u_arr))
-        v_obs = np.asarray(gp.posterior_covariance(
-            u_arr, variance_only=True)["v(x)"]).reshape(len(u_arr))
-        s_obs = np.sqrt(np.maximum(v_obs, 1e-12))
-        y_best_samples = np.max(
-            m_obs[:, None] + s_obs[:, None] * rng.standard_normal(
-                (len(u_arr), n_inc)), axis=0)
-
-        nei_batch, nei_vg, post_mean_fn = _make_acquisition(gp, y_best_samples, dim)
-        u_next, ei = _maximize_acquisition(nei_batch, nei_vg, dim, rng,
-                                           n_restarts, n_raw)
-        ei_history.append(float(ei))
-
-        if ei_tol > 0.0 and ei < ei_tol:
-            stopping_reason = "ei_tolerance"
-            break
-
-        latest = _evaluate(u_next, n_eval)
-        n_eval = len(y_list)
-        if info:
-            print(f"fvgp_tpu bo evaluation {n_eval} of at most {max_iter}: "
-                  f"f(x)= {latest}, best= {min(y_list)}, EI was {ei}")
-
-        best_index = int(np.argmin(y_list))
-        current_best = float(y_list[best_index])
-        current_u = np.asarray(u_list[best_index])
-        observed_range = float(np.max(y_list) - np.min(y_list))
-        reference = observed_range if observed_range > 0.0 else max(
-            abs(current_best), 1.0)
-        gained = (previous_best - current_best) / reference
-        moved = (np.inf if previous_u is None
-                 else float(np.linalg.norm(current_u - previous_u)))
-        if gained <= f_rtol and moved <= x_tol:
-            stall += 1
-        else:
-            stall = 0
-        previous_best, previous_u = current_best, current_u
-        if patience > 0 and stall >= patience:
-            stopping_reason = "converged"
-            break
-
-    # --- recommendation (noise-aware; ref gp_bo.py:760-802) ----------------
-    y_arr = np.asarray(y_list)
-    u_arr = np.asarray(u_list)
-    best_idx = int(np.argmin(y_arr))
-    known = [v for v in v_list if v is not None]
-    noise_learned = False
-    if known:
-        noise_var = float(np.mean(known))
-    elif gp is not None and getattr(gp, "_bo_learned_noise", None) is not None:
-        noise_var = float(gp._bo_learned_noise)
-        noise_learned = True
-    else:
-        noise_var = 0.0
-    if gp is not None and known and noise_var > 0.0:
-        try:
-            m_obs = np.asarray(gp.posterior_mean(u_arr)["m(x)"]).reshape(len(u_arr))
-            cand = int(np.argmax(m_obs))
-            if y_arr[cand] <= y_arr[best_idx] + 3.0 * np.sqrt(noise_var):
-                best_idx = cand
-        except Exception:
-            pass
-    theta_best = np.asarray(theta_list[best_idx], dtype=float)
-
-    hps_surrogate, ard = None, None
-    sensitivity, posterior_cov, curvature = None, None, None
-    if gp is not None:
-        hps_surrogate = np.asarray(gp.hyperparameters, dtype=float)
-        ard = hps_surrogate[1:1 + dim]
-        if post_mean_fn is not None:
-            try:
-                posterior_cov, curvature = _laplace_posterior(
-                    post_mean_fn, u_arr[best_idx], tf)
-                if curvature is not None:
-                    sensitivity = np.abs(np.diag(curvature))
-            except Exception:
-                pass
-        if sensitivity is None:
-            sensitivity = 1.0 / np.maximum(ard, 1e-12)
-
-    if info:
-        print(f"fvgp_tpu bo finished after {len(y_list)} evaluations "
-              f"({stopping_reason}): f(x)= {y_arr[best_idx]} at {theta_best}")
-    bo_info = {
-        "x": theta_best,
-        "f(x)": float(y_arr[best_idx]),
-        "trace x": np.asarray(theta_list),
-        "trace f(x)": y_arr,
-        "trace u": u_arr,
-        "n_evaluations": len(y_list),
-        "ei history": np.asarray(ei_history),
-        "surrogate hyperparameters": hps_surrogate,
-        "ard length scales": ard,
-        "sensitivity": sensitivity,
-        "posterior covariance": posterior_cov,
-        "curvature": curvature,
-        "log-transformed dimensions": tf.log_mask,
-        "stopped early": stopped_early,
-        "stopping reason": stopping_reason,
-        "observation noise variance": noise_var if noise_var > 0.0 else None,
-        "noise was learned": noise_learned,
-        "surrogate": gp,
-    }
-    return theta_best, bo_info
+    run = _BayesOpt(objective_function, hyperparameter_bounds,
+                    init_hyperparameters, max_iter, settings, info,
+                    callback, early_stop)
+    return run.run()

@@ -1,13 +1,24 @@
-"""Adaptive-Metropolis MCMC (parity target: /root/reference/fvgp/gp_mcmc.py,
-Shaby & Wells adaptive-proposal scheme).
+"""Adaptive-Metropolis MCMC.
 
-The sampler itself is a host loop — Metropolis adaptation is inherently
-sequential — but each likelihood evaluation is one jitted device program
-(the traced LML), so the TPU sees a stream of identical compiled calls.
-Trace/`mcmc_info` contract matches the reference: MAP / max x / mean /
-median / var of the last 1% (gp_mcmc.py:169-179), default break condition on
-a stabilized 100-sample likelihood window (:183-193), per-block proposal
-distributions with acceptance-rate-targeted adaptation (:234-361).
+Contract target (NOT a port): /root/reference/fvgp/gp_mcmc.py — the
+``gpMCMC``/``ProposalDistribution`` API (per-block proposals over index
+subsets, the ``prop_args`` key contract ``prop_Sigma``/``sigma_m``, the
+``adapt(i, mcmc_obj)`` hook, the default 100-sample stability break, and the
+``mcmc_info`` trace dict with MAP / max x / mean / median / var of the last
+1%).
+
+Design here:
+
+* ``run_mcmc_vectorized`` is the PRIMARY sampler: C chains whose C marginal
+  likelihoods per step run as ONE batched device program (vmapped Cholesky
+  on the MXU).  Metropolis adaptation is inherently sequential (SURVEY.md
+  §7 hard part 6) — the chain axis is what the TPU amortizes.
+* Both samplers share one Robbins–Monro adaptation step (``shaby_update``,
+  Shaby & Wells' log-adaptive scheme targeting acceptance 0.234).
+* Documented deviation from the reference: the adapted step scale
+  ``sigma_m`` actually MULTIPLIES the proposal covariance, as the scheme
+  prescribes — the reference adapts ``sigma_m`` but never applies it, so
+  its acceptance rate is steered only through the shape matrix.
 """
 
 import time
@@ -16,81 +27,97 @@ import warnings
 import numpy as np
 
 
+def shaby_update(sigma_m, Sigma, accept_rate, window, step, K, *,
+                 r_opt=0.234, c_0=10.0, c_1=0.8, adapt_cov=True):
+    """One Robbins–Monro adaptation of (step scale, shape matrix).
+
+    The log step scale chases the target acceptance rate ``r_opt``; the
+    shape matrix relaxes toward the empirical covariance of the recent
+    sample ``window`` (rows = samples).  Gains decay as the step count
+    grows, so the chain's stationary distribution is preserved.
+    """
+    gain_cov = ((step / K) + 3.0) ** (-c_1)
+    gain_scale = c_0 * gain_cov
+    sigma_m = float(sigma_m) * np.exp(gain_scale * (accept_rate - r_opt))
+    if adapt_cov and window is not None and len(window) >= 2:
+        empirical = np.atleast_2d(np.cov(np.asarray(window).T))
+        if np.isfinite(empirical).all():
+            Sigma = Sigma + gain_cov * (empirical - Sigma)
+    return sigma_m, Sigma
+
+
 class ProposalDistribution:
-    """A proposal distribution over a subset of hyperparameter indices
-    (ref gp_mcmc.py:234)."""
+    """Proposal over a subset of hyperparameter indices (contract: ref
+    gp_mcmc.py:234-364).
+
+    ``proposal_dist(x_block, x_full, obj)`` draws the next block;
+    ``adapt(i, mcmc_obj)`` may mutate ``obj.prop_args`` every ``K`` steps.
+    The default is a Gaussian step with covariance
+    ``sigma_m * prop_Sigma`` and Shaby-adaptive updates of both factors.
+    """
 
     def __init__(self, indices, proposal_dist="normal", init_prop_Sigma=None,
                  adapt_callable=None, r_opt=.234, c_0=10, c_1=.8, K=10,
                  auto_accept=False, adapt_cov=True, prop_args=None, ID=None):
         self.indices = np.asarray(indices)
-        self.r_opt = r_opt
-        self.c_0 = c_0
-        self.c_1 = c_1
-        self.K = K
-        self.auto_accept = auto_accept
-        self.adapt_cov = adapt_cov
+        self.r_opt, self.c_0, self.c_1, self.K = r_opt, c_0, c_1, K
+        self.auto_accept = bool(auto_accept)
+        self.adapt_cov = bool(adapt_cov)
         self.ID = ID
-        dim = len(self.indices)
         self.jump_trace = []
+        block_dim = self.indices.size
 
-        if proposal_dist == "normal":
-            self.proposal_dist = self.normal_proposal_dist
-        elif callable(proposal_dist):
+        is_gaussian = proposal_dist == "normal"
+        if callable(proposal_dist):
             self.proposal_dist = proposal_dist
+        elif is_gaussian:
+            self.proposal_dist = self._gaussian_step
+            if init_prop_Sigma is None:
+                init_prop_Sigma = np.eye(block_dim)
+                warnings.warn("Normal proposal distribution without "
+                              "init_prop_Sigma; this can lead to slow "
+                              "convergence.")
         else:
             raise Exception("No proposal distribution specified!")
 
-        if proposal_dist == "normal" and init_prop_Sigma is None:
-            init_prop_Sigma = np.identity(dim)
-            warnings.warn("Normal proposal distribution without init_prop_Sigma; "
-                          "this can lead to slow convergence.")
-
         if callable(adapt_callable):
             self.adapt = adapt_callable
-        elif adapt_callable == "normal" or proposal_dist == "normal":
-            self.adapt = self._adapt
+        elif adapt_callable == "normal" or is_gaussian:
+            self.adapt = self._shaby_adapt
+        elif isinstance(adapt_callable, str):
+            raise Exception("Invalid string provided for adapt callable.")
         else:
-            if isinstance(adapt_callable, str):
-                raise Exception("Invalid string provided for adapt callable.")
-            self.adapt = self._no_adapt
+            self.adapt = lambda step, sampler: None
 
+        scale0 = 2.4 ** 2 / block_dim          # Gelman–Roberts–Gilks start
         if prop_args is None:
             self.prop_args = {"prop_Sigma": init_prop_Sigma,
-                              "sigma_m": 2.4 ** 2 / dim}
+                              "sigma_m": scale0}
         else:
             self.prop_args = prop_args
             if adapt_callable == "normal":
-                self.prop_args["prop_Sigma"] = init_prop_Sigma
-                self.prop_args["sigma_m"] = 2.4 ** 2 / dim
+                self.prop_args.update(prop_Sigma=init_prop_Sigma,
+                                      sigma_m=scale0)
 
-    def normal_proposal_dist(self, x, hps, obj):
-        """Draw from N(x, Σ) (ref gp_mcmc.py:320-341)."""
-        cov = obj.prop_args["prop_Sigma"]
-        return np.random.multivariate_normal(mean=x, cov=cov, size=1).reshape(len(x))
+    def _gaussian_step(self, x, hps, obj):
+        """Draw from N(x, sigma_m · Σ).  Global numpy randomness on purpose:
+        callers seed ``np.random.seed`` for reproducible chains."""
+        cov = obj.prop_args["sigma_m"] * np.asarray(obj.prop_args["prop_Sigma"])
+        return np.random.multivariate_normal(x, cov)
 
-    def _adapt(self, end, mcmc_obj):
-        """Adapt Σ and the log step-scale toward acceptance 0.234 every K
-        steps (ref gp_mcmc.py:343-361)."""
-        K = self.K
-        if (end % K) == 0:
-            k = 3
-            prop_Sigma = self.prop_args["prop_Sigma"]
-            sigma_m = self.prop_args["sigma_m"]
-            trace = np.asarray(mcmc_obj.trace["x"]).T
-            start = end - K + 1
-            gamma2 = 1. / ((end / K) + k) ** self.c_1
-            gamma1 = self.c_0 * gamma2
-            r_hat = np.mean(self.jump_trace[start:end])
-            sigma_m = np.exp(np.log(sigma_m) + gamma1 * (r_hat - self.r_opt))
-            if self.adapt_cov:
-                prop_Sigma = prop_Sigma + gamma2 * (
-                    np.cov(trace[self.indices, start:end]) - prop_Sigma)
-            self.prop_args["prop_Sigma"] = prop_Sigma
-            self.prop_args["sigma_m"] = sigma_m
-
-    def _no_adapt(self, end, mcmc_obj):
-        return
+    def _shaby_adapt(self, step, sampler):
+        """Every K steps: feed the recent acceptance rate and the recent
+        positions of THIS block into the shared Robbins–Monro update."""
+        if step % self.K:
+            return
+        lo = max(step - self.K + 1, 0)
+        rate = float(np.mean(self.jump_trace[lo:step]))
+        window = np.asarray(sampler.trace["x"])[lo:step][:, self.indices]
+        pa = self.prop_args
+        pa["sigma_m"], pa["prop_Sigma"] = shaby_update(
+            pa["sigma_m"], pa["prop_Sigma"], rate, window, step, self.K,
+            r_opt=self.r_opt, c_0=self.c_0, c_1=self.c_1,
+            adapt_cov=self.adapt_cov)
 
     def __getstate__(self):
         return self.__dict__
@@ -99,46 +126,54 @@ class ProposalDistribution:
         self.__dict__.update(state)
 
 
+def _trace_summary(X_flat, F_flat):
+    """The reference-shaped summary: MAP and quantiles of the last 1%
+    (contract: ref gp_mcmc.py:169-179)."""
+    best = int(np.argmax(F_flat))
+    tail = X_flat[-max(1, len(X_flat) // 100):]
+    return {"max f(x)": float(F_flat[best]),
+            "MAP": float(F_flat[best]),
+            "max x": X_flat[best],
+            "mean(x)": tail.mean(axis=0),
+            "median(x)": np.median(tail, axis=0),
+            "var(x)": tail.var(axis=0)}
+
+
 def run_mcmc_vectorized(log_likelihood_batch, bounds, x0s, *, n_updates=10000,
                         info=False, r_opt=0.234, c_0=10, c_1=0.8, K=10,
                         break_condition="default", seed=0):
     """Adaptive Metropolis with C parallel chains whose likelihood
     evaluations are ONE batched device call per step.
 
-    MCMC adaptation is inherently sequential (SURVEY.md §7 hard part 6);
-    what the TPU can amortize is the expensive part — the C marginal
-    likelihoods per step run as one vmapped program (C batched Choleskys on
-    the MXU).  Each chain keeps its own Shaby-style adaptive proposal.
-
-    Returns the reference-shaped ``mcmc_info`` dict, pooled over chains
-    (quantiles over the union of late samples), plus per-chain traces under
-    ``"x_chains"`` and the usual keys.
+    Each chain carries its own (sigma_m, Σ) pair, adapted by the same
+    ``shaby_update`` the per-block sampler uses.  Returns the
+    reference-shaped ``mcmc_info`` dict pooled over chains, plus per-chain
+    traces under ``"x_chains"``.
     """
     bounds = np.asarray(bounds, dtype=float)
-    x0s = np.atleast_2d(np.asarray(x0s, dtype=float))
-    C, H = x0s.shape
+    X = np.atleast_2d(np.asarray(x0s, dtype=float)).copy()
+    C, H = X.shape
     rng = np.random.default_rng(seed)
-    domain = bounds[:, 1] - bounds[:, 0]
-    prop_sigma = np.tile(np.diag((domain * 0.2 / np.sqrt(12)) ** 2), (C, 1, 1))
+    span = bounds[:, 1] - bounds[:, 0]
+    Sigma = np.tile(np.diag((span * 0.2 / np.sqrt(12)) ** 2), (C, 1, 1))
     sigma_m = np.full(C, 2.4 ** 2 / H)
 
-    def prior(X):
-        return np.all((X >= bounds[:, 0]) & (X <= bounds[:, 1]), axis=1)
+    def in_box(P):
+        return np.all((P >= bounds[:, 0]) & (P <= bounds[:, 1]), axis=1)
 
-    X = x0s.copy()
     like = np.asarray(log_likelihood_batch(X), dtype=float)
     trace_x = [X.copy()]
     trace_f = [like.copy()]
-    jumps = np.zeros((0, C))
+    accept_hist = []
     start = time.time()
     stamps = []
 
     n_updates = max(int(n_updates), 2)
     for i in range(1, n_updates):
         # per-chain multivariate-normal proposals (host; tiny)
-        prop = np.stack([
-            rng.multivariate_normal(X[c], prop_sigma[c]) for c in range(C)])
-        ok = prior(prop)
+        prop = np.stack([rng.multivariate_normal(X[c], sigma_m[c] * Sigma[c])
+                         for c in range(C)])
+        ok = in_box(prop)
         cand = np.where(ok[:, None], prop, X)
         like_cand = np.asarray(log_likelihood_batch(cand), dtype=float)
         expo = np.where(ok, like_cand - like, -np.inf)
@@ -150,20 +185,15 @@ def run_mcmc_vectorized(log_likelihood_batch, bounds, x0s, *, n_updates=10000,
         trace_x.append(X.copy())
         trace_f.append(like.copy())
         stamps.append(time.time() - start)
-        jumps = np.vstack([jumps, accept.astype(float)])
+        accept_hist.append(accept.astype(float))
 
         if (i % K) == 0 and i >= K:
-            k_off = 3
-            gamma2 = 1.0 / ((i / K) + k_off) ** c_1
-            gamma1 = c_0 * gamma2
-            r_hat = jumps[-K:].mean(axis=0)
-            sigma_m = np.exp(np.log(sigma_m) + gamma1 * (r_hat - r_opt))
+            rates = np.mean(accept_hist[-K:], axis=0)
             recent = np.stack(trace_x[-K:], axis=0)      # (K, C, H)
             for c in range(C):
-                cov = np.cov(recent[:, c, :].T)
-                if np.all(np.isfinite(cov)):
-                    prop_sigma[c] = prop_sigma[c] + gamma2 * (
-                        np.atleast_2d(cov) - prop_sigma[c])
+                sigma_m[c], Sigma[c] = shaby_update(
+                    sigma_m[c], Sigma[c], rates[c], recent[:, c, :], i, K,
+                    r_opt=r_opt, c_0=c_0, c_1=c_1)
 
         if info and (i % 10) == 0:
             print(f"mcmc chains step {i}/{n_updates}: best f(x)= "
@@ -176,23 +206,16 @@ def run_mcmc_vectorized(log_likelihood_batch, bounds, x0s, *, n_updates=10000,
 
     Xs = np.asarray(trace_x)            # (steps, C, H)
     Fs = np.asarray(trace_f)            # (steps, C)
-    flat_idx = np.unravel_index(np.argmax(Fs), Fs.shape)
-    tail = max(1, int(len(Xs) / 100))
-    pooled_tail = Xs[-tail:].reshape(-1, H)
-    return {"f(x)": Fs, "max f(x)": float(Fs[flat_idx]),
-            "MAP": float(Fs[flat_idx]),
-            "max x": Xs[flat_idx[0], flat_idx[1]],
-            "time stamps": stamps,
-            "x": Xs.reshape(-1, H),
-            "x_chains": Xs,
-            "n_chains": C,
-            "mean(x)": pooled_tail.mean(axis=0),
-            "median(x)": np.median(pooled_tail, axis=0),
-            "var(x)": pooled_tail.var(axis=0)}
+    out = _trace_summary(Xs.reshape(-1, H), Fs.reshape(-1))
+    out.update({"f(x)": Fs, "time stamps": stamps, "x": Xs.reshape(-1, H),
+                "x_chains": Xs, "n_chains": C})
+    return out
 
 
 class gpMCMC:
-    """Customizable Metropolis sampler (ref gp_mcmc.py:38)."""
+    """Customizable per-block Metropolis sampler (contract: ref
+    gp_mcmc.py:38-181).  Likelihood calls hit the jitted traced LML, so the
+    device sees a stream of identical compiled programs."""
 
     def __init__(self, log_likelihood_function, bounds=None, prior_function=None,
                  proposal_distributions="normal", args=None):
@@ -209,112 +232,101 @@ class gpMCMC:
             if bounds is None:
                 raise AssertionError("bounds must be provided to initialize the "
                                      "default normal proposal distribution.")
-            domain_size = bounds[:, 1] - bounds[:, 0]
-            std_diag = domain_size * 0.2 / np.sqrt(12)
+            # shape matrix from the search box: std = 20% of a uniform
+            # draw's std over the box
+            box_std = (bounds[:, 1] - bounds[:, 0]) * 0.2 / np.sqrt(12)
             proposal_distributions = [ProposalDistribution(
-                np.arange(len(bounds)), init_prop_Sigma=np.diag(std_diag ** 2))]
+                np.arange(len(bounds)), init_prop_Sigma=np.diag(box_std ** 2))]
         self.proposal_distributions = proposal_distributions
         self.args = args
         self.bounds = bounds
         self.trace = None
         self.mcmc_info = {}
 
+    # ------------------------------------------------------------------
     def run_mcmc(self, *, x0, n_updates=10000, info=False, break_condition=None,
                  run_in_every_iteration=None):
-        """Run the sampler (ref gp_mcmc.py:96-181); returns the mcmc_info
-        dict with MAP/mean/median/var of the last 1%."""
-        start_time = time.time()
-        n_updates = max(n_updates, 2)
+        """Run the sampler; returns the mcmc_info dict (contract: ref
+        gp_mcmc.py:96-181)."""
         if not (isinstance(x0, np.ndarray) and x0.ndim == 1):
             raise AssertionError("x0 must be a 1-d np.ndarray")
+        stop = self._resolve_break(break_condition)
+        hook = run_in_every_iteration or (lambda sampler: None)
 
-        if break_condition is None:
-            break_condition = lambda a: False          # noqa: E731
-        elif break_condition == "default":
-            break_condition = self._default_break_condition
-        elif callable(break_condition):
-            pass
-        else:
-            raise Exception("No valid input for break condition provided!")
-        if run_in_every_iteration is None:
-            run_in_every_iteration = lambda a: False   # noqa: E731
-
-        self.trace = {"f(x)": [], "x": [], "time stamp": []}
-        self.trace["x"].append(x0)
-
-        x = x0.copy()
-        likelihood = self.log_likelihood_function(x, self.args)
+        t0 = time.time()
+        self.trace = {"f(x)": [], "x": [x0], "time stamp": []}
+        state = (x0.copy(),
+                 self.prior_function(x0, self.bounds, self.args),
+                 self.log_likelihood_function(x0, self.args))
         if info:
-            print("Starting likelihood. f(x)= ", likelihood)
-        prior = self.prior_function(x, self.bounds, self.args)
+            print("Starting likelihood. f(x)= ", state[2])
 
-        for i in np.arange(1, n_updates):
-            for obj in self.proposal_distributions:
-                x, prior, likelihood, jt = self._jump(x, obj, prior, likelihood)
-                obj.jump_trace.append(jt)
-                obj.adapt(i, self)
-
+        for i in range(1, max(int(n_updates), 2)):
+            for block in self.proposal_distributions:
+                state = self._metropolis_block(state, block, i)
+            x, _, f = state
             self.trace["x"].append(x)
-            self.trace["f(x)"].append(likelihood)
-            self.trace["time stamp"].append(time.time() - start_time)
-            run_in_every_iteration(self)
-
+            self.trace["f(x)"].append(f)
+            self.trace["time stamp"].append(time.time() - t0)
+            hook(self)
             if info and (i % 10) == 0:
                 print("Finished ", i, " out of ", n_updates,
-                      " iterations. f(x)= ", likelihood)
-            if break_condition(self):
+                      " iterations. f(x)= ", f)
+            self._refresh_info()
+            if stop(self):
                 break
-
-            arg_max = np.argmax(self.trace["f(x)"])
-            dist_index = int(len(self.trace["x"]) - (len(self.trace["x"]) / 100))
-            self.mcmc_info = {
-                "f(x)": self.trace["f(x)"],
-                "max f(x)": self.trace["f(x)"][arg_max],
-                "MAP": self.trace["f(x)"][arg_max],
-                "max x": np.asarray(self.trace["x"])[arg_max],
-                "time stamps": self.trace["time stamp"],
-                "x": np.asarray(self.trace["x"]),
-                "mean(x)": np.mean(np.asarray(self.trace["x"])[dist_index:], axis=0),
-                "median(x)": np.median(np.asarray(self.trace["x"])[dist_index:], axis=0),
-                "var(x)": np.var(np.asarray(self.trace["x"])[dist_index:], axis=0)}
         return self.mcmc_info
 
-    @staticmethod
-    def _default_break_condition(obj):
-        """Stop once the mean likelihood of the last 100 samples stabilized
-        (ref gp_mcmc.py:183-193)."""
-        loglik = np.asarray(obj.trace["f(x)"])
-        i = len(loglik)
-        W = 100
-        tol = 1e-3
-        if i < 1000:
-            return False
-        return abs(loglik[-W:].mean() - loglik[-2 * W:-W].mean()) < tol
+    def _resolve_break(self, break_condition):
+        if break_condition is None:
+            return lambda sampler: False
+        if break_condition == "default":
+            return self._default_break_condition
+        if callable(break_condition):
+            return break_condition
+        raise Exception("No valid input for break condition provided!")
 
-    def _jump(self, x_old, obj, prior_eval, likelihood):
-        """One Metropolis step over obj's index block (ref gp_mcmc.py:196-224)."""
-        x_star = x_old.copy()
-        x_star[obj.indices] = obj.proposal_dist(x_old[obj.indices].copy(), x_old, obj)
-        prior_star = self.prior_function(x_star, self.bounds, self.args)
-        jump_trace = 0.
-        if prior_star != -np.inf:
-            likelihood_star = self.log_likelihood_function(x_star, self.args)
-            if np.isnan(likelihood_star):
+    def _refresh_info(self):
+        xs = np.asarray(self.trace["x"])
+        # xs[0] is the start point, which has no f(x) entry — align so
+        # "max x" is the position that actually achieved "max f(x)"
+        self.mcmc_info = _trace_summary(xs[1:],
+                                        np.asarray(self.trace["f(x)"]))
+        self.mcmc_info.update({"f(x)": self.trace["f(x)"],
+                               "time stamps": self.trace["time stamp"],
+                               "x": xs})
+
+    @staticmethod
+    def _default_break_condition(sampler):
+        """Stop once the mean likelihood of the last 100 samples matches the
+        100 before it to 1e-3 (contract: ref gp_mcmc.py:183-193)."""
+        f = np.asarray(sampler.trace["f(x)"])
+        if f.size < 1000:
+            return False
+        return abs(f[-100:].mean() - f[-200:-100].mean()) < 1e-3
+
+    def _metropolis_block(self, state, block, step):
+        """One Metropolis step over ``block``'s index subset."""
+        x, lp, ll = state
+        proposal = x.copy()
+        proposal[block.indices] = block.proposal_dist(
+            x[block.indices].copy(), x, block)
+        lp_new = self.prior_function(proposal, self.bounds, self.args)
+        accepted = False
+        if lp_new > -np.inf:
+            ll_new = self.log_likelihood_function(proposal, self.args)
+            if np.isnan(ll_new):
                 raise Exception("Likelihood evaluation = NaN in gpMCMC")
-            expo = prior_star + likelihood_star - prior_eval - likelihood
-            metr_ratio = np.exp(expo) if expo < 50 else 1.1
-            if np.isnan(metr_ratio):
-                metr_ratio = 0.
-            if metr_ratio > np.random.uniform(0, 1, 1) or obj.auto_accept:
-                x = x_star
-                prior_eval = prior_star
-                likelihood = likelihood_star
-                jump_trace = 1.
-            else:
-                x = x_old
-        else:
-            x = x_old
-        return x, prior_eval, likelihood, jump_trace
+            log_ratio = (lp_new + ll_new) - (lp + ll)
+            ratio = np.exp(log_ratio) if log_ratio < 50 else 1.1
+            if np.isnan(ratio):
+                ratio = 0.0
+            accepted = block.auto_accept or ratio > np.random.uniform()
+            if accepted:
+                x, lp, ll = proposal, lp_new, ll_new
+        block.jump_trace.append(1.0 if accepted else 0.0)
+        block.adapt(step, self)
+        return (x, lp, ll)
 
     def __getstate__(self):
         return self.__dict__
