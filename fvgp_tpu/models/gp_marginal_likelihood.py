@@ -186,6 +186,7 @@ class GPMarginalLikelihood:
 
     def _sparse_lml_eval(self, hyperparameters, want_grad=False):
         from ..ops.sparse_lml import make_padded_inputs, make_sparse_lml
+        from ..parallel.mesh import TILE_AXIS, current_mesh
         from ..parallel.sharded_cov import (_bucket, _candidate_pairs,
                                             support_geometry)
         prior = self.prior
@@ -193,7 +194,17 @@ class GPMarginalLikelihood:
         x = np.asarray(self.x_data, dtype=np.float64)
         n = len(x)
         B = int(args.get("gp2Scale_block_size", min(prior.batch_size, 256)))
-        nb = -(-n // B)
+        # row-partitioned mesh path: each device owns a contiguous range of
+        # row blocks (parallel/partition.py), so the blocking is padded to
+        # divide evenly and the SpMM runs as a shard_map with no
+        # cross-device reduction
+        mesh = current_mesh()
+        n_dev = 1
+        if mesh is not None and TILE_AXIS in mesh.shape:
+            n_dev = int(mesh.shape[TILE_AXIS])
+        if n_dev <= 1:
+            mesh = None
+        nb = -(-(-(-n // B)) // n_dev) * n_dev
         dtype = config.linalg_dtype(args)
 
         ls, radius = support_geometry(prior, hyperparameters, args)
@@ -220,7 +231,7 @@ class GPMarginalLikelihood:
         if not hasattr(self, "_sparse_cache"):
             self._sparse_cache = {}
         key = (n, B, nb, cg_iters, probes, degree, str(dtype), str(sdt),
-               solver, self.data.point_number)
+               solver, self.data.point_number, mesh)
         entry = self._sparse_cache.get(key)
         if entry is None:
             from ..parallel.sharded_cov import _stable_kernel_closure
@@ -229,10 +240,19 @@ class GPMarginalLikelihood:
                 x, np.asarray(self.y_data)[:, 0],
                 np.asarray(self.likelihood.calculate_V(self.x_data,
                                                        hyperparameters)),
-                B, dtype=dtype)
+                B, dtype=dtype, row_multiple=n_dev)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                repl = NamedSharding(mesh, P())
+                row_s = NamedSharding(mesh, P(TILE_AXIS))
+                xb = jax.device_put(xb, repl)
+                mask = jax.device_put(mask, repl)
+                y_pad = jax.device_put(y_pad, row_s)
+                ypad_mask = jax.device_put(ypad_mask, row_s)
+                noise_pad = jax.device_put(noise_pad, row_s)
             lml = make_sparse_lml(kern_fn, nb, B, cg_iters=cg_iters,
                                   slq_degree=degree, with_variance=True,
-                                  solver_dtype=sdt, solver=solver)
+                                  solver_dtype=sdt, solver=solver, mesh=mesh)
             # one jitted fn across occupancy buckets: jit's own shape cache
             # keeps every bucket's program warm as the hp moves change T_pad
             entry = {"fn": jax.jit(lml), "vg": None, "lml": lml,
@@ -290,15 +310,42 @@ class GPMarginalLikelihood:
             rows_f = rows_f[keep]
             cols_f = cols_f[keep]
 
-        T_pad = _bucket(max(len(rows_f), 1))
-        rows_p = np.full(T_pad, nb, np.int32)
-        cols_p = np.full(T_pad, nb, np.int32)
-        rows_p[:len(rows_f)] = rows_f
-        cols_p[:len(cols_f)] = cols_f
+        if mesh is not None:
+            # contiguous row-range ownership: device d's (position-sharded)
+            # segment holds exactly the tiles whose row block it owns, so
+            # the shard_map SpMM needs no cross-device reduction
+            from ..parallel.partition import partition_schedule, schedule_stats
+            nb_local = nb // n_dev
+            if len(rows_f):
+                cnt = np.bincount(np.minimum(rows_f // nb_local, n_dev - 1),
+                                  minlength=n_dev)
+                pad_to = _bucket(int(cnt.max()))
+            else:
+                pad_to = _bucket(1)
+            rows_p, cols_p, _, _ = partition_schedule(
+                rows_f, cols_f, nb, n_dev, pad_to=pad_to)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            tile_s = NamedSharding(mesh, P(TILE_AXIS))
+            row_s = NamedSharding(mesh, P(TILE_AXIS))
+            rows_d = jax.device_put(jnp.asarray(rows_p), tile_s)
+            cols_d = jax.device_put(jnp.asarray(cols_p), tile_s)
+            from ..utils.logging import logger
+            logger.debug("sparse LML schedule: %s",
+                         schedule_stats(rows_p, cols_p, nb, n_dev, B,
+                                        n_rhs=probes + 1))
+        else:
+            T_pad = _bucket(max(len(rows_f), 1))
+            rows_p = np.full(T_pad, nb, np.int32)
+            cols_p = np.full(T_pad, nb, np.int32)
+            rows_p[:len(rows_f)] = rows_f
+            cols_p[:len(cols_f)] = cols_f
+            rows_d = jnp.asarray(rows_p)
+            cols_d = jnp.asarray(cols_p)
         Z = jax.random.rademacher(rng_key, (nb * B, probes), dtype=dtype)
         Z = Z * ypad_mask[:, None]
-        out = fn(hps_dev,
-                 jnp.asarray(rows_p), jnp.asarray(cols_p),
+        if mesh is not None:
+            Z = jax.device_put(Z, NamedSharding(mesh, P(TILE_AXIS, None)))
+        out = fn(hps_dev, rows_d, cols_d,
                  xb, mask, y_pad, ypad_mask, noise_pad, Z)
         if want_grad:
             (val, var), grad = out

@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 __all__ = ["make_sparse_lml", "assemble_tiles", "tile_maxabs"]
 
@@ -88,6 +89,63 @@ def _spmv(rows, cols, tiles, X, nb, B, mv_dtype=None):
                       preferred_element_type=acc)
     out = jax.ops.segment_sum(prod, rows, num_segments=nb)
     return out.reshape(n_pad, -1).astype(X.dtype)
+
+
+def _rowpart_spmv_factory(nb, B, mesh, mv_dtype=None):
+    """Row-ownership SpMM over a device mesh (the scale path's collective
+    design; see parallel/partition.py for the comm model).
+
+    Tiles live on their output row block's owner (contiguous row ranges), so
+    each device computes its own output rows COMPLETELY — no cross-device
+    reduction exists.  The only collective is the all-gather of X that
+    ``in_specs=P(None)`` inserts when X arrives row-sharded:
+    ``(n-1)/n · nb·B·k`` words, HALF the all-reduce GSPMD needs for
+    position-sharded tiles, and the output lands row-sharded for the next
+    (local) vector op of CG.
+    """
+    from ..parallel.mesh import TILE_AXIS
+    n_dev = mesh.shape[TILE_AXIS]
+    if nb % n_dev:
+        raise ValueError(f"row-partitioned SpMM needs nb ({nb}) divisible by "
+                         f"the mesh size ({n_dev}); pad the point blocking")
+    nb_local = nb // n_dev
+
+    def local_spmv(rows, cols, tiles, X):
+        acc = X.dtype if X.dtype == jnp.float64 else jnp.float32
+        if mv_dtype is not None:
+            tiles = tiles.astype(mv_dtype)
+            Xc = X.astype(mv_dtype)
+        else:
+            Xc = X
+        Xb = Xc.reshape(nb, B, -1)
+        prod = jnp.einsum("tij,tjk->tik", tiles, Xb[cols],
+                          preferred_element_type=acc)
+        row0 = jax.lax.axis_index(TILE_AXIS) * nb_local
+        # foreign rows cannot occur under a correct partition; the guard
+        # routes clamped sentinels (and any misuse) to the dropped segment
+        r_loc = jnp.where((rows >= row0) & (rows < row0 + nb_local),
+                          rows - row0, nb_local)
+        out = jax.ops.segment_sum(prod, r_loc, num_segments=nb_local)
+        return out.reshape(nb_local * B, -1).astype(X.dtype)
+
+    return jax.shard_map(local_spmv, mesh=mesh,
+                         in_specs=(P(TILE_AXIS), P(TILE_AXIS),
+                                   P(TILE_AXIS, None, None), P(None)),
+                         out_specs=P(TILE_AXIS, None))
+
+
+def _spmv_for(nb, B, mesh, mv_dtype=None):
+    """The SpMM for this mesh: row-partitioned shard_map when a (>1 device)
+    mesh is given, plain GSPMD segment-sum otherwise."""
+    if mesh is not None:
+        from ..parallel.mesh import TILE_AXIS
+        if mesh.shape[TILE_AXIS] > 1:
+            return _rowpart_spmv_factory(nb, B, mesh, mv_dtype=mv_dtype)
+
+    def spmv(rows, cols, tiles, X):
+        return _spmv(rows, cols, tiles, X, nb, B, mv_dtype=mv_dtype)
+
+    return spmv
 
 
 def _cg_fixed(matvec, Bmat, iters, M=None):
@@ -163,7 +221,7 @@ def _slq_fixed(matvec, Z, degree, n_logical):
 
 
 @functools.lru_cache(maxsize=32)
-def _mbcg_factory(nb, B, iters, mv_dtype=None):
+def _mbcg_factory(nb, B, iters, mv_dtype=None, mesh=None):
     """Fused quadratic-term + logdet solver (the BBMM/mBCG recipe,
     Gardner et al. 2018 — the reference has no equivalent: its sparse path
     runs scipy CG and imate SLQ as separate, non-differentiable passes).
@@ -191,10 +249,11 @@ def _mbcg_factory(nb, B, iters, mv_dtype=None):
     both expressed as one matvec-VJP over the stacked primal/cotangent.
     """
 
+    spmv = _spmv_for(nb, B, mesh, mv_dtype=mv_dtype)
+
     def mv(od, X):
         rows_c, cols_c, tiles, noise = od
-        out = _spmv(rows_c, cols_c, tiles, X, nb, B, mv_dtype=mv_dtype)
-        return out + noise[:, None] * X
+        return spmv(rows_c, cols_c, tiles, X) + noise[:, None] * X
 
     def minv_apply(Minv, X):
         Xb = X.reshape(nb, B, -1)
@@ -296,7 +355,7 @@ def _mbcg_factory(nb, B, iters, mv_dtype=None):
 
 
 @functools.lru_cache(maxsize=32)
-def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None):
+def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None, mesh=None):
     """CG solve with IMPLICIT differentiation (custom VJP).
 
     Differentiating through the CG scan stores and replays all ``iters``
@@ -312,10 +371,11 @@ def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None):
     zero cotangent.
     """
 
+    spmv = _spmv_for(nb, B, mesh, mv_dtype=mv_dtype)
+
     def mv(data, X):
         rows, cols, tiles, noise = data[0], data[1], data[2], data[3]
-        out = _spmv(rows, cols, tiles, X, nb, B, mv_dtype=mv_dtype)
-        return out + noise[:, None] * X
+        return spmv(rows, cols, tiles, X) + noise[:, None] * X
 
     def m_apply(data, X):
         if not precond:
@@ -355,10 +415,22 @@ def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None):
 
 def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
                     with_variance=False, mean_mode="data", prior_mean_fn=None,
-                    precondition=True, solver_dtype=None, solver="slq"):
+                    precondition=True, solver_dtype=None, solver="slq",
+                    mesh=None):
     if solver not in ("slq", "mbcg"):
         raise ValueError(f"unknown sparse-LML solver {solver!r}; "
                          "use 'mbcg' (fused, default in production) or 'slq'")
+    n_dev = 1
+    if mesh is not None:
+        from ..parallel.mesh import TILE_AXIS
+        n_dev = mesh.shape[TILE_AXIS]
+        if n_dev > 1 and nb % n_dev:
+            raise ValueError(
+                f"make_sparse_lml(mesh=...): nb ({nb}) must be a multiple of "
+                f"the mesh size ({n_dev}); pad the point blocking "
+                "(make_padded_inputs(..., row_multiple=n_dev))")
+    if n_dev <= 1:
+        mesh = None
     """Build the sparse LML as a pure jittable, differentiable function
 
         lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z)
@@ -375,20 +447,20 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
     so padding contributes log(1) = 0 to the quadrature.
     """
 
-    def lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z):
-        rows_c = jnp.minimum(rows, nb - 1)
-        cols_c = jnp.minimum(cols, nb - 1)
-        # Chunked, remat'd assembly.  Chunking bounds the assembly-VJP's
-        # temporaries to one chunk (an unchunked vjp materializes a full
-        # f32 (T, B, B) reduce temp — 12.5 GB at N=500k); remat keeps the
-        # per-tile kernel intermediates out of the residuals.  The sentinel
-        # mask (`live`) is folded into the per-tile computation so no
-        # full-size elementwise pass exists outside the chunks.
-        T_pad = rows.shape[0]
-        chunk = _assembly_chunk(T_pad)
+    spmv = _spmv_for(nb, B, mesh, mv_dtype=solver_dtype)
+
+    def _assemble_chunked(hps, rows_c, cols_c, live, xb, mask):
+        """Chunked, remat'd assembly.  Chunking bounds the assembly-VJP's
+        temporaries to one chunk (an unchunked vjp materializes a full
+        f32 (T, B, B) reduce temp — 12.5 GB at N=500k); remat keeps the
+        per-tile kernel intermediates out of the residuals.  The sentinel
+        mask (`live`) is folded into the per-tile computation so no
+        full-size elementwise pass exists outside the chunks."""
+        T = rows_c.shape[0]
+        chunk = _assembly_chunk(T)
         Rc = rows_c.reshape(-1, chunk)
         Cc = cols_c.reshape(-1, chunk)
-        Lv = (rows < nb).reshape(-1, chunk)
+        Lv = live.reshape(-1, chunk)
 
         @jax.checkpoint
         def one_chunk(carry, rcl):
@@ -403,34 +475,75 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
             return carry, jax.vmap(one)(r, c, lv)
 
         _, tiles = jax.lax.scan(one_chunk, 0, (Rc, Cc, Lv))
-        tiles = tiles.reshape(T_pad, B, B)
+        return tiles.reshape(T, B, B)
+
+    def _diag_precond(hps, xb, mask, noise_local, i0):
+        """Block-Jacobi from the diagonal kernel blocks: one batched
+        Cholesky + an explicit block inverse so every CG iteration is one
+        batched matmul — all MXU work (no gradient through the
+        preconditioner: it only changes the iteration path, not the
+        solution, so stop_gradient keeps the backward pass lean).
+        ``i0``/``noise_local`` let the same code run per-device under
+        shard_map (each device factors only its own row blocks)."""
+        nb_loc = noise_local.shape[0] // B
+        idxB = i0 + jnp.arange(nb_loc)
+        diag_blocks = jax.vmap(
+            lambda i: kernel_fn(xb[i], xb[i], hps)
+            * (mask[i][:, None] * mask[i][None, :]))(idxB)
+        nvb = noise_local.reshape(nb_loc, B)
+        eye = jnp.arange(B)
+        diag_blocks = diag_blocks.at[:, eye, eye].add(nvb)
+        Lb = jnp.linalg.cholesky(jax.lax.stop_gradient(diag_blocks))
+        eyeB = jnp.eye(B, dtype=Lb.dtype)
+        Linv = jax.scipy.linalg.solve_triangular(
+            Lb, jnp.broadcast_to(eyeB, Lb.shape), lower=True)
+        Minv = jnp.einsum("rji,rjk->rik", Linv, Linv,
+                          preferred_element_type=Lb.dtype)
+        return Minv, Lb
+
+    if mesh is not None:
+        from ..parallel.mesh import TILE_AXIS
+        _ax = TILE_AXIS
+
+        # each device assembles its own (row-partitioned) tile shard and
+        # factors its own diagonal blocks — zero communication: xb/mask/hps
+        # are replicated, the outputs land already row/tile-sharded
+        def _local_assemble(hps, rows_c, cols_c, live, xb, mask):
+            return _assemble_chunked(hps, rows_c, cols_c, live, xb, mask)
+
+        _assemble = jax.shard_map(
+            _local_assemble, mesh=mesh,
+            in_specs=(P(None), P(_ax), P(_ax), P(_ax),
+                      P(None, None, None), P(None, None)),
+            out_specs=P(_ax, None, None))
+
+        def _local_precond(hps, xb, mask, noise_local):
+            i0 = jax.lax.axis_index(_ax) * (nb // n_dev)
+            return _diag_precond(hps, xb, mask, noise_local, i0)
+
+        _precond = jax.shard_map(
+            _local_precond, mesh=mesh,
+            in_specs=(P(None), P(None, None, None), P(None, None), P(_ax)),
+            out_specs=(P(_ax, None, None), P(_ax, None, None)))
+    else:
+        def _assemble(hps, rows_c, cols_c, live, xb, mask):
+            return _assemble_chunked(hps, rows_c, cols_c, live, xb, mask)
+
+        def _precond(hps, xb, mask, noise_pad):
+            return _diag_precond(hps, xb, mask, noise_pad, 0)
+
+    def lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z):
+        rows_c = jnp.minimum(rows, nb - 1)
+        cols_c = jnp.minimum(cols, nb - 1)
+        tiles = _assemble(hps, rows_c, cols_c, rows < nb, xb, mask)
 
         def matvec(X):
-            out = _spmv(rows_c, cols_c, tiles, X, nb, B, mv_dtype=solver_dtype)
+            out = spmv(rows_c, cols_c, tiles, X)
             return out + noise_diag_pad[:, None] * X
 
         M = None
         if solver == "mbcg" or precondition:
-            # in-trace block-Jacobi from the diagonal kernel blocks: one
-            # batched Cholesky + two batched triangular solves per CG
-            # iteration — all MXU work (no gradient through the
-            # preconditioner: it only changes the iteration path, not the
-            # solution, so stop_gradient keeps the backward pass lean)
-            idxB = jnp.arange(nb)
-            diag_blocks = jax.vmap(
-                lambda i: kernel_fn(xb[i], xb[i], hps)
-                * (mask[i][:, None] * mask[i][None, :]))(idxB)
-            nvb = noise_diag_pad.reshape(nb, B)
-            eye = jnp.arange(B)
-            diag_blocks = diag_blocks.at[:, eye, eye].add(nvb)
-            Lb = jnp.linalg.cholesky(jax.lax.stop_gradient(diag_blocks))
-            # explicit block inverse: the one-time batched solve against I
-            # buys a pure-bmm application in every CG iteration
-            eyeB = jnp.eye(B, dtype=Lb.dtype)
-            Linv = jax.scipy.linalg.solve_triangular(
-                Lb, jnp.broadcast_to(eyeB, Lb.shape), lower=True)
-            Minv = jnp.einsum("rji,rjk->rik", Linv, Linv,
-                              preferred_element_type=Lb.dtype)
+            Minv, Lb = _precond(hps, xb, mask, noise_diag_pad)
 
             def M(X):
                 Xb = X.reshape(nb, B, -1)
@@ -448,7 +561,8 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
         if solver == "mbcg":
             # fused quadratic + logdet: one PCG over [ym | L_M·probes],
             # backward reuses the probe solves (see _mbcg_factory)
-            ql = _mbcg_factory(nb, B, cg_iters, mv_dtype=solver_dtype)
+            ql = _mbcg_factory(nb, B, cg_iters, mv_dtype=solver_dtype,
+                               mesh=mesh)
             od = (rows_c, cols_c, tiles, noise_diag_pad)
             quad, logdet, logdet_var = ql(od, Minv, Lb, ym, Z)
             value = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
@@ -459,7 +573,7 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
         # implicit-VJP CG: the quadratic term's backward is one extra solve
         # + one matvec-VJP instead of 2·cg_iters tile passes
         solve = _implicit_cg_factory(nb, B, cg_iters, precondition,
-                                     mv_dtype=solver_dtype)
+                                     mv_dtype=solver_dtype, mesh=mesh)
         if precondition:
             op_data = (rows_c, cols_c, tiles, noise_diag_pad, Minv)
         else:
@@ -475,12 +589,16 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
     return lml
 
 
-def make_padded_inputs(x, y, noise_diag, block_size, dtype=jnp.float32):
+def make_padded_inputs(x, y, noise_diag, block_size, dtype=jnp.float32,
+                       row_multiple=1):
     """Host helper: pad (x, y, noise) to full blocks and build masks.
-    Padded noise diagonal is 1.0 (keeps K+V PD on padded rows)."""
+    Padded noise diagonal is 1.0 (keeps K+V PD on padded rows).
+    ``row_multiple`` rounds the block count up (empty trailing blocks) so a
+    row-partitioned mesh divides the blocking evenly."""
     import numpy as np
     n, d = x.shape
     nb = -(-n // block_size)
+    nb = -(-nb // row_multiple) * row_multiple
     n_pad = nb * block_size
     xb = np.zeros((n_pad, d))
     xb[:n] = x

@@ -149,6 +149,23 @@ def _write_tile_chunk(buf, part, start):
                                         (start, 0, 0))
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_tile_chunk(buf, part, dest):
+    """Scattered (donated) chunk write for the row-partitioned layout —
+    destination positions are arbitrary; out-of-range entries (sentinel
+    padding lanes) are dropped."""
+    return buf.at[dest].set(part.astype(buf.dtype), mode="drop")
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _mirror_tile_chunk(buf, src, dest):
+    """Gather already-written tiles at ``src``, transpose, scatter at
+    ``dest`` (the mirror of the upper triangle).  SSA semantics make the
+    gather read pre-scatter values even with buffer donation."""
+    g = jnp.swapaxes(buf[src], 1, 2)
+    return buf.at[dest].set(g, mode="drop")
+
+
 @functools.partial(jax.jit, static_argnames=("kernel_fn", "block_size"))
 def _tile_live(kernel_fn, x1b, x2b, mask1, mask2, rows, cols, hps,
                block_size):
@@ -295,6 +312,70 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
         n_dev = 1
         if mesh is not None:
             n_dev = int(np.prod(list(mesh.shape.values())))
+        if n_dev > 1:
+            # row-affinity layout: device d's (position-sharded) segment
+            # holds exactly the tiles whose row block lies in its contiguous
+            # range (parallel/partition.py) — the SpMM output then needs no
+            # cross-device reduction and per-device work is balanced by
+            # construction.  Tiles are written straight to their final
+            # (scattered) positions with buffer donation, so peak memory
+            # stays one tile set + one chunk.
+            from .partition import partition_schedule, schedule_stats
+            rows_all = np.concatenate([rows, cols[off_idx]]).astype(np.int32)
+            cols_all = np.concatenate([cols, rows[off_idx]]).astype(np.int32)
+            nb_local = -(-nb1 // n_dev)
+            if total:
+                cnt = np.bincount(
+                    np.minimum(rows_all // nb_local, n_dev - 1),
+                    minlength=n_dev)
+                pad_to = _bucket(int(cnt.max()))
+            else:
+                pad_to = _bucket(1)
+            rows_final, cols_final, perm, per_dev = partition_schedule(
+                rows_all, cols_all, nb1, n_dev, pad_to=pad_to)
+            cols_final[perm < 0] = nb2
+            padded = per_dev * n_dev
+            dest = np.empty(total, np.int64)
+            live_out = np.nonzero(perm >= 0)[0]
+            dest[perm[live_out]] = live_out
+
+            buf = jnp.zeros((padded, block_size, block_size),
+                            storage_dtype or dtype)
+            rp, cp, nch = _sched_chunks(rows, cols, n_sched)
+            dest_sched = np.full(nch * chunk, padded, np.int64)
+            dest_sched[:n_sched] = dest[:n_sched]
+            for st in range(0, nch * chunk, chunk):
+                c = jnp.asarray(np.minimum(cp[st:st + chunk], nb2 - 1))
+                r_c = jnp.asarray(np.minimum(rp[st:st + chunk], nb1 - 1))
+                part = _compute_tiles(kern_fn, x1b, x2b, m1, m2,
+                                      r_c, c, hps, block_size)
+                if st + chunk > n_sched:
+                    alive = np.arange(st, st + chunk) < n_sched
+                    part = part * jnp.asarray(alive, part.dtype)[:, None, None]
+                buf = _scatter_tile_chunk(
+                    buf, part, jnp.asarray(dest_sched[st:st + chunk]))
+            for st in range(0, len(off_idx), chunk):
+                sel = off_idx[st:st + chunk]
+                src = dest[sel]
+                dst = dest[n_sched + st:n_sched + st + len(sel)]
+                if len(sel) < chunk:
+                    pad_n = chunk - len(sel)
+                    src = np.concatenate([src, np.zeros(pad_n, src.dtype)])
+                    dst = np.concatenate([dst, np.full(pad_n, padded,
+                                                       dst.dtype)])
+                buf = _mirror_tile_chunk(buf, jnp.asarray(src),
+                                         jnp.asarray(dst))
+            result = BlockSparseMatrix(len(x1), len(x2), block_size,
+                                       rows_final, cols_final, buf)
+            shard_tiles(result, mesh)
+            from ..utils.logging import logger
+            logger.debug("covariance assembled: %d/%d tiles scheduled, "
+                         "block %d, fill %.4f, row-partitioned over %d "
+                         "devices: %s", total, nb1 * nb2, block_size,
+                         result.sparsity(),
+                         n_dev, schedule_stats(rows_final, cols_final, nb1,
+                                               n_dev, block_size))
+            return result
         padded = _bucket(max(total, 1))
         # every chunk write must FIT: dynamic_update_slice clamps start
         # indices, so an out-of-range write would silently land at the
@@ -386,14 +467,31 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
     n_dev = 1
     if mesh is not None:
         n_dev = int(np.prod(list(mesh.shape.values())))
-    padded = _bucket(max(total, 1))
-    padded = -(-padded // n_dev) * n_dev
-    if padded > total:
-        pad = padded - total
-        rows = np.concatenate([rows, np.full(pad, nb1, np.int32)])
-        cols = np.concatenate([cols, np.full(pad, nb2, np.int32)])
-        tiles = jnp.concatenate(
-            [tiles, jnp.zeros((pad, block_size, block_size), tiles.dtype)])
+    if n_dev > 1 and total:
+        # row-affinity layout (see the device path above): position-sharded
+        # segments coincide with contiguous row-block ownership.  The
+        # per-device count is bucket-padded INSIDE the partition so segment
+        # boundaries stay aligned with ownership.
+        from .partition import partition_schedule
+        nb_local = -(-nb1 // n_dev)
+        cnt = np.bincount(np.minimum(np.asarray(rows) // nb_local, n_dev - 1),
+                          minlength=n_dev)
+        rows_p, cols_p, perm, _ = partition_schedule(
+            np.asarray(rows), np.asarray(cols), nb1, n_dev,
+            pad_to=_bucket(int(cnt.max())))
+        cols_p[perm < 0] = nb2
+        safe = np.where(perm >= 0, perm, 0)
+        tiles = tiles[jnp.asarray(safe)] * jnp.asarray(
+            perm >= 0, tiles.dtype)[:, None, None]
+        rows, cols = rows_p, cols_p
+    else:
+        padded = _bucket(max(total, 1))
+        if padded > total:
+            pad = padded - total
+            rows = np.concatenate([rows, np.full(pad, nb1, np.int32)])
+            cols = np.concatenate([cols, np.full(pad, nb2, np.int32)])
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((pad, block_size, block_size), tiles.dtype)])
 
     result = BlockSparseMatrix(len(x1), len(x2), block_size, rows, cols, tiles)
     shard_tiles(result, mesh)
