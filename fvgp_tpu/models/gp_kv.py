@@ -454,16 +454,29 @@ class GPkv:
     # ------------------------------------------------------------------
     @staticmethod
     def addKV(K, V):
-        """K + V for dense/block-sparse K and vector/matrix V
-        (ref gp_kv.py:639-669)."""
+        """K + V for dense/block-sparse K and vector/matrix/sparse-matrix V
+        (ref gp_kv.py:639-669; sparse noise ref gp_likelihood.py:89-110)."""
+        from scipy.sparse import issparse
         if is_block_sparse(K):
+            if issparse(V):
+                from ..parallel.block_sparse import from_scipy, merge
+                return merge(K, from_scipy(V, K.block_size))
+            if is_block_sparse(V):
+                from ..parallel.block_sparse import merge
+                return merge(K, V)
             V = jnp.asarray(V)
             if V.ndim != 1:
-                raise AssertionError("K is block-sparse; expected a 1-d diagonal V")
+                raise AssertionError("K is block-sparse; expected a 1-d "
+                                     "diagonal, scipy.sparse, or "
+                                     "BlockSparseMatrix V")
             return K.add_diagonal(V)
         K = jnp.asarray(K)
         if K.ndim != 2 or K.shape[0] != K.shape[1]:
             raise AssertionError("K must be a square 2-d matrix")
+        if issparse(V):
+            V = V.toarray()
+        elif is_block_sparse(V):
+            V = V.to_dense()
         V = jnp.asarray(V)
         if V.ndim == 2:
             return K + V

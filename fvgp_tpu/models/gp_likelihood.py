@@ -24,6 +24,24 @@ def _is_traceable(fn, *example_args):
         return False
 
 
+def _is_structured(obj):
+    """scipy.sparse or BlockSparseMatrix noise (structured, host-side)."""
+    from scipy.sparse import issparse
+
+    from ..parallel.block_sparse import is_block_sparse
+    return issparse(obj) or is_block_sparse(obj)
+
+
+def _densify(obj):
+    from scipy.sparse import issparse
+    if issparse(obj):
+        return jnp.asarray(obj.toarray())
+    from ..parallel.block_sparse import is_block_sparse
+    if is_block_sparse(obj):
+        return obj.to_dense()
+    return jnp.asarray(obj)
+
+
 class GPlikelihood:
     def __init__(self, data, trainer, noise_function=None, noise_function_grad=None):
         self.data = data
@@ -99,7 +117,10 @@ class GPlikelihood:
 
     def calculate_V(self, x_data, hyperparameters):
         """Evaluate the noise model (ref gp_likelihood.py:89-94).
-        Returns a device vector (diagonal) or matrix."""
+        Returns a device vector (diagonal), a dense matrix, or — for a user
+        callable returning scipy.sparse / BlockSparseMatrix — the structured
+        host matrix itself, folded in sparse-aware by GPkv.addKV
+        (ref gp_likelihood.py:89-110, gp_kv.py:640-669)."""
         if self._mode == "callable":
             hps = (config.asarray(hyperparameters) if self.noise_traceable
                    else np.asarray(hyperparameters))
@@ -112,6 +133,8 @@ class GPlikelihood:
                 noise = self.noise_function(x_in, hps, self.args)
             else:
                 raise Exception("No valid noise function signature.")
+            if _is_structured(noise):
+                return noise
             if not self.noise_traceable:
                 noise = np.asarray(noise)
             return jnp.asarray(noise, dtype=config.linalg_dtype(self.args))
@@ -147,7 +170,13 @@ class GPlikelihood:
         h2 = np.array(hyperparameters, dtype=np.float64)
         h1[i] += 1e-6
         h2[i] -= 1e-6
-        return (self.calculate_V(x, h1) - self.calculate_V(x, h2)) / 2e-6
+        V1 = self.calculate_V(x, h1)
+        V2 = self.calculate_V(x, h2)
+        if _is_structured(V1):
+            # structured noise densifies for the FD gradient engine only
+            # (the gradient path is dense-N-sized anyway)
+            V1, V2 = _densify(V1), _densify(V2)
+        return (V1 - V2) / 2e-6
 
     # ------------------------------------------------------------------
     def _default_noise_function(self, x, hyperparameters):
@@ -165,9 +194,11 @@ class GPlikelihood:
     # ------------------------------------------------------------------
     def __getstate__(self):
         state = dict(self.__dict__)
-        state["V"] = np.asarray(self.V)
+        if not _is_structured(self.V):
+            state["V"] = np.asarray(self.V)
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
-        self.V = jnp.asarray(self.V)
+        if not _is_structured(self.V):
+            self.V = jnp.asarray(self.V)

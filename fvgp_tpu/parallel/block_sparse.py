@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BlockSparseMatrix", "is_block_sparse", "stack_augmented_covariance"]
+__all__ = ["BlockSparseMatrix", "is_block_sparse", "stack_augmented_covariance",
+           "from_scipy", "merge"]
 
 
 def is_block_sparse(obj):
@@ -285,6 +286,46 @@ class BlockSparseMatrix:
         self.__init__(state["n"], state["n_cols"], state["block_size"],
                       state["rows"], state["cols"], state["tiles"],
                       diag=state.get("diag"))
+
+
+def from_scipy(sp_mat, block_size):
+    """Tile-ify a scipy.sparse matrix onto the fixed block grid.
+
+    The structured-noise path (ref gp_likelihood.py:89-110 accepts a noise
+    callable returning a scipy.sparse matrix; ref gp_kv.py:640-647 adds it
+    sparse-aware): the host matrix is grouped by (row-block, col-block) and
+    scattered into dense B×B tiles, so K+V stays one batched-tile operator.
+    """
+    coo = sp_mat.tocoo()
+    n, n_cols = coo.shape
+    B = int(block_size)
+    nb_cols = -(-n_cols // B)
+    br = coo.row // B
+    bc = coo.col // B
+    key = br.astype(np.int64) * nb_cols + bc
+    uniq, tile_of = np.unique(key, return_inverse=True)
+    tiles = np.zeros((len(uniq), B, B), dtype=np.float64)
+    np.add.at(tiles, (tile_of, coo.row % B, coo.col % B), coo.data)
+    rows = (uniq // nb_cols).astype(np.int32)
+    cols = (uniq % nb_cols).astype(np.int32)
+    return BlockSparseMatrix(n, n_cols, B, rows, cols, tiles)
+
+
+def merge(A, B_mat):
+    """A + B for two BlockSparseMatrix on the SAME block grid: the tile
+    lists concatenate (duplicate (row, col) entries are summed by every
+    consumer's segment-sum/scatter-add).  Extra diagonals add."""
+    if (A.shape != B_mat.shape) or (A.block_size != B_mat.block_size):
+        raise ValueError("merge requires matching shapes and block grids")
+    d = A.diag
+    if B_mat.diag is not None:
+        d = B_mat.diag if d is None else d + B_mat.diag
+    tiles_b = jnp.asarray(B_mat.tiles, dtype=A.tiles.dtype)
+    return BlockSparseMatrix(
+        A.n, A.n_cols, A.block_size,
+        jnp.concatenate([A.rows, B_mat.rows]),
+        jnp.concatenate([A.cols, B_mat.cols]),
+        jnp.concatenate([A.tiles, tiles_b]), diag=d)
 
 
 def stack_augmented_covariance(K, B, D):

@@ -216,18 +216,35 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
     """Assemble k(x1, x2) as a sharded BlockSparseMatrix
     (replaces ref gp2Scale_covariance.py:230)."""
     args = args or {}
-    if isinstance(x1, list) or isinstance(x2, list):
-        raise Exception("gp2Scale requires Euclidean (array) inputs on the TPU "
-                        "path; use a dense GP for non-Euclidean spaces.")
-    x1 = np.asarray(x1, dtype=np.float64)
-    x2 = x1 if symmetric else np.asarray(x2, dtype=np.float64)
+    non_euclidean = isinstance(x1, list) or isinstance(x2, list)
+    if non_euclidean:
+        # arbitrary-object points (the reference's contract, ref
+        # tests/test_fvgp.py:5462-5566): the kernel is a host callable, so
+        # tiles are evaluated in the host tile loop below.  No geometric
+        # prune exists for opaque objects — every tile pair is scheduled
+        # and the exact zero-tile filter drops the dead ones afterwards.
+        x2 = x1 if symmetric else x2
+    else:
+        x1 = np.asarray(x1, dtype=np.float64)
+        x2 = x1 if symmetric else np.asarray(x2, dtype=np.float64)
     block_size = int(args.get("gp2Scale_block_size",
                                min(int(batch_size), 256)))
     dtype = config.linalg_dtype(args)
 
-    lengthscales, radius = support_geometry(prior, hyperparameters, args)
-    rows, cols = _candidate_pairs(x1, None if symmetric else x2,
-                                  lengthscales, radius, block_size, symmetric)
+    if non_euclidean:
+        lengthscales, radius = None, np.inf
+        nb1_s = -(-len(x1) // block_size)
+        nb2_s = nb1_s if symmetric else -(-len(x2) // block_size)
+        ii, jj = np.meshgrid(np.arange(nb1_s), np.arange(nb2_s),
+                             indexing="ij")
+        keep = ii <= jj if symmetric else np.ones_like(ii, dtype=bool)
+        rows = ii[keep].astype(np.int32)
+        cols = jj[keep].astype(np.int32)
+    else:
+        lengthscales, radius = support_geometry(prior, hyperparameters, args)
+        rows, cols = _candidate_pairs(x1, None if symmetric else x2,
+                                      lengthscales, radius, block_size,
+                                      symmetric)
 
     nb1 = -(-len(x1) // block_size)
     nb2 = -(-len(x2) // block_size)
@@ -437,7 +454,9 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
             b = x2[j * block_size:(j + 1) * block_size]
             blk = prior.compute_covariances(a, b, hps_np)
             tiles_np[t, :blk.shape[0], :blk.shape[1]] = np.asarray(blk)
-        if do_filter and n_sched:
+        # the tiles are already materialized here, so the exact zero-tile
+        # filter costs one host reduction even without a known support radius
+        if bool(args.get("gp2Scale_tile_filter", True)) and n_sched:
             keep = np.abs(tiles_np).max(axis=(1, 2)) > 0
             rows = rows[keep]
             cols = cols[keep]

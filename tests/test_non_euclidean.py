@@ -84,3 +84,43 @@ def test_non_euclidean_multitask():
     assert np.isfinite(f.log_likelihood())
     res = f.posterior_mean(["gauss"], x_out=np.array([0.0, 1.0]))
     assert res["m(x)"].shape == (1, 2)
+
+
+def test_gp2Scale_with_non_euclidean_object_points():
+    """Arbitrary (ragged) object points through the distributed sparse path:
+    the block-sparse assembly must equal the direct dense evaluation, and
+    posteriors/appends must work (parity with ref
+    tests/test_fvgp.py:5538-5566)."""
+    rng = np.random.default_rng(0)
+    letters = "abcdefghij"
+    x = [[letters[i % 10]] * (1 + i % 3) for i in range(30)]   # ragged
+    y = rng.random(30)
+
+    def compact_kernel(x1, x2, hps):
+        d = np.zeros((len(x1), len(x2)))
+        for i, a in enumerate(x1):
+            for j, b in enumerate(x2):
+                d[i, j] = 0.0 if a[0] == b[0] else 2.0
+        d[d > 1.0] = 1.0
+        return hps[0] * (1.0 - d) ** 8 * (32.0 * d ** 3 + 25.0 * d ** 2
+                                          + 8.0 * d + 1.0)
+
+    hps = np.array([1.0, 0.5])
+    gp = GP(x, y, init_hyperparameters=hps, gp2Scale=True,
+            gp2Scale_batch_size=10, kernel_function=compact_kernel,
+            args={"gp2Scale_block_size": 8})
+    from fvgp_tpu.parallel.block_sparse import is_block_sparse
+    assert is_block_sparse(gp.prior.K)
+    # the distributed assembly equals the direct evaluation
+    np.testing.assert_allclose(np.asarray(gp.prior.K.to_dense()),
+                               compact_kernel(x, x, hps), atol=1e-12)
+
+    assert np.isfinite(gp.log_likelihood())
+    pm = gp.posterior_mean([["a"], ["b", "b"]])["m(x)"]
+    assert np.all(np.isfinite(pm))
+    pv = gp.posterior_covariance([["a"], ["b", "b"]])["v(x)"]
+    assert np.all(np.asarray(pv) >= 0.0)
+
+    gp.update_gp_data([["z", "z", "z"]], np.array([0.5]), append=True)
+    assert len(gp.x_data) == 31 and gp.prior.K.shape == (31, 31)
+    assert np.isfinite(gp.log_likelihood())
