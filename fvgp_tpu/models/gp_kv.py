@@ -31,7 +31,7 @@ from .. import config
 from ..ops import dense as dops
 from ..ops import krylov, slq
 from ..parallel.block_sparse import BlockSparseMatrix, is_block_sparse
-from ..ops.precond import build_block_jacobi_op
+from ..ops.precond import build_preconditioner_op
 
 # ---------------------------------------------------------------------------
 # sequential-state gate (ref gp_kv.py:20-85)
@@ -305,7 +305,7 @@ class GPkv:
             self.Preconditioner_reuse_counter += 1
             return self.Preconditioner_operator
         try:
-            operator = build_block_jacobi_op(KV, args=self.args)
+            operator = build_preconditioner_op(KV, args=self.args)
         except Exception as exc:
             self.Last_preconditioner_error = f"{type(exc).__name__}: {exc}"
             warnings.warn(
@@ -524,7 +524,7 @@ class GPkv:
             if self._direct_dense_ok(KV):
                 L = chol if chol is not None else dops.cholesky_factor(self._densify(KV))
                 return dops.cholesky_solve(L, b)
-            m_fn, m_data = build_block_jacobi_op(KV, args=self.args)
+            m_fn, m_data = build_preconditioner_op(KV, args=self.args)
             return krylov.cg(fn, b, x0=x0, M=m_fn, tol=1e-10,
                              operator=data, m_operator=m_data)
         if mode == "sparseCG":

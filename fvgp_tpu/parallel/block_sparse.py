@@ -276,6 +276,34 @@ class BlockSparseMatrix:
                 dp.reshape(self.nb, self.block_size))
         return out
 
+    def off_diagonal_tiles(self, offset=1):
+        """(nb, B, B) stack of the k-th block superdiagonal tiles
+        (rows + offset == cols); missing tiles are zero blocks.  Input to
+        the overlapping-Schwarz preconditioner's coupled windows."""
+        m = ((self.rows + offset == self.cols) & (self.rows < self.nb)
+             & (self.cols < self.nb_cols))
+        contrib = jnp.where(m[:, None, None], self.tiles, 0.0)
+        return jax.ops.segment_sum(contrib, self.rows, num_segments=self.nb)
+
+    def coarse_matrix(self):
+        """(nb, nb) Galerkin coarse operator PᵀAP for the block-constant
+        prolongation P (each coarse dof = one point block): entry (i, j) is
+        the sum of tile (i, j)'s entries.  Input to the two-level
+        (AMG-class) preconditioner's coarse solve."""
+        sums = jnp.sum(self.tiles, axis=(1, 2))
+        live = (self.rows < self.nb) & (self.cols < self.nb_cols)
+        sums = jnp.where(live, sums, 0.0)
+        Ac = jnp.zeros((self.nb, self.nb_cols), sums.dtype)
+        Ac = Ac.at[self.rows, self.cols].add(sums, mode="drop")
+        if self.diag is not None:
+            Ac = Ac.astype(jnp.promote_types(Ac.dtype, self.diag.dtype))
+            dp = jnp.zeros((self.nb * self.block_size,), self.diag.dtype)
+            dp = dp.at[: self.n].set(self.diag)
+            i = jnp.arange(self.nb)
+            Ac = Ac.at[i, i].add(
+                jnp.sum(dp.reshape(self.nb, self.block_size), axis=1))
+        return Ac
+
     def __getstate__(self):
         return dict(n=self.n, n_cols=self.n_cols, block_size=self.block_size,
                     rows=np.asarray(self.rows), cols=np.asarray(self.cols),

@@ -1,0 +1,167 @@
+"""Preconditioner family: block-Jacobi, overlapping Schwarz (block-IC
+class), two-level (AMG class).  Parity with the dense GP, SPD sanity, and
+the iteration-count reductions that justify each option
+(ref gp_lin_alg.py:604-935)."""
+
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+
+from fvgp_tpu import GP
+from fvgp_tpu.kernels import default_matern_ard
+from fvgp_tpu.ops.precond import (build_block_jacobi_op,
+                                  build_preconditioner_op, build_schwarz_op,
+                                  build_two_level_op)
+from fvgp_tpu.parallel.sharded_cov import distributed_covariance
+
+warnings.simplefilter("ignore")
+
+
+def _ill_conditioned_kv(n=640, ls=6.0, noise=1e-4, seed=0):
+    """Dense-ish Matérn with a long length scale on sorted 1-D points:
+    strong inter-block coupling, exactly where block-Jacobi stalls."""
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0, 10, (n, 1)), axis=0)
+    hps = jnp.asarray([1.0, ls])
+    K = np.asarray(default_matern_ard(jnp.asarray(x), jnp.asarray(x), hps))
+    KV = K + noise * np.eye(n)
+    return jnp.asarray(KV), x
+
+
+def _host_cg_iters(A, b, m_fn, m_data, tol=1e-8, maxiter=4000):
+    """Host PCG that counts iterations to ||r|| <= tol*||b||."""
+    n = len(b)
+    x = np.zeros(n)
+    r = b.copy()
+
+    def M(v):
+        if m_fn is None:
+            return v
+        return np.asarray(m_fn(m_data, jnp.asarray(v)[:, None]))[:, 0]
+
+    z = M(r)
+    p = z.copy()
+    rz = r @ z
+    bnorm = np.linalg.norm(b)
+    for i in range(maxiter):
+        if np.linalg.norm(r) <= tol * bnorm:
+            return i
+        Ap = np.asarray(A @ jnp.asarray(p))
+        alpha = rz / (p @ Ap)
+        x += alpha * p
+        r -= alpha * Ap
+        z = M(r)
+        rz_new = r @ z
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    return maxiter
+
+
+def test_preconditioners_reduce_iterations():
+    KV, _ = _ill_conditioned_kv()
+    b = np.random.default_rng(1).standard_normal(KV.shape[0])
+    args = {"sparse_preconditioner_block_size": 32}
+    it_none = _host_cg_iters(KV, b, None, None)
+    fn_bj, d_bj = build_block_jacobi_op(KV, args=args)
+    it_bj = _host_cg_iters(KV, b, fn_bj, d_bj)
+    fn_sw, d_sw = build_schwarz_op(KV, args=args)
+    it_sw = _host_cg_iters(KV, b, fn_sw, d_sw)
+    fn_tl, d_tl = build_two_level_op(KV, args=args)
+    it_tl = _host_cg_iters(KV, b, fn_tl, d_tl)
+    # block-Jacobi STALLS here (it can even lose to unpreconditioned CG —
+    # the scenario that motivates the stronger options); the coupled
+    # Schwarz windows collapse the iteration count, and the coarse level
+    # also beats block-Jacobi (measured: none 281, bj 356, schwarz 19,
+    # two-level 194)
+    assert it_sw < it_none / 4, (it_sw, it_none)
+    assert it_sw < it_bj / 4, (it_sw, it_bj)
+    assert it_tl < it_bj, (it_tl, it_bj)
+
+
+def test_preconditioners_are_spd():
+    """M⁻¹ must be symmetric PD for CG: check the quadratic form."""
+    KV, _ = _ill_conditioned_kv(n=200)
+    args = {"sparse_preconditioner_block_size": 16}
+    rng = np.random.default_rng(2)
+    X = jnp.asarray(rng.standard_normal((200, 3)))
+    Y = jnp.asarray(rng.standard_normal((200, 3)))
+    for build in (build_block_jacobi_op, build_schwarz_op, build_two_level_op):
+        fn, data = build(KV, args=args)
+        MX = np.asarray(fn(data, X))
+        MY = np.asarray(fn(data, Y))
+        np.testing.assert_allclose(np.asarray(X).T @ MY,
+                                   MX.T @ np.asarray(Y), atol=1e-8)
+        quad = np.einsum("nk,nk->k", np.asarray(X), MX)
+        assert np.all(quad > 0)
+
+
+def test_block_sparse_schwarz_and_coarse():
+    """Schwarz windows and the Galerkin coarse matrix built from a
+    BlockSparseMatrix agree with the dense constructions."""
+    rng = np.random.default_rng(3)
+    n = 300
+    x = np.sort(rng.uniform(0, 30, (n, 2)), axis=0)
+
+    class _P:
+        kernel = None
+        kernel_traceable = False
+        args = {}
+        k_n_params = 3
+
+        def compute_covariances(self, a, b, h):
+            from fvgp_tpu.kernels import wendland_anisotropic
+            return wendland_anisotropic(jnp.asarray(a), jnp.asarray(b),
+                                        jnp.asarray(h))
+
+    hps = np.array([1.0, 4.0, 4.0])
+    K = distributed_covariance(_P(), x, x, hps, symmetric=True,
+                               args={"gp2Scale_block_size": 32})
+    KV = K.add_diagonal(jnp.full(n, 1e-3))
+    dense = np.asarray(KV.to_dense())
+    # coarse matrix equals the dense block-sum
+    nb = KV.nb
+    p = KV.block_size
+    pad = np.zeros((nb * p, nb * p))
+    pad[:n, :n] = dense
+    Ac_dense = pad.reshape(nb, p, nb, p).sum(axis=(1, 3))
+    np.testing.assert_allclose(np.asarray(KV.coarse_matrix()), Ac_dense,
+                               atol=1e-9)
+    # Schwarz built from tiles == Schwarz built from the dense matrix
+    fn_s, d_s = build_schwarz_op(KV, args={})
+    fn_d, d_d = build_schwarz_op(jnp.asarray(dense),
+                                 args={"sparse_preconditioner_block_size": p})
+    X = jnp.asarray(np.random.default_rng(4).standard_normal((n, 2)))
+    np.testing.assert_allclose(np.asarray(fn_s(d_s, X)),
+                               np.asarray(fn_d(d_d, X)), atol=1e-9)
+
+
+def test_alias_modes_run_end_to_end():
+    """sparseCGpre_<type> aliases resolve to genuinely different operators
+    and the GP LML/posterior agree with the dense oracle."""
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 10, (400, 2))
+    y = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(400)
+    nv = np.full(400, 1e-2)          # moderate conditioning: the test is
+    hps = np.array([1.0, 2.0, 2.0])  # about alias wiring, not SLQ accuracy
+    oracle = GP(x, y, init_hyperparameters=hps, noise_variances=nv,
+                linalg_mode="Chol")
+    lml0 = oracle.log_likelihood()
+    xp = x[:5] + 0.1
+    pm0 = np.asarray(oracle.posterior_mean(xp)["m(x)"])
+    slq_args = {"sparse_cg_tol": 1e-12,
+                "random_logdet_lanczos_degree": 100,
+                "random_logdet_error_rtol": 1e-4,
+                "random_logdet_min_num_samples": 64}
+    for alias, ptype in (("sparseCGpre", "block_jacobi"),
+                         ("sparseCGpre_ichol", "ichol"),
+                         ("sparseCGpre_schwarz", "schwarz"),
+                         ("sparseCGpre_amg", "amg")):
+        gp = GP(x, y, init_hyperparameters=hps, noise_variances=nv,
+                linalg_mode=alias, args=dict(slq_args))
+        if alias != "sparseCGpre":
+            assert gp.args["sparse_preconditioner_type"] == ptype
+        np.testing.assert_allclose(gp.log_likelihood(), lml0, rtol=1e-2)
+        np.testing.assert_allclose(
+            np.asarray(gp.posterior_mean(xp)["m(x)"]), pm0,
+            rtol=1e-5, atol=1e-7)
