@@ -17,6 +17,9 @@ from .models.gp import GP  # noqa: E402
 from .models.fvgp import fvGP  # noqa: E402
 from .models.gp_mcmc import gpMCMC, ProposalDistribution  # noqa: E402
 from .models.ggmp import GGMP  # noqa: E402
+from .models.gplvm import GPLVM  # noqa: E402
+from .models.gpm import GPm  # noqa: E402
 
-__all__ = ["GP", "fvGP", "gpMCMC", "ProposalDistribution", "GGMP"]
+__all__ = ["GP", "fvGP", "gpMCMC", "ProposalDistribution", "GGMP",
+           "GPLVM", "GPm"]
 __version__ = "0.1.0"

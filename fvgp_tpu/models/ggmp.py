@@ -501,7 +501,10 @@ class GGMP:
         var  = ggmp.posterior_variance(x_pred)
 
     ``y_data`` is a list of (domain, density) pairs — one empirical PDF per
-    input location.
+    input location.  **Multi-task**: a station entry may instead be a LIST
+    of per-task (domain, density) pairs (one PDF per output); the component
+    models are then multi-task ``fvGP`` GPs over the task-augmented index
+    set (GGMP-on-fvGP — beyond the reference, whose GGMP is single-task).
     """
 
     def __init__(self, x_data, y_data, *, hps_obj, gp_kernel_functions=None,
@@ -517,10 +520,25 @@ class GGMP:
         self.init_weights = np.full(likelihood_terms, 1.0 / likelihood_terms)
         self.x_data = x_data
         self.y_data = y_data
+        # a station entry that is a list of (domain, density) PAIRS (rather
+        # than one pair) marks the multi-task case
+        first = y_data[0]
+        self.multi_task = (isinstance(first, (list, tuple)) and len(first) > 0
+                           and isinstance(first[0], (list, tuple))
+                           and len(first[0]) == 2
+                           and np.ndim(first[0][0]) == 1)
+        self.n_tasks = len(first) if self.multi_task else 1
+        if self.multi_task and any(len(e) != self.n_tasks for e in y_data):
+            raise AssertionError("every station needs the same task count")
         self.gp_kernel_functions = (gp_kernel_functions
                                     or [None] * likelihood_terms)
-        self.gp_mean_functions = (gp_mean_functions
-                                  or [constant_mean] * likelihood_terms)
+        if gp_mean_functions is not None:
+            self.gp_mean_functions = gp_mean_functions
+        elif self.multi_task:
+            # fvGP's default mean handles the augmented index set
+            self.gp_mean_functions = [None] * likelihood_terms
+        else:
+            self.gp_mean_functions = [constant_mean] * likelihood_terms
         self.gp_init_kwargs = dict(gp_init_kwargs or {})
         # accepted for API parity; devices are managed by JAX on TPU
         self.gp_device_ids = gp_device_ids
@@ -536,10 +554,19 @@ class GGMP:
             raise AssertionError("init_mean length must equal likelihood_terms")
         if init_std is not None and len(init_std) != K:
             raise AssertionError("init_std length must equal likelihood_terms")
-        station_means = np.zeros(self.len_data)
-        station_vars = np.zeros(self.len_data)
-        for i, (domain, density) in enumerate(self.y_data):
-            station_means[i], station_vars[i] = _density_moments(domain, density)
+        if self.multi_task:
+            station_means = np.zeros((self.len_data, self.n_tasks))
+            station_vars = np.zeros((self.len_data, self.n_tasks))
+            for i, tasks in enumerate(self.y_data):
+                for t, (domain, density) in enumerate(tasks):
+                    station_means[i, t], station_vars[i, t] = \
+                        _density_moments(domain, density)
+        else:
+            station_means = np.zeros(self.len_data)
+            station_vars = np.zeros(self.len_data)
+            for i, (domain, density) in enumerate(self.y_data):
+                station_means[i], station_vars[i] = _density_moments(domain,
+                                                                     density)
         self.station_means = station_means
         self.station_vars = station_vars
         if init_mean is None:
@@ -564,17 +591,37 @@ class GGMP:
         self._component_GPs = []
         synced = []
         for k in range(self.likelihood_terms):
-            y = np.asarray(self.likelihoods[k].mean, dtype=float).ravel()
-            nv = np.maximum(np.asarray(self.likelihoods[k].variance,
-                                       dtype=float).ravel(), 1e-8)
             init_hps = np.asarray(self.hps_obj.hps[k], dtype=float).copy()
-            # the last hp is the prior mean under constant_mean: start each
-            # component at its own data mean (ref ggmp.py:395-399)
-            init_hps[-1] = float(y.mean())
-            gp = GP(np.asarray(self.x_data, dtype=float), y,
-                    init_hyperparameters=init_hps, noise_variances=nv,
-                    kernel_function=self.gp_kernel_functions[k],
-                    prior_mean_function=self.gp_mean_functions[k], **kwargs)
+            if self.multi_task:
+                # GGMP-on-fvGP: component-k means/variances are (N, No);
+                # each component is a multi-task GP over the task-augmented
+                # index set (models/fvgp.py)
+                from .fvgp import fvGP
+                y = np.asarray(self.likelihoods[k].mean,
+                               dtype=float).reshape(self.len_data,
+                                                    self.n_tasks)
+                nv = np.maximum(np.asarray(self.likelihoods[k].variance,
+                                           dtype=float).reshape(
+                                               self.len_data, self.n_tasks),
+                                1e-8)
+                gp = fvGP(np.asarray(self.x_data, dtype=float), y,
+                          init_hyperparameters=init_hps, noise_variances=nv,
+                          kernel_function=self.gp_kernel_functions[k],
+                          prior_mean_function=self.gp_mean_functions[k],
+                          **kwargs)
+            else:
+                y = np.asarray(self.likelihoods[k].mean, dtype=float).ravel()
+                nv = np.maximum(np.asarray(self.likelihoods[k].variance,
+                                           dtype=float).ravel(), 1e-8)
+                # the last hp is the prior mean under constant_mean: start
+                # each component at its own data mean (ref ggmp.py:395-399)
+                if self.gp_mean_functions[k] is constant_mean:
+                    init_hps[-1] = float(y.mean())
+                gp = GP(np.asarray(self.x_data, dtype=float), y,
+                        init_hyperparameters=init_hps, noise_variances=nv,
+                        kernel_function=self.gp_kernel_functions[k],
+                        prior_mean_function=self.gp_mean_functions[k],
+                        **kwargs)
             self._component_GPs.append(gp)
             synced.append(np.asarray(gp.hyperparameters, dtype=float).copy())
         self._expert_GPs = self._component_GPs
@@ -630,6 +677,10 @@ class GGMP:
                     terms, K, weight_floor=weight_floor,
                     max_iter=weight_max_iter, tol_l1=weight_tol, w0=w0)
             elif weight_method == "samples":
+                if self.multi_task:
+                    raise ValueError("weight_method='samples' is single-task "
+                                     "only; use weight_method='density' for "
+                                     "multi-task GGMP.")
                 if y_samples is None:
                     raise ValueError("y_samples must be provided when "
                                      "weight_method='samples'.")
@@ -668,6 +719,19 @@ class GGMP:
         mean_noise = np.array([float(np.mean(lk.variance))
                                for lk in self.likelihoods])
         terms = []
+        if self.multi_task:
+            # one EM term per (station, task): the mixture weights are
+            # shared across tasks, so every task's density constrains them
+            for n, tasks in enumerate(self.y_data):
+                for t, (domain, density) in enumerate(tasks):
+                    domain_n, dens_n, dx = _normalize_density(domain, density)
+                    mass = dens_n * dx
+                    comp = np.stack([
+                        gaussian_pdf(domain_n, gp_means[k, n, t],
+                                     gp_vars[k, n, t] + mean_noise[k])
+                        for k in range(self.likelihood_terms)])
+                    terms.append((comp, mass))
+            return terms
         for n, (domain, density) in enumerate(self.y_data):
             domain_n, dens_n, dx = _normalize_density(domain, density)
             mass = dens_n * dx
@@ -700,7 +764,7 @@ class GGMP:
         means = np.stack([gp.posterior_mean(x_pred)["m(x)"] for gp in self.gps])
         gp_vars = np.stack([gp.posterior_covariance(x_pred, variance_only=True)["v(x)"]
                             for gp in self.gps])
-        variances = gp_vars + mean_noise[:, None]
+        variances = gp_vars + mean_noise.reshape((-1,) + (1,) * (gp_vars.ndim - 1))
         mean_total = np.einsum("k,k...->...", w, means)
         expected_var = np.einsum("k,k...->...", w, variances)
         var_of_means = np.einsum("k,k...->...", w, (means - mean_total[None]) ** 2)
@@ -716,7 +780,17 @@ class GGMP:
         gp_vars = np.stack([gp.posterior_covariance(x_pred, variance_only=True)["v(x)"]
                             for gp in self.gps])
         domain = np.asarray(domain, dtype=float)
-        out = np.zeros((np.atleast_2d(x_pred).shape[0], len(domain)))
+        n_pred = np.atleast_2d(x_pred).shape[0]
+        if self.multi_task:
+            out = np.zeros((n_pred, self.n_tasks, len(domain)))
+            for k in range(self.likelihood_terms):
+                for m in range(n_pred):
+                    for t in range(self.n_tasks):
+                        out[m, t] += w[k] * gaussian_pdf(
+                            domain, means[k, m, t],
+                            gp_vars[k, m, t] + mean_noise[k])
+            return out
+        out = np.zeros((n_pred, len(domain)))
         for k in range(self.likelihood_terms):
             for m in range(out.shape[0]):
                 out[m] += w[k] * gaussian_pdf(domain, means[k, m],

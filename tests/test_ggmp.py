@@ -310,3 +310,75 @@ def test_fit_gmm_multivariate_degenerate_samples():
                                                       n_init=1)
     assert np.isfinite(m).all() and np.isfinite(c).all()
     np.testing.assert_allclose(w.sum(), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# GGMP-on-fvGP: multi-task mixture GPs (beyond the reference)
+# ---------------------------------------------------------------------------
+
+def _make_multitask_distributional_data(n=10, n_tasks=2, seed=0):
+    """Each station observes one PDF PER TASK; task 0 tracks sin(x),
+    task 1 tracks cos(x)."""
+    x = np.linspace(0, 10, n).reshape(-1, 1)
+    y_data = []
+    domain = np.linspace(-6, 6, 160)
+    for xi in x[:, 0]:
+        tasks = []
+        for t in range(n_tasks):
+            center = np.sin(xi) if t == 0 else np.cos(xi)
+            d1 = gaussian_pdf(domain, center - 0.8, 0.25)
+            d2 = gaussian_pdf(domain, center + 0.8, 0.25)
+            tasks.append((domain, 0.5 * d1 + 0.5 * d2))
+        y_data.append(tasks)
+    return x, y_data
+
+
+def _hps_obj_mt(K, d=1):
+    # fvGP default Matérn over the task-augmented index set: d+2 hps
+    hps = [np.ones(d + 2) for _ in range(K)]
+    bounds = [np.tile([0.01, 10.0], (d + 2, 1)) for _ in range(K)]
+    w = np.full(K, 1.0 / K)
+    wb = np.tile([0.0, 1.0], (K, 1))
+    return hyperparameters(w, wb, hps, bounds)
+
+
+def test_ggmp_multitask_end_to_end():
+    K = 2
+    x, y_data = _make_multitask_distributional_data()
+    g = GGMP(x, y_data, hps_obj=_hps_obj_mt(K), likelihood_terms=K)
+    assert g.multi_task and g.n_tasks == 2
+    g.initLikelihoods()
+    assert g.station_means.shape == (len(x), 2)
+    g.initGPs()
+    from fvgp_tpu import fvGP
+    assert all(isinstance(gp, fvGP) for gp in g.gps)
+    g.train(method="local", max_iter=30, weight_method="density",
+            weight_max_iter=50)
+    xp = np.array([[2.5], [7.5]])
+    pm = g.posterior_mean(xp)
+    pv = g.posterior_variance(xp)
+    assert pm.shape == (2, 2) and pv.shape == (2, 2)
+    assert np.all(np.isfinite(pm)) and np.all(pv > 0)
+    # the mixture mean tracks the (N, No) station empirical means at the
+    # single-task test's tolerance (the noise floor of moment-seeded
+    # components is high on bimodal data)
+    pm_train = g.posterior_mean(x)
+    assert pm_train.shape == g.station_means.shape
+    np.testing.assert_allclose(pm_train, g.station_means, atol=1.5)
+    pdf = g.posterior_pdf(xp, np.linspace(-6, 6, 100))
+    assert pdf.shape == (2, 2, 100)
+    assert np.all(pdf >= 0)
+    # the predictive density integrates to ~1 per (point, task)
+    mass = pdf.sum(axis=-1) * (12.0 / 99)
+    np.testing.assert_allclose(mass, 1.0, atol=0.05)
+
+
+def test_ggmp_multitask_rejects_sample_weights():
+    K = 2
+    x, y_data = _make_multitask_distributional_data(n=6)
+    g = GGMP(x, y_data, hps_obj=_hps_obj_mt(K), likelihood_terms=K)
+    g.initLikelihoods()
+    g.initGPs()
+    with pytest.raises(ValueError, match="single-task"):
+        g.train(method="local", max_iter=5, weight_method="samples",
+                y_samples=[np.zeros(3)] * len(x))
