@@ -136,13 +136,26 @@ def _rowpart_spmv_factory(nb, B, mesh, mv_dtype=None):
 
 def _spmv_for(nb, B, mesh, mv_dtype=None):
     """The SpMM for this mesh: row-partitioned shard_map when a (>1 device)
-    mesh is given, plain GSPMD segment-sum otherwise."""
+    mesh is given; on a single TPU the VMEM-resident Pallas kernel when the
+    shapes fit (ops/pallas_kernels.chunked_spmm — 1.2-1.33x the XLA
+    formulation, see docs/source/roofline.md); the XLA segment-sum
+    otherwise."""
     if mesh is not None:
         from ..parallel.mesh import TILE_AXIS
         if mesh.shape[TILE_AXIS] > 1:
             return _rowpart_spmv_factory(nb, B, mesh, mv_dtype=mv_dtype)
 
+    import os
+    use_pallas = os.environ.get("FVGP_TPU_PALLAS_SPMM", "1") != "0"
+
     def spmv(rows, cols, tiles, X):
+        if use_pallas and jax.default_backend() == "tpu":
+            from .pallas_kernels import chunked_spmm, chunked_spmm_fits
+            isz = jnp.dtype(mv_dtype).itemsize if mv_dtype is not None \
+                else tiles.dtype.itemsize
+            if chunked_spmm_fits(tiles.shape[0], nb, B, X.shape[1], isz):
+                return chunked_spmm(rows, cols, tiles, X, nb, B,
+                                    mv_dtype=mv_dtype)
         return _spmv(rows, cols, tiles, X, nb, B, mv_dtype=mv_dtype)
 
     return spmv

@@ -54,3 +54,52 @@ def test_block_spmv_with_sentinels(rng):
     X = rng.standard_normal(n)
     out = np.asarray(block_spmv(rows, cols, jnp.asarray(tiles_p), X, nb, B))
     np.testing.assert_allclose(out, dense @ X, atol=1e-10)
+
+
+def test_chunked_spmm_matches_xla(rng):
+    """The production VMEM-resident SpMM (interpret mode on CPU) matches
+    the XLA segment-sum formulation, including sentinel tiles."""
+    import jax
+
+    from fvgp_tpu.ops.pallas_kernels import chunked_spmm, chunked_spmm_fits
+    from fvgp_tpu.ops.sparse_lml import _spmv
+
+    T, B, nb, k = 128, 16, 12, 5
+    assert chunked_spmm_fits(T, nb, B, k, 4)
+    rows = rng.integers(0, nb, T).astype(np.int32)
+    cols = rng.integers(0, nb, T).astype(np.int32)
+    tiles = rng.standard_normal((T, B, B))
+    # sentinel contract: clamped indices with zero tiles
+    tiles[-8:] = 0.0
+    rows[-8:] = nb - 1
+    cols[-8:] = nb - 1
+    X = rng.standard_normal((nb * B, k))
+    rows_j = jnp.asarray(rows); cols_j = jnp.asarray(cols)
+    tiles_j = jnp.asarray(tiles, jnp.float32)
+    X_j = jnp.asarray(X, jnp.float32)
+    ref = np.asarray(_spmv(rows_j, cols_j, tiles_j, X_j, nb, B))
+    got = np.asarray(chunked_spmm(rows_j, cols_j, tiles_j, X_j, nb, B))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    # gradients: custom VJP vs XLA autodiff
+    def loss_pallas(t, x):
+        return jnp.sum(chunked_spmm(rows_j, cols_j, t, x, nb, B) ** 2)
+
+    def loss_xla(t, x):
+        return jnp.sum(_spmv(rows_j, cols_j, t, x, nb, B) ** 2)
+
+    gp_t, gp_x = jax.grad(loss_pallas, argnums=(0, 1))(tiles_j, X_j)
+    gx_t, gx_x = jax.grad(loss_xla, argnums=(0, 1))(tiles_j, X_j)
+    np.testing.assert_allclose(np.asarray(gp_t), np.asarray(gx_t),
+                               atol=1e-3, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp_x), np.asarray(gx_x),
+                               atol=1e-3, rtol=1e-5)
+
+
+def test_chunked_spmm_fits_bounds():
+    from fvgp_tpu.ops.pallas_kernels import chunked_spmm_fits
+    # bench shapes fit; the N=1M LML shapes do not (X too large for VMEM)
+    assert chunked_spmm_fits(4096, 196, 256, 17, 2)
+    assert not chunked_spmm_fits(219648, 7813, 128, 17, 2)
+    # unpadded tile counts fall back
+    assert not chunked_spmm_fits(100, 16, 64, 4, 4)
