@@ -227,11 +227,16 @@ class GPMarginalLikelihood:
         # backward that reuses the probe solves — 2-3x the slq path
         # (ops/sparse_lml._mbcg_factory).  "slq" restores separate CG+SLQ.
         solver = str(args.get("gp2Scale_solver", "mbcg"))
+        # width-w preconditioner: group w adjacent (Morton-neighboring)
+        # point blocks into exact wB-sized factors — captures the coupling
+        # that stalls block-Jacobi on long length scales while M stays
+        # block-diagonal (the mBCG log|M| correction needs that)
+        pwidth = int(args.get("gp2Scale_precond_width", 1))
 
         if not hasattr(self, "_sparse_cache"):
             self._sparse_cache = {}
         key = (n, B, nb, cg_iters, probes, degree, str(dtype), str(sdt),
-               solver, self.data.point_number, mesh)
+               solver, pwidth, self.data.point_number, mesh)
         entry = self._sparse_cache.get(key)
         if entry is None:
             from ..parallel.sharded_cov import _stable_kernel_closure
@@ -252,7 +257,8 @@ class GPMarginalLikelihood:
                 noise_pad = jax.device_put(noise_pad, row_s)
             lml = make_sparse_lml(kern_fn, nb, B, cg_iters=cg_iters,
                                   slq_degree=degree, with_variance=True,
-                                  solver_dtype=sdt, solver=solver, mesh=mesh)
+                                  solver_dtype=sdt, solver=solver, mesh=mesh,
+                                  precond_width=pwidth)
             # one jitted fn across occupancy buckets: jit's own shape cache
             # keeps every bucket's program warm as the hp moves change T_pad
             entry = {"fn": jax.jit(lml), "vg": None, "lml": lml,

@@ -214,9 +214,11 @@ class GPposterior:
             kd = self._dense(k)
             S = None
             v = jnp.diagonal(kk) - jnp.einsum("ji,jk,ki->i", kd, self.KVinv, kd)
-            v = np.asarray(v)
+            # np.asarray of a device array is a READ-ONLY view; the negative-
+            # variance clip below mutates in place
+            v = np.array(v)
         else:
-            S = np.asarray(kk - self._cross_solve_product(k))
+            S = np.array(kk - self._cross_solve_product(k))
             v = np.array(np.diag(S))
         if np.any(v < -0.0001):
             warnings.warn(

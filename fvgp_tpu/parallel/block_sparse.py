@@ -60,10 +60,24 @@ def bsm_matvec_factory(nb, block_size, n, with_diag):
 
 @functools.partial(jax.jit, static_argnames=("nb", "block_size"))
 def _bsm_matmat(rows, cols, tiles, X, nb, block_size):
-    """(n, k) = sum over tiles of tile @ X[col-block] scattered to row-block."""
+    """(n, k) = sum over tiles of tile @ X[col-block] scattered to row-block.
+
+    On TPU, when X and the accumulator fit VMEM, the VMEM-resident Pallas
+    kernel runs instead of the gather→einsum→segment-sum formulation
+    (1.2-1.33x; docs/source/roofline.md)."""
+    import os
     n_pad = nb * block_size
     k = X.shape[1]
     Xp = jnp.zeros((n_pad, k), X.dtype).at[:X.shape[0]].set(X)
+    if (jax.default_backend() == "tpu" and X.dtype != jnp.float64
+            and os.environ.get("FVGP_TPU_PALLAS_SPMM", "1") != "0"):
+        from ..ops.pallas_kernels import chunked_spmm, chunked_spmm_fits
+        if chunked_spmm_fits(tiles.shape[0], nb, block_size, k,
+                             tiles.dtype.itemsize):
+            out = chunked_spmm(jnp.minimum(rows, nb - 1),
+                               jnp.minimum(cols, nb - 1),
+                               tiles, Xp, nb, block_size)
+            return out[:X.shape[0]]
     Xb = Xp.reshape(nb, block_size, k)
     gathered = Xb[cols]                                   # (nnzb, B, k)
     prod = jnp.einsum("nij,njk->nik", tiles, gathered,
