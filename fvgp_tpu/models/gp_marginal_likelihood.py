@@ -319,26 +319,40 @@ class GPMarginalLikelihood:
         if mesh is not None:
             # contiguous row-range ownership: device d's (position-sharded)
             # segment holds exactly the tiles whose row block it owns, so
-            # the shard_map SpMM needs no cross-device reduction
-            from ..parallel.partition import partition_schedule, schedule_stats
-            nb_local = nb // n_dev
-            if len(rows_f):
-                cnt = np.bincount(np.minimum(rows_f // nb_local, n_dev - 1),
-                                  minlength=n_dev)
-                pad_to = _bucket(int(cnt.max()))
+            # the shard_map SpMM needs no cross-device reduction.  The
+            # partitioned schedule is cached while the filtered candidate
+            # set is byte-identical (the common case: the liveness mask is
+            # reused under the drift policy above)
+            pcache = entry.get("partition_cache")
+            if (pcache is not None and len(pcache[0]) == len(rows_f)
+                    and np.array_equal(pcache[0], rows_f)):
+                rows_d, cols_d, rows_p, cols_p = pcache[1]
             else:
-                pad_to = _bucket(1)
-            rows_p, cols_p, _, _ = partition_schedule(
-                rows_f, cols_f, nb, n_dev, pad_to=pad_to)
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            tile_s = NamedSharding(mesh, P(TILE_AXIS))
-            row_s = NamedSharding(mesh, P(TILE_AXIS))
-            rows_d = jax.device_put(jnp.asarray(rows_p), tile_s)
-            cols_d = jax.device_put(jnp.asarray(cols_p), tile_s)
-            from ..utils.logging import logger
-            logger.debug("sparse LML schedule: %s",
-                         schedule_stats(rows_p, cols_p, nb, n_dev, B,
-                                        n_rhs=probes + 1))
+                from ..parallel.partition import (partition_schedule,
+                                                  schedule_stats)
+                nb_local = nb // n_dev
+                if len(rows_f):
+                    cnt = np.bincount(
+                        np.minimum(rows_f // nb_local, n_dev - 1),
+                        minlength=n_dev)
+                    pad_to = _bucket(int(cnt.max()))
+                else:
+                    pad_to = _bucket(1)
+                rows_p, cols_p, _, _ = partition_schedule(
+                    rows_f, cols_f, nb, n_dev, pad_to=pad_to)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                tile_s = NamedSharding(mesh, P(TILE_AXIS))
+                rows_d = jax.device_put(jnp.asarray(rows_p), tile_s)
+                cols_d = jax.device_put(jnp.asarray(cols_p), tile_s)
+                entry["partition_cache"] = (rows_f.copy(),
+                                            (rows_d, cols_d, rows_p, cols_p))
+                import logging
+
+                from ..utils.logging import logger
+                if logger.isEnabledFor(logging.DEBUG):
+                    logger.debug("sparse LML schedule: %s",
+                                 schedule_stats(rows_p, cols_p, nb, n_dev, B,
+                                                n_rhs=probes + 1))
         else:
             T_pad = _bucket(max(len(rows_f), 1))
             rows_p = np.full(T_pad, nb, np.int32)

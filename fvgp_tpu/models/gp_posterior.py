@@ -496,7 +496,17 @@ class GPposterior:
     def add_noise(self, x_pred, v, S):
         """(ref gp_posterior.py:554-569)."""
         if self.noise_function_available:
-            noise = np.asarray(self.likelihood.calculate_V(x_pred, self.hyperparameters))
+            noise = self.likelihood.calculate_V(x_pred, self.hyperparameters)
+            # structured (scipy.sparse / BlockSparseMatrix) noise densifies
+            # at prediction size — n_pred is small by contract here
+            from scipy.sparse import issparse
+
+            from ..parallel.block_sparse import is_block_sparse
+            if issparse(noise):
+                noise = noise.toarray()
+            elif is_block_sparse(noise):
+                noise = noise.to_dense()
+            noise = np.asarray(noise)
             if noise.ndim == 1:
                 v = v + noise
                 if S is not None:

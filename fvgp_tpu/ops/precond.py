@@ -168,14 +168,12 @@ def _window_blocks(KV, args=None):
         KVp = jnp.zeros((n_pad + p, n_pad + p), KV.dtype).at[:n, :n].set(KV)
         idx = jnp.arange(nb)[:, None] * p + jnp.arange(2 * p)[None, :]
         W = KVp[idx[:, :, None], idx[:, None, :]]
-    # identity on every padded/overhanging row keeps the windows PD
+    # padded/overhanging rows must be DECOUPLED unit rows so the window
+    # factorization stays exact and PD: zero their couplings, then set a
+    # unit diagonal
     flat = jnp.arange(nb)[:, None] * p + jnp.arange(2 * p)[None, :]
     pad = flat >= n
     d = jnp.arange(2 * p)
-    diag = W[:, d, d]
-    W = W.at[:, d, d].set(jnp.where(pad, 1.0, diag))
-    # padded rows must be DECOUPLED, not just unit-diagonal: zero their
-    # off-diagonal entries so the window factorization stays exact
     W = jnp.where(pad[:, :, None] | pad[:, None, :],
                   jnp.zeros_like(W), W)
     W = W.at[:, d, d].set(jnp.where(pad, 1.0, W[:, d, d]))
@@ -274,10 +272,6 @@ def _shifted_cholesky(blocks, args):
 def _factor_blocks(KV, args=None):
     """(L, nb, p, n): the batched Cholesky of the diagonal blocks."""
     args = args or {}
-    shift0 = float(args.get("sparse_preconditioner_shift", 0.0))
-    growth = float(args.get("sparse_preconditioner_shift_growth", 10.0))
-    attempts = int(args.get("sparse_preconditioner_shift_attempts", 5))
-
     if is_block_sparse(KV):
         blocks = KV.diagonal_tiles()
         n = KV.n
@@ -293,15 +287,5 @@ def _factor_blocks(KV, args=None):
         blocks = K4[jnp.arange(nb), :, jnp.arange(nb), :]
     nb = blocks.shape[0]
     blocks = _pad_identity(blocks, n, p)
-
-    shift = shift0
-    eye = jnp.eye(p, dtype=blocks.dtype)
-    for attempt in range(max(attempts, 1)):
-        L = _batched_cholesky(blocks + shift * eye[None])
-        if bool(jnp.all(jnp.isfinite(L))):
-            break
-        shift = max(shift, 1e-12 * float(jnp.max(jnp.abs(blocks)))) * growth
-    else:
-        raise RuntimeError("block-Jacobi setup failed: non-PD diagonal blocks "
-                           "after shift retries")
+    L = _shifted_cholesky(blocks, args)
     return L, nb, p, n

@@ -398,7 +398,7 @@ def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None, mesh=None):
         # bottleneck — sequential over B rows, ~11 ms per CG step vs ~2 ms
         # for the tile matvec itself.
         Minv = data[4]
-        Xb = X.reshape(nb, B, -1)
+        Xb = X.reshape(Minv.shape[0], Minv.shape[1], -1)
         z = jnp.einsum("rij,rjk->rik", Minv, Xb,
                        preferred_element_type=X.dtype)
         return z.reshape(nb * B, -1)

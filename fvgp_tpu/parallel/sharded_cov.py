@@ -385,13 +385,16 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
             result = BlockSparseMatrix(len(x1), len(x2), block_size,
                                        rows_final, cols_final, buf)
             shard_tiles(result, mesh)
+            import logging
+
             from ..utils.logging import logger
-            logger.debug("covariance assembled: %d/%d tiles scheduled, "
-                         "block %d, fill %.4f, row-partitioned over %d "
-                         "devices: %s", total, nb1 * nb2, block_size,
-                         result.sparsity(),
-                         n_dev, schedule_stats(rows_final, cols_final, nb1,
-                                               n_dev, block_size))
+            if logger.isEnabledFor(logging.DEBUG):
+                logger.debug("covariance assembled: %d/%d tiles scheduled, "
+                             "block %d, fill %.4f, row-partitioned over %d "
+                             "devices: %s", total, nb1 * nb2, block_size,
+                             result.sparsity(),
+                             n_dev, schedule_stats(rows_final, cols_final,
+                                                   nb1, n_dev, block_size))
             return result
         padded = _bucket(max(total, 1))
         # every chunk write must FIT: dynamic_update_slice clamps start

@@ -205,3 +205,37 @@ def test_precond_width_improves_convergence():
     assert e4 < e1, (e4, e1)
     # converged: all widths agree with the oracle to SLQ noise
     assert err(2, 200) < abs(exact) * 5e-3
+
+
+def test_precond_width_slq_solver():
+    """Regression: the slq solver's preconditioner apply must handle
+    width-w Minv shapes (it hard-coded the width-1 reshape)."""
+    import jax
+
+    from fvgp_tpu.kernels import wendland_anisotropic
+    from fvgp_tpu.ops.sparse_lml import make_padded_inputs, make_sparse_lml
+    from fvgp_tpu.parallel.sharded_cov import _candidate_pairs
+
+    n, B = 256, 32
+    rng = np.random.default_rng(1)
+    x = np.sort(rng.uniform(0, 10, (n, 1)), axis=0)
+    y = np.sin(x[:, 0])
+    hps = np.array([1.0, 4.0])
+    rows, cols = _candidate_pairs(x, None, hps[1:], 1.0, B, symmetric=True)
+    off = rows < cols
+    rows_f = np.concatenate([rows, cols[off]]).astype(np.int32)
+    cols_f = np.concatenate([cols, rows[off]]).astype(np.int32)
+    nb = -(-n // B)
+    xb, mask, y_pad, ypad_mask, noise_pad = make_padded_inputs(
+        x, y, np.full(n, 1e-3), B, dtype=jnp.float64)
+    Z = jax.random.rademacher(jax.random.PRNGKey(0), (nb * B, 16),
+                              dtype=jnp.float64) * ypad_mask[:, None]
+    args = (jnp.asarray(hps, jnp.float64), jnp.asarray(rows_f),
+            jnp.asarray(cols_f), xb, mask, y_pad, ypad_mask, noise_pad, Z)
+    v1 = float(jax.jit(make_sparse_lml(
+        wendland_anisotropic, nb, B, cg_iters=100, solver="slq",
+        precond_width=1))(*args))
+    v2 = float(jax.jit(make_sparse_lml(
+        wendland_anisotropic, nb, B, cg_iters=100, solver="slq",
+        precond_width=2))(*args))
+    np.testing.assert_allclose(v2, v1, rtol=1e-6)

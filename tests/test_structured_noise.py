@@ -128,3 +128,21 @@ def test_block_sparse_noise_object():
              noise_function=lambda xx, h: _banded_noise(len(xx)).toarray())
     np.testing.assert_allclose(gp1.log_likelihood(), gp2.log_likelihood(),
                                rtol=1e-10)
+
+
+def test_add_noise_with_structured_noise():
+    """Regression: posterior add_noise densifies structured noise instead
+    of silently skipping it with a warning."""
+    x, y = _data(n=80)
+    hps = np.array([1.0, 1.0, 1.0])
+    gp_s = GP(x, y, init_hyperparameters=hps,
+              noise_function=lambda xx, h: _banded_noise(len(xx)))
+    gp_d = GP(x, y, init_hyperparameters=hps,
+              noise_function=lambda xx, h: _banded_noise(len(xx)).toarray())
+    xp = x[:6] + 0.1
+    vs = np.asarray(gp_s.posterior_covariance(xp, add_noise=True)["v(x)"])
+    vd = np.asarray(gp_d.posterior_covariance(xp, add_noise=True)["v(x)"])
+    np.testing.assert_allclose(vs, vd, rtol=1e-8)
+    # the noise really was added
+    v0 = np.asarray(gp_s.posterior_covariance(xp, add_noise=False)["v(x)"])
+    assert np.all(vs > v0)
