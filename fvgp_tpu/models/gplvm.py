@@ -127,6 +127,23 @@ class GPLVM:
         return np.asarray(self.X)
 
     # ------------------------------------------------------------------
+    def __getstate__(self):
+        """Checkpoint contract: jitted closures drop and rebuild on load."""
+        state = dict(self.__dict__)
+        state.pop("_neg_lml", None)
+        state.pop("_neg_lml_vg", None)
+        state["X"] = np.asarray(self.X)
+        state["_y"] = np.asarray(self._y)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        dtype = config.linalg_dtype(None)
+        self.X = jnp.asarray(self.X, dtype=dtype)
+        self._y = jnp.asarray(self._y, dtype=dtype)
+        self._build()
+
+    # ------------------------------------------------------------------
     @property
     def latent_coordinates(self):
         return np.asarray(self.X)

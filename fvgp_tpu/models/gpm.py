@@ -156,6 +156,26 @@ class GPm:
         alpha = jax.scipy.linalg.cho_solve((L, True), self._y)
         return np.asarray(ks.T @ alpha) + self._y_mean
 
+    def __getstate__(self):
+        """Checkpoint contract (ref pickling discipline, SURVEY.md §5):
+        jitted closures are dropped and rebuilt on load; the custom kernel
+        callable must itself be picklable (same contract as GPprior)."""
+        state = dict(self.__dict__)
+        state.pop("_neg_lml", None)
+        state.pop("_neg_lml_vg", None)
+        state["W"] = np.asarray(self.W)
+        state["_x"] = np.asarray(self._x)
+        state["_y"] = np.asarray(self._y)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        dtype = config.linalg_dtype(None)
+        self.W = jnp.asarray(self.W, dtype=dtype)
+        self._x = jnp.asarray(self._x, dtype=dtype)
+        self._y = jnp.asarray(self._y, dtype=dtype)
+        self._build()
+
     def posterior_variance(self, x_pred):
         """(n_pred,) posterior variance, shared across outputs."""
         z, hps, L = self._factor()

@@ -37,3 +37,22 @@ def test_gplvm_predict_variance(rng):
     assert np.all(v >= 0)
     far = m.predict_variance(np.full((1, 2), 50.0))
     assert far[0] > v.mean()      # far from data -> larger variance
+
+
+def test_gplvm_pickle_roundtrip():
+    import pickle
+
+    import numpy as np
+
+    from fvgp_tpu import GPLVM
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 2 * np.pi, 30)
+    y = np.stack([np.sin(t), np.cos(t), t / 3], axis=1)
+    y += 0.01 * rng.standard_normal(y.shape)
+    m = GPLVM(y, latent_dim=1)
+    m.train(max_iter=30)
+    m2 = pickle.loads(pickle.dumps(m))
+    np.testing.assert_allclose(m2.log_likelihood(), m.log_likelihood(),
+                               rtol=1e-10)
+    np.testing.assert_allclose(m2.latent_coordinates, m.latent_coordinates)

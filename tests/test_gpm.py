@@ -72,3 +72,16 @@ def test_gpm_frozen_embedding():
     W0 = np.asarray(m.W).copy()
     m.train(max_iter=50)
     np.testing.assert_array_equal(np.asarray(m.W), W0)
+
+
+def test_gpm_pickle_roundtrip():
+    import pickle
+
+    x, y = _manifold_data(n=40)
+    m = GPm(x, y, manifold_dim=1)
+    m.train(max_iter=30)
+    m2 = pickle.loads(pickle.dumps(m))
+    np.testing.assert_allclose(m2.log_likelihood(), m.log_likelihood(),
+                               rtol=1e-10)
+    np.testing.assert_allclose(m2.posterior_mean(x[:5]),
+                               m.posterior_mean(x[:5]), rtol=1e-10)

@@ -525,3 +525,21 @@ def test_rowpart_gp_api_parity(eight_devices):
         g8 = gp8.neg_log_likelihood_gradient()
     np.testing.assert_allclose(v8, v1, rtol=1e-5)
     np.testing.assert_allclose(g8, g1, rtol=1e-4, atol=1e-6)
+
+
+def test_update_gp_data_under_mesh(eight_devices):
+    """Append/overwrite under an active mesh keeps the row-partitioned LML
+    consistent with a freshly built GP."""
+    x, y = _sparse_dataset(n=600)
+    perm = morton_order(x)
+    x, y = x[perm], y[perm]
+    a = {"gp2Scale_block_size": 64}
+    m = pmesh.make_mesh(8)
+    with pmesh.use_mesh(m):
+        gp = GP(x[:500], y[:500], init_hyperparameters=HPS, gp2Scale=True,
+                args=dict(a))
+        gp.update_gp_data(x[500:], y[500:], append=True)
+        v_app = gp.log_likelihood()
+        fresh = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                   args={**a, "gp2Scale_reorder": False})
+        np.testing.assert_allclose(v_app, fresh.log_likelihood(), rtol=1e-6)
