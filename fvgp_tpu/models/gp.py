@@ -50,9 +50,24 @@ class GP:
     Parameters mirror /root/reference/fvgp/gp.py:382-401; see that module's
     docstring for the full narrative.  ``args`` keys recognized here include
     the reference's ``sparse_*`` / ``random_logdet_*`` families plus the
-    TPU-specific ``dtype``, ``kernel_dtype``, ``gp2Scale_block_size``,
-    ``sparse_direct_dense_cutoff``, ``gp2Scale_lengthscales`` and
-    ``gp2Scale_support_radius``.
+    TPU-specific:
+
+    * ``dtype`` / ``kernel_dtype`` — linalg / kernel evaluation dtypes.
+    * ``gp2Scale_block_size`` — covariance tile size B (default ≤256).
+    * ``gp2Scale_lengthscales`` (callable hps → per-dim scales) and
+      ``gp2Scale_support_radius`` — declare a custom kernel's compact
+      support so tile pruning fires.
+    * ``gp2Scale_solver`` ('mbcg' default | 'slq'), ``gp2Scale_solver_dtype``
+      / ``gp2Scale_storage_dtype`` (e.g. 'bfloat16' tile streaming/storage),
+      ``gp2Scale_precond_width`` (group w adjacent Morton-neighbor blocks
+      into exact wB preconditioner factors), ``gp2Scale_tile_filter`` /
+      ``gp2Scale_filter_drift`` (exact zero-tile filter + reuse policy),
+      ``gp2Scale_traced_lml`` — the traced differentiable sparse LML.
+    * ``sparse_preconditioner_type`` — 'block_jacobi' (default), the
+      IC-class 'schwarz' family, or 'amg' (two-level); also reachable as
+      ``linalg_mode='sparseCGpre_<type>'`` aliases.
+    * ``sparse_direct_dense_cutoff`` — sparseLU/sparseSolve densify below
+      this N.
     """
 
     def __init__(self, x_data, y_data, init_hyperparameters=None,

@@ -18,6 +18,7 @@ callables and non-Euclidean input spaces.
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import config
 from ..ops import dense as dops
@@ -247,7 +248,6 @@ class GPMarginalLikelihood:
                                                        hyperparameters)),
                 B, dtype=dtype, row_multiple=n_dev)
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
                 repl = NamedSharding(mesh, P())
                 row_s = NamedSharding(mesh, P(TILE_AXIS))
                 xb = jax.device_put(xb, repl)
@@ -340,7 +340,6 @@ class GPMarginalLikelihood:
                     pad_to = _bucket(1)
                 rows_p, cols_p, _, _ = partition_schedule(
                     rows_f, cols_f, nb, n_dev, pad_to=pad_to)
-                from jax.sharding import NamedSharding, PartitionSpec as P
                 tile_s = NamedSharding(mesh, P(TILE_AXIS))
                 rows_d = jax.device_put(jnp.asarray(rows_p), tile_s)
                 cols_d = jax.device_put(jnp.asarray(cols_p), tile_s)

@@ -543,3 +543,21 @@ def test_update_gp_data_under_mesh(eight_devices):
         fresh = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
                    args={**a, "gp2Scale_reorder": False})
         np.testing.assert_allclose(v_app, fresh.log_likelihood(), rtol=1e-6)
+
+
+def test_rowpart_partition_cache_hit(eight_devices):
+    """Repeated sparse-LML evaluations under a mesh reuse the partitioned
+    schedule (regression: the cache-hit path once crashed on an unbound
+    import)."""
+    x, y = _sparse_dataset(n=600)
+    perm = morton_order(x)
+    x, y = x[perm], y[perm]
+    m = pmesh.make_mesh(8)
+    with pmesh.use_mesh(m):
+        gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                args={"gp2Scale_block_size": 64})
+        v1 = gp.marginal_likelihood.log_likelihood(HPS)
+        v2 = gp.marginal_likelihood.log_likelihood(HPS * 1.001)
+        v3 = gp.marginal_likelihood.log_likelihood(HPS)
+    assert np.isfinite(v1) and np.isfinite(v2)
+    np.testing.assert_allclose(v3, v1, rtol=1e-2)  # fresh SLQ probes per eval
