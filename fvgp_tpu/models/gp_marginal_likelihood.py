@@ -316,43 +316,119 @@ class GPMarginalLikelihood:
             rows_f = rows_f[keep]
             cols_f = cols_f[keep]
 
+        nb_eff = nb
+        xb_m, mask_m = xb, mask
+        y_m, ym_m, np_m = y_pad, ypad_mask, noise_pad
         if mesh is not None:
             # contiguous row-range ownership: device d's (position-sharded)
             # segment holds exactly the tiles whose row block it owns, so
-            # the shard_map SpMM needs no cross-device reduction.  The
-            # partitioned schedule is cached while the filtered candidate
-            # set is byte-identical (the common case: the liveness mask is
-            # reused under the drift policy above)
+            # the shard_map SpMM needs no cross-device reduction.  Ranges
+            # are VARIABLE-width, balanced by tile count, and mapped onto
+            # equal-width shards via a permuted padded block layout
+            # (parallel/partition.tile_balanced_layout) — the solver sees
+            # only remapped indices and permuted vectors.  The partitioned
+            # schedule is cached while the filtered candidate set is
+            # byte-identical (the common case: the liveness mask is reused
+            # under the drift policy above)
             pcache = entry.get("partition_cache")
-            if (pcache is not None and len(pcache[0]) == len(rows_f)
-                    and np.array_equal(pcache[0], rows_f)):
-                rows_d, cols_d, rows_p, cols_p = pcache[1]
+            if (pcache is not None and len(pcache[0][0]) == len(rows_f)
+                    and np.array_equal(pcache[0][0], rows_f)
+                    and np.array_equal(pcache[0][1], cols_f)):
+                (rows_d, cols_d, xb_m, mask_m, y_m, ym_m, np_m,
+                 nb_eff, layout_idx, halo) = pcache[1]
             else:
-                from ..parallel.partition import (partition_schedule,
-                                                  schedule_stats)
-                nb_local = nb // n_dev
-                if len(rows_f):
+                from ..parallel.partition import (apply_block_layout,
+                                                  halo_plan,
+                                                  partition_schedule,
+                                                  permute_blocked,
+                                                  schedule_stats,
+                                                  tile_balanced_layout)
+                layout, W = tile_balanced_layout(
+                    rows_f, nb, n_dev, width=entry.get("layout_width"))
+                if layout is not None and entry.get("layout_width") is None:
+                    # pin the per-device width to a bucket so later drift
+                    # of the tile structure reuses the compiled program
+                    W0 = nb // n_dev
+                    step = max(1, -(-W0 // 8))
+                    Wb = min(-(-W // step) * step,
+                             int(np.ceil(1.5 * W0)))
+                    entry["layout_width"] = Wb
+                    if Wb != W:
+                        layout, W = tile_balanced_layout(
+                            rows_f, nb, n_dev, width=Wb)
+                rows_u, cols_u = rows_f, cols_f
+                layout_idx = None
+                if layout is not None:
+                    rows_u, cols_u, nb_eff = apply_block_layout(
+                        layout, rows_f, cols_f, nb)
+                    xb_m = permute_blocked(layout, np.asarray(xb))
+                    mask_m = permute_blocked(layout, np.asarray(mask))
+                    y_m = permute_blocked(
+                        layout, np.asarray(y_pad).reshape(nb, B)).ravel()
+                    ym_m = permute_blocked(
+                        layout, np.asarray(ypad_mask).reshape(nb, B)).ravel()
+                    np_m = permute_blocked(
+                        layout, np.asarray(noise_pad).reshape(nb, B),
+                        pad_value=1.0).ravel()
+                    repl = NamedSharding(mesh, P())
+                    row_s = NamedSharding(mesh, P(TILE_AXIS))
+                    xb_m = jax.device_put(jnp.asarray(xb_m, dtype), repl)
+                    mask_m = jax.device_put(jnp.asarray(mask_m, dtype), repl)
+                    y_m = jax.device_put(jnp.asarray(y_m, dtype), row_s)
+                    ym_m = jax.device_put(jnp.asarray(ym_m, dtype), row_s)
+                    np_m = jax.device_put(jnp.asarray(np_m, dtype), row_s)
+                    # probe vectors stay defined per LOGICAL point: the base
+                    # Z is generated unpermuted, then gathered through this
+                    # index so mesh and meshless runs share identical probes
+                    layout_idx = jnp.asarray(
+                        np.where(layout >= 0, layout, 0), jnp.int32)
+                W_eff = nb_eff // n_dev
+                if len(rows_u):
                     cnt = np.bincount(
-                        np.minimum(rows_f // nb_local, n_dev - 1),
+                        np.minimum(rows_u // W_eff, n_dev - 1),
                         minlength=n_dev)
                     pad_to = _bucket(int(cnt.max()))
                 else:
                     pad_to = _bucket(1)
                 rows_p, cols_p, _, _ = partition_schedule(
-                    rows_f, cols_f, nb, n_dev, pad_to=pad_to)
+                    rows_u, cols_u, nb_eff, n_dev, pad_to=pad_to)
                 tile_s = NamedSharding(mesh, P(TILE_AXIS))
                 rows_d = jax.device_put(jnp.asarray(rows_p), tile_s)
                 cols_d = jax.device_put(jnp.asarray(cols_p), tile_s)
-                entry["partition_cache"] = (rows_f.copy(),
-                                            (rows_d, cols_d, rows_p, cols_p))
+                # halo exchange: ship only the referenced non-local column
+                # blocks instead of all-gathering X — taken when the
+                # (padded) all-to-all volume wins with margin, or forced
+                # via args["gp2Scale_halo_exchange"]
+                halo = None
+                halo_mode = args.get("gp2Scale_halo_exchange", "auto")
+                if halo_mode not in (False, "off"):
+                    cols_remap, send_sel, send_mask, hS, hstats = halo_plan(
+                        rows_p, cols_p, nb_eff, n_dev,
+                        bucket=max(8, W_eff // 8))
+                    use = (hstats["halo_words"]
+                           <= 0.8 * hstats["allgather_words"])
+                    if halo_mode in (True, "on") or use:
+                        plan_s = NamedSharding(mesh,
+                                               P(TILE_AXIS, None, None))
+                        halo = (
+                            jax.device_put(jnp.asarray(send_sel), plan_s),
+                            jax.device_put(
+                                jnp.asarray(send_mask, dtype), plan_s),
+                            jax.device_put(jnp.asarray(cols_remap), tile_s),
+                            hS)
+                entry["partition_cache"] = (
+                    (rows_f.copy(), cols_f.copy()),
+                    (rows_d, cols_d, xb_m, mask_m, y_m, ym_m, np_m, nb_eff,
+                     layout_idx, halo))
                 import logging
 
                 from ..utils.logging import logger
                 if logger.isEnabledFor(logging.DEBUG):
                     logger.debug("sparse LML schedule: %s",
-                                 schedule_stats(rows_p, cols_p, nb, n_dev, B,
-                                                n_rhs=probes + 1))
+                                 schedule_stats(rows_p, cols_p, nb_eff,
+                                                n_dev, B, n_rhs=probes + 1))
         else:
+            halo = None
             T_pad = _bucket(max(len(rows_f), 1))
             rows_p = np.full(T_pad, nb, np.int32)
             cols_p = np.full(T_pad, nb, np.int32)
@@ -360,12 +436,34 @@ class GPMarginalLikelihood:
             cols_p[:len(cols_f)] = cols_f
             rows_d = jnp.asarray(rows_p)
             cols_d = jnp.asarray(cols_p)
+        halo_S = halo[3] if halo is not None else None
+        if nb_eff != nb or halo_S is not None:
+            # the permuted layout inflates the block count / the halo plan
+            # changes the SpMM program: compile (and cache) a variant
+            from ..ops.sparse_lml import make_sparse_lml
+            akey = (nb_eff, halo_S)
+            alt = entry.setdefault("alt_fns", {}).get(akey)
+            if alt is None:
+                lml_alt = make_sparse_lml(
+                    kern_fn, nb_eff, B, cg_iters=cg_iters, slq_degree=degree,
+                    with_variance=True, solver_dtype=sdt, solver=solver,
+                    mesh=mesh, precond_width=pwidth, halo_S=halo_S)
+                alt = {"lml": lml_alt, "fn": jax.jit(lml_alt), "vg": None}
+                entry["alt_fns"][akey] = alt
+            if want_grad and alt["vg"] is None:
+                alt["vg"] = jax.jit(jax.value_and_grad(alt["lml"],
+                                                       has_aux=True))
+            fn = alt["vg"] if want_grad else alt["fn"]
         Z = jax.random.rademacher(rng_key, (nb * B, probes), dtype=dtype)
         Z = Z * ypad_mask[:, None]
+        if nb_eff != nb:
+            Zb = jnp.reshape(Z, (nb, B, probes))[layout_idx]
+            Z = Zb.reshape(nb_eff * B, probes) * ym_m[:, None]
         if mesh is not None:
             Z = jax.device_put(Z, NamedSharding(mesh, P(TILE_AXIS, None)))
+        halo_args = halo[:3] if halo is not None else ()
         out = fn(hps_dev, rows_d, cols_d,
-                 xb, mask, y_pad, ypad_mask, noise_pad, Z)
+                 xb_m, mask_m, y_m, ym_m, np_m, Z, *halo_args)
         if want_grad:
             (val, var), grad = out
         else:

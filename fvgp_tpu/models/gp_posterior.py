@@ -470,27 +470,37 @@ class GPposterior:
         return {"x": x_orig, "RIE": RIE}
 
     def posterior_probability(self, x_pred, comp_mean, comp_cov, x_out=None):
-        """Gaussian-fusion posterior probability (ref gp_posterior.py:529-552)."""
+        """Probability that the GP posterior and a candidate Gaussian
+        describe the same function values (ref gp_posterior.py:529-552).
+
+        The product of two Gaussian densities is an (unnormalized)
+        Gaussian; everything follows from ONE Cholesky factor of the sum
+        covariance ``T = S_gp + S_c`` — no explicit inverses:
+
+            fused covariance   S  = S_gp T⁻¹ S_c
+            fused mean         mu = S_c T⁻¹ m_gp + S_gp T⁻¹ m_c
+            probability        p  = N(m_gp − m_c | 0, T)
+        """
         if x_out is None:
             x_out = self.x_out
         self._perform_input_checks(x_pred, x_out)
-        gp_mean = self.posterior_mean(x_pred, x_out=x_out)["m(x)_flat"]
-        gp_cov = self.posterior_covariance(x_pred, x_out=x_out, add_noise=True)["S_flat"]
-        gp_cov_inv = np.asarray(dops.calculate_inv(jnp.asarray(gp_cov)))
-        comp_cov_inv = np.asarray(dops.calculate_inv(jnp.asarray(comp_cov)))
-        cov = np.asarray(dops.calculate_inv(jnp.asarray(gp_cov_inv + comp_cov_inv)))
-        mu = cov @ gp_cov_inv @ gp_mean + cov @ comp_cov_inv @ comp_mean
-        logdet1 = float(dops.calculate_logdet(jnp.asarray(cov)))
-        logdet2 = float(dops.calculate_logdet(jnp.asarray(gp_cov)))
-        logdet3 = float(dops.calculate_logdet(jnp.asarray(comp_cov)))
-        dim = len(mu)
-        C = 0.5 * (((gp_mean.T @ gp_cov_inv + comp_mean.T @ comp_cov_inv).T
-                    @ cov @ (gp_cov_inv @ gp_mean + comp_cov_inv @ comp_mean))
-                   - (gp_mean.T @ gp_cov_inv @ gp_mean
-                      + comp_mean.T @ comp_cov_inv @ comp_mean)).squeeze()
-        ln_p = (C + 0.5 * logdet1) - (np.log((2.0 * np.pi) ** (dim / 2.0))
-                                      + (0.5 * (logdet2 + logdet3)))
-        return {"mu": mu, "covariance": cov, "probability": np.exp(ln_p)}
+        m_gp = jnp.asarray(self.posterior_mean(x_pred, x_out=x_out)["m(x)_flat"])
+        S_gp = jnp.asarray(self.posterior_covariance(
+            x_pred, x_out=x_out, add_noise=True)["S_flat"])
+        m_c = jnp.asarray(comp_mean)
+        S_c = jnp.asarray(comp_cov)
+        L_T = dops.cholesky_factor(S_gp + S_c)
+        fused_cov = S_gp @ dops.cholesky_solve(L_T, S_c)
+        fused_mean = (S_c @ dops.cholesky_solve(L_T, m_gp)
+                      + S_gp @ dops.cholesky_solve(L_T, m_c))
+        diff = m_gp - m_c
+        maha = jnp.dot(diff, dops.cholesky_solve(L_T, diff))
+        dim = diff.shape[0]
+        log_p = -0.5 * (maha + dops.cholesky_logdet(L_T)
+                        + dim * jnp.log(2.0 * jnp.pi))
+        return {"mu": np.asarray(fused_mean),
+                "covariance": np.asarray(fused_cov),
+                "probability": float(jnp.exp(log_p))}
 
     # ------------------------------------------------------------------
     def add_noise(self, x_pred, v, S):

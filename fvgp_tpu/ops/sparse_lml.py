@@ -134,24 +134,78 @@ def _rowpart_spmv_factory(nb, B, mesh, mv_dtype=None):
                          out_specs=P(TILE_AXIS, None))
 
 
-def _spmv_for(nb, B, mesh, mv_dtype=None):
+def _halo_spmv_factory(nb, B, mesh, halo_S, mv_dtype=None):
+    """Row-ownership SpMM with HALO EXCHANGE instead of the X all-gather.
+
+    The static gather plan (parallel/partition.halo_plan) ships only the
+    distinct non-local column blocks each device's tiles reference, via one
+    ``lax.all_to_all`` of ``halo_S`` padded slots per (src, dst) pair —
+    ``n·(n-1)·S`` blocks on the wire per matvec vs the all-gather's
+    ``n·(n-1)·W``.  X stays row-sharded end to end; cols arrive REMAPPED to
+    positions in ``concat([local blocks, received blocks])``.
+    """
+    from ..parallel.mesh import TILE_AXIS
+    n_dev = mesh.shape[TILE_AXIS]
+    if nb % n_dev:
+        raise ValueError(f"halo SpMM needs nb ({nb}) divisible by the mesh "
+                         f"size ({n_dev}); pad the point blocking")
+    W = nb // n_dev
+
+    def local_spmv(rows, cols_remap, tiles, X, send_sel, send_mask):
+        acc = X.dtype if X.dtype == jnp.float64 else jnp.float32
+        if mv_dtype is not None:
+            tiles = tiles.astype(mv_dtype)
+            Xc = X.astype(mv_dtype)
+        else:
+            Xc = X
+        k = Xc.shape[1]
+        Xb = Xc.reshape(W, B, k)
+        send = Xb[send_sel[0]] * send_mask[0][..., None, None].astype(Xc.dtype)
+        recv = jax.lax.all_to_all(send, TILE_AXIS, 0, 0, tiled=True)
+        Xcat = jnp.concatenate([Xb, recv.reshape(n_dev * halo_S, B, k)],
+                               axis=0)
+        prod = jnp.einsum("tij,tjk->tik", tiles, Xcat[cols_remap],
+                          preferred_element_type=acc)
+        row0 = jax.lax.axis_index(TILE_AXIS) * W
+        r_loc = jnp.where((rows >= row0) & (rows < row0 + W),
+                          rows - row0, W)
+        out = jax.ops.segment_sum(prod, r_loc, num_segments=W)
+        return out.reshape(W * B, -1).astype(X.dtype)
+
+    return jax.shard_map(local_spmv, mesh=mesh,
+                         in_specs=(P(TILE_AXIS), P(TILE_AXIS),
+                                   P(TILE_AXIS, None, None),
+                                   P(TILE_AXIS, None),
+                                   P(TILE_AXIS, None, None),
+                                   P(TILE_AXIS, None, None)),
+                         out_specs=P(TILE_AXIS, None))
+
+
+def _spmv_for(nb, B, mesh, mv_dtype=None, halo_S=None):
     """The SpMM for this mesh: row-partitioned shard_map when a (>1 device)
-    mesh is given; on a single TPU the VMEM-resident Pallas kernel when the
-    shapes fit (ops/pallas_kernels.chunked_spmm — 1.2-1.33x the XLA
-    formulation, see docs/source/roofline.md); the XLA segment-sum
-    otherwise."""
+    mesh is given (with halo exchange when a ``halo_S`` plan is supplied);
+    on a single TPU the VMEM-resident Pallas kernel when the shapes fit
+    (ops/pallas_kernels.chunked_spmm — 1.2-1.33x the XLA formulation, see
+    docs/source/roofline.md); the XLA segment-sum otherwise."""
     if mesh is not None:
         from ..parallel.mesh import TILE_AXIS
         if mesh.shape[TILE_AXIS] > 1:
+            if halo_S is not None:
+                return _halo_spmv_factory(nb, B, mesh, halo_S,
+                                          mv_dtype=mv_dtype)
             return _rowpart_spmv_factory(nb, B, mesh, mv_dtype=mv_dtype)
 
     import os
     use_pallas = os.environ.get("FVGP_TPU_PALLAS_SPMM", "1") != "0"
 
     def spmv(rows, cols, tiles, X):
-        if use_pallas and jax.default_backend() == "tpu":
+        # Mosaic rejects 64-bit lowering: f64 matvecs (x64 on TPU) must take
+        # the XLA path, mirroring _bsm_matmat's exclusion (block_sparse.py)
+        eff_dtype = jnp.dtype(mv_dtype) if mv_dtype is not None else X.dtype
+        if (use_pallas and jax.default_backend() == "tpu"
+                and eff_dtype != jnp.float64):
             from .pallas_kernels import chunked_spmm, chunked_spmm_fits
-            isz = jnp.dtype(mv_dtype).itemsize if mv_dtype is not None \
+            isz = eff_dtype.itemsize if mv_dtype is not None \
                 else tiles.dtype.itemsize
             if chunked_spmm_fits(tiles.shape[0], nb, B, X.shape[1], isz):
                 return chunked_spmm(rows, cols, tiles, X, nb, B,
@@ -234,7 +288,7 @@ def _slq_fixed(matvec, Z, degree, n_logical):
 
 
 @functools.lru_cache(maxsize=32)
-def _mbcg_factory(nb, B, iters, mv_dtype=None, mesh=None):
+def _mbcg_factory(nb, B, iters, mv_dtype=None, mesh=None, halo_S=None):
     """Fused quadratic-term + logdet solver (the BBMM/mBCG recipe,
     Gardner et al. 2018 — the reference has no equivalent: its sparse path
     runs scipy CG and imate SLQ as separate, non-differentiable passes).
@@ -262,11 +316,12 @@ def _mbcg_factory(nb, B, iters, mv_dtype=None, mesh=None):
     both expressed as one matvec-VJP over the stacked primal/cotangent.
     """
 
-    spmv = _spmv_for(nb, B, mesh, mv_dtype=mv_dtype)
+    spmv = _spmv_for(nb, B, mesh, mv_dtype=mv_dtype, halo_S=halo_S)
 
     def mv(od, X):
-        rows_c, cols_c, tiles, noise = od
-        return spmv(rows_c, cols_c, tiles, X) + noise[:, None] * X
+        # od = (rows, cols, tiles, noise[, send_sel, send_mask])
+        rows_c, cols_c, tiles, noise = od[:4]
+        return spmv(rows_c, cols_c, tiles, X, *od[4:]) + noise[:, None] * X
 
     def minv_apply(Minv, X):
         Xb = X.reshape(Minv.shape[0], Minv.shape[1], -1)
@@ -368,7 +423,8 @@ def _mbcg_factory(nb, B, iters, mv_dtype=None, mesh=None):
 
 
 @functools.lru_cache(maxsize=32)
-def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None, mesh=None):
+def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None, mesh=None,
+                         halo_S=None):
     """CG solve with IMPLICIT differentiation (custom VJP).
 
     Differentiating through the CG scan stores and replays all ``iters``
@@ -379,16 +435,19 @@ def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None, mesh=None):
     gradient identity, here as a jax.custom_vjp so the rest of the LML
     stays plain autodiff.
 
-    op_data = (rows, cols, tiles, noise_diag[, Lb]) — Lb (the block-Jacobi
-    factors) only steers the iteration, never the solution, so it gets a
-    zero cotangent.
+    op_data = (rows, cols, tiles, noise_diag[, Minv][, send_sel, send_mask])
+    — Minv (the batched block inverse) only steers the iteration, never the
+    solution, so it gets a zero cotangent; the halo-plan arrays are static
+    gather indices.
     """
 
-    spmv = _spmv_for(nb, B, mesh, mv_dtype=mv_dtype)
+    spmv = _spmv_for(nb, B, mesh, mv_dtype=mv_dtype, halo_S=halo_S)
+    n_head = 5 if precond else 4
 
     def mv(data, X):
         rows, cols, tiles, noise = data[0], data[1], data[2], data[3]
-        return spmv(rows, cols, tiles, X) + noise[:, None] * X
+        return spmv(rows, cols, tiles, X, *data[n_head:]) \
+            + noise[:, None] * X
 
     def m_apply(data, X):
         if not precond:
@@ -428,11 +487,12 @@ def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None, mesh=None):
 
 def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
                     with_variance=False, mean_mode="data", prior_mean_fn=None,
-                    precondition=True, solver_dtype=None, solver="slq",
-                    mesh=None, precond_width=1):
+                    precondition=True, solver_dtype=None, solver="mbcg",
+                    mesh=None, precond_width=1, halo_S=None):
     if solver not in ("slq", "mbcg"):
         raise ValueError(f"unknown sparse-LML solver {solver!r}; "
-                         "use 'mbcg' (fused, default in production) or 'slq'")
+                         "use 'mbcg' (fused, the default — also what the GP "
+                         "facade and bench use) or 'slq'")
     n_dev = 1
     if mesh is not None:
         from ..parallel.mesh import TILE_AXIS
@@ -444,9 +504,17 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
                 "(make_padded_inputs(..., row_multiple=n_dev))")
     if n_dev <= 1:
         mesh = None
+    if mesh is None:
+        halo_S = None
     """Build the sparse LML as a pure jittable, differentiable function
 
-        lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z)
+        lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z
+            [, send_sel, send_mask])
+
+    With ``halo_S`` set (mesh path), ``cols`` must arrive REMAPPED and the
+    two trailing halo-plan arrays are required
+    (parallel/partition.halo_plan): the SpMM then ships only referenced
+    non-local column blocks instead of all-gathering X.
 
     The tile occupancy (rows/cols) is a RUNTIME argument: hyperparameter
     moves that change the support pattern re-run the same compiled program
@@ -460,7 +528,7 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
     so padding contributes log(1) = 0 to the quadrature.
     """
 
-    spmv = _spmv_for(nb, B, mesh, mv_dtype=solver_dtype)
+    spmv = _spmv_for(nb, B, mesh, mv_dtype=solver_dtype, halo_S=halo_S)
 
     def _assemble_chunked(hps, rows_c, cols_c, live, xb, mask):
         """Chunked, remat'd assembly.  Chunking bounds the assembly-VJP's
@@ -506,7 +574,19 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
         still holds.  ``i0``/``noise_local`` let the same code run
         per-device under shard_map."""
         nb_loc = noise_local.shape[0] // B
-        w = precond_width if nb_loc % precond_width == 0 else 1
+        if nb_loc % precond_width == 0:
+            w = precond_width
+        else:
+            # under a mesh nb_loc is the PER-DEVICE block count, so the same
+            # args can be viable single-device yet indivisible on the mesh —
+            # falling back silently would change convergence without a trace
+            import warnings
+            warnings.warn(
+                f"gp2Scale_precond_width={precond_width} does not divide the "
+                f"local block count {nb_loc}; falling back to width-1 "
+                "block-Jacobi (choose a width dividing n_blocks/n_devices)",
+                stacklevel=2)
+            w = 1
         P = w * B
         ng = nb_loc // w
         idxB = i0 + jnp.arange(nb_loc)
@@ -557,13 +637,22 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
         def _precond(hps, xb, mask, noise_pad):
             return _diag_precond(hps, xb, mask, noise_pad, 0)
 
-    def lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z):
+    def lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z,
+            send_sel=None, send_mask=None, cols_remap=None):
         rows_c = jnp.minimum(rows, nb - 1)
         cols_c = jnp.minimum(cols, nb - 1)
         tiles = _assemble(hps, rows_c, cols_c, rows < nb, xb, mask)
+        if halo_S is not None:
+            # the SpMM reads X through the halo-gather layout; the kernel
+            # assembly above keeps the ORIGINAL block indices
+            mv_cols = cols_remap
+            halo = (send_sel, send_mask)
+        else:
+            mv_cols = cols_c
+            halo = ()
 
         def matvec(X):
-            out = spmv(rows_c, cols_c, tiles, X)
+            out = spmv(rows_c, mv_cols, tiles, X, *halo)
             return out + noise_diag_pad[:, None] * X
 
         M = None
@@ -587,8 +676,8 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
             # fused quadratic + logdet: one PCG over [ym | L_M·probes],
             # backward reuses the probe solves (see _mbcg_factory)
             ql = _mbcg_factory(nb, B, cg_iters, mv_dtype=solver_dtype,
-                               mesh=mesh)
-            od = (rows_c, cols_c, tiles, noise_diag_pad)
+                               mesh=mesh, halo_S=halo_S)
+            od = (rows_c, mv_cols, tiles, noise_diag_pad) + halo
             quad, logdet, logdet_var = ql(od, Minv, Lb, ym, Z)
             value = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
             if with_variance:
@@ -598,11 +687,12 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
         # implicit-VJP CG: the quadratic term's backward is one extra solve
         # + one matvec-VJP instead of 2·cg_iters tile passes
         solve = _implicit_cg_factory(nb, B, cg_iters, precondition,
-                                     mv_dtype=solver_dtype, mesh=mesh)
+                                     mv_dtype=solver_dtype, mesh=mesh,
+                                     halo_S=halo_S)
         if precondition:
-            op_data = (rows_c, cols_c, tiles, noise_diag_pad, Minv)
+            op_data = (rows_c, mv_cols, tiles, noise_diag_pad, Minv) + halo
         else:
-            op_data = (rows_c, cols_c, tiles, noise_diag_pad)
+            op_data = (rows_c, mv_cols, tiles, noise_diag_pad) + halo
         alpha = solve(op_data, ym[:, None])[:, 0]
         l1 = jnp.dot(ym, alpha)
         logdet, logdet_var = _slq_fixed(matvec, Z, slq_degree, n)

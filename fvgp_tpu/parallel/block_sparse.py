@@ -215,10 +215,22 @@ class BlockSparseMatrix:
     def trace_and_fro(self):
         """One pass over stored tiles: (trace, frobenius norm) for the
         drift fingerprint (ref gp_kv.py:216-239).  The extra diagonal is
-        folded in exactly: ||K+D||_F^2 = ||K||_F^2 + 2<diag K, d> + ||d||^2."""
+        folded in exactly: ||K+D||_F^2 = ||K||_F^2 + 2<diag K, d> + ||d||^2.
+
+        Called eagerly (the fingerprint floats immediately).  merge()
+        produces duplicate (row, col) tiles whose sum is the represented
+        matrix; they are coalesced here before squaring so the Frobenius
+        norm keeps the cross terms."""
         tr = jnp.sum(self.diagonal())
         acc = jnp.promote_types(self.tiles.dtype, jnp.float32)
-        fro2 = jnp.sum(self.tiles.astype(acc) ** 2)
+        tiles = self.tiles.astype(acc)
+        key = (np.asarray(self.rows).astype(np.int64) * self.nb_cols
+               + np.asarray(self.cols))
+        uniq, inv = np.unique(key, return_inverse=True)
+        if len(uniq) != len(key):
+            tiles = jax.ops.segment_sum(tiles, jnp.asarray(inv),
+                                        num_segments=len(uniq))
+        fro2 = jnp.sum(tiles ** 2)
         if self.diag is not None:
             base = _bsm_diagonal(self.rows, self.cols, self.tiles,
                                  self.nb, self.block_size, self.n)

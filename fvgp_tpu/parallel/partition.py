@@ -26,7 +26,9 @@ with the collective structure of the solver.
 
 import numpy as np
 
-__all__ = ["partition_schedule", "schedule_stats", "local_row_blocks"]
+__all__ = ["partition_schedule", "schedule_stats", "local_row_blocks",
+           "tile_balanced_layout", "apply_block_layout", "permute_blocked",
+           "halo_plan"]
 
 
 def local_row_blocks(nb, n_dev):
@@ -83,6 +85,188 @@ def partition_schedule(rows, cols, nb, n_dev, pad_to=None):
     cols_out[dest] = cols[src]
     perm[dest] = src
     return rows_out, cols_out, perm, per_dev
+
+
+def _greedy_ranges(h, n_dev, max_load, width_cap):
+    """Cut ``h`` (per-row-block tile counts) into <= n_dev contiguous ranges
+    each with sum <= max_load and width <= width_cap; returns the boundary
+    array (n_dev+1,) or None when infeasible."""
+    nb = len(h)
+    bounds = [0]
+    j = 0
+    for _ in range(n_dev):
+        load = 0
+        w = 0
+        while j < nb and w < width_cap and load + h[j] <= max_load:
+            load += h[j]
+            w += 1
+            j += 1
+        bounds.append(j)
+        if j == nb:
+            break
+    if j < nb:
+        return None
+    while len(bounds) < n_dev + 1:
+        bounds.append(nb)
+    return np.asarray(bounds, dtype=np.int64)
+
+
+def tile_balanced_layout(rows, nb, n_dev, width=None, width_cap=1.5,
+                         improve_below=1.05):
+    """Balance per-device TILE counts with contiguous variable-width row
+    ranges, expressed as a permuted padded block layout.
+
+    Equal contiguous row-block ranges carry unequal tile counts (the Morton
+    tiling concentrates tiles where points cluster), and the per-device
+    schedule pads every device to the max count — SpMM time is the most
+    loaded device.  Choosing variable-width contiguous ranges with ~equal
+    tile sums fixes that, and mapping each range onto an equal-width W-block
+    shard (empty pad blocks at each segment tail: mask 0, noise 1 — exactly
+    the existing padding semantics) keeps every sharded array an even split,
+    so the shard_map SpMM and the solver are UNCHANGED; only the block
+    indices are remapped.
+
+    rows: (T,) live tile row-block indices (mirrors included — the per-row
+    work measure).  ``width`` pins the per-device width W (a jit-shape
+    bucket); otherwise W = the split's max width.  Returns ``(layout, W)``
+    where ``layout`` is (n_dev*W,) int64: position ``d*W + i`` holds
+    original block ``layout[d*W+i]`` (-1 = empty pad), or ``(None, W0)``
+    when the equal-width split is already within ``improve_below`` of
+    balanced or no capped split improves on it.
+    """
+    rows = np.asarray(rows)
+    rows = rows[rows < nb]
+    W0 = local_row_blocks(nb, n_dev)
+    h = np.bincount(rows, minlength=nb).astype(np.int64)
+    total = int(h.sum())
+    if total == 0 or n_dev <= 1:
+        return None, W0
+    mean = total / n_dev
+    owner0 = np.minimum(np.arange(nb) // W0, n_dev - 1)
+    load0 = np.bincount(owner0, weights=h, minlength=n_dev)
+    balance0 = float(load0.max() / mean)
+    if balance0 <= improve_below:
+        return None, W0
+    cap = int(width) if width is not None else int(np.ceil(width_cap * W0))
+    # smallest feasible max load, by binary search over integer loads
+    lo = max(int(np.ceil(mean)), int(h.max()))
+    hi = int(load0.max())
+    best = None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        b = _greedy_ranges(h, n_dev, mid, cap)
+        if b is not None:
+            best = b
+            hi = mid - 1
+        else:
+            lo = mid + 1
+    if best is None:
+        return None, W0
+    widths = np.diff(best)
+    loads = np.add.reduceat(np.append(h, 0), best[:-1])
+    loads[widths == 0] = 0
+    if float(loads.max() / mean) >= balance0:
+        return None, W0
+    W = int(width) if width is not None else int(widths.max())
+    if widths.max() > W:
+        return None, W0
+    layout = np.full(n_dev * W, -1, dtype=np.int64)
+    for d in range(n_dev):
+        w = int(widths[d])
+        layout[d * W:d * W + w] = np.arange(best[d], best[d + 1])
+    return layout, W
+
+
+def apply_block_layout(layout, rows, cols, nb):
+    """Remap a tile schedule into a permuted block layout.
+
+    Returns ``(rows_m, cols_m, nb_pad)`` where block index j moved to
+    position ``pos[j]`` (``layout[pos[j]] == j``).  Sentinel entries
+    (``rows == nb``) map to the new sentinel ``nb_pad``.
+    """
+    layout = np.asarray(layout)
+    nb_pad = len(layout)
+    pos = np.full(nb + 1, nb_pad, dtype=np.int64)
+    real = layout >= 0
+    pos[layout[real]] = np.nonzero(real)[0]
+    return (pos[np.asarray(rows)].astype(np.int32),
+            pos[np.asarray(cols)].astype(np.int32), nb_pad)
+
+
+def permute_blocked(layout, arr, pad_value=0.0):
+    """Gather a block-major array (leading axis = block index, length nb)
+    into the layout's order: ``out[p] = arr[layout[p]]``, with pad positions
+    (``layout == -1``) filled with ``pad_value``.  Callers reshape flat
+    (nb*B, ...) vectors to (nb, B, ...) first."""
+    layout = np.asarray(layout)
+    arr = np.asarray(arr)
+    out = np.full((len(layout),) + arr.shape[1:], pad_value, dtype=arr.dtype)
+    real = layout >= 0
+    out[real] = arr[layout[real]]
+    return out
+
+
+def halo_plan(rows_p, cols_p, nb, n_dev, bucket=8):
+    """Static all-to-all gather plan replacing the full X all-gather.
+
+    Each device's tiles reference only a subset of non-local column blocks
+    (Morton ordering + contiguous row ownership make most references
+    local); the plan ships exactly those blocks, padded to a uniform
+    per-(src, dst) slot count ``S`` so one ``lax.all_to_all`` moves them.
+
+    Input is a PARTITIONED schedule (``partition_schedule`` output: device
+    d's tiles at positions [d·per, (d+1)·per), sentinels == nb).  Returns
+    ``(cols_remap, send_sel, send_mask, S, stats)``:
+
+    * ``cols_remap`` (len(cols_p),): per-device LOCAL gather positions into
+      ``concat([local X blocks (W), received blocks (n_dev*S)])`` —
+      position ``W + e*S + s`` holds the s-th block device e sends here.
+    * ``send_sel`` (n_dev, n_dev, S): src-local block indices to send
+      (``send_sel[e, d, s]`` = local index on e of the s-th block for d).
+    * ``send_mask`` (n_dev, n_dev, S): 1.0 on real slots, 0.0 on padding.
+    * ``stats``: words moved per matvec column — ``halo_words`` (padded
+      all-to-all) vs ``allgather_words``; use the halo path only when it
+      wins (the caller decides, with margin).
+    """
+    rows_p = np.asarray(rows_p)
+    cols_p = np.asarray(cols_p)
+    if nb % n_dev:
+        raise ValueError("halo_plan needs nb divisible by n_dev")
+    W = nb // n_dev
+    per = len(rows_p) // n_dev
+    need = [[None] * n_dev for _ in range(n_dev)]      # [src][dst] -> blocks
+    for d in range(n_dev):
+        seg = slice(d * per, (d + 1) * per)
+        c = cols_p[seg][rows_p[seg] < nb]
+        cu = np.unique(c)
+        remote = cu[(cu < d * W) | (cu >= (d + 1) * W)]
+        src = np.minimum(remote // W, n_dev - 1)
+        for e in range(n_dev):
+            need[e][d] = remote[src == e]
+    S = max([1] + [len(need[e][d])
+                   for e in range(n_dev) for d in range(n_dev)])
+    S = -(-S // bucket) * bucket
+    send_sel = np.zeros((n_dev, n_dev, S), np.int32)
+    send_mask = np.zeros((n_dev, n_dev, S), np.float32)
+    luts = np.zeros((n_dev, nb + 1), np.int32)         # dst-local positions
+    for d in range(n_dev):
+        luts[d, d * W:(d + 1) * W] = np.arange(W)
+    for e in range(n_dev):
+        for d in range(n_dev):
+            blocks = need[e][d]
+            send_sel[e, d, :len(blocks)] = blocks - e * W
+            send_mask[e, d, :len(blocks)] = 1.0
+            luts[d, blocks] = W + e * S + np.arange(len(blocks))
+    cols_remap = np.empty_like(cols_p)
+    for d in range(n_dev):
+        seg = slice(d * per, (d + 1) * per)
+        cols_remap[seg] = luts[d, np.minimum(cols_p[seg], nb)]
+    stats = {
+        "S": S,
+        "halo_words": n_dev * (n_dev - 1) * S,
+        "allgather_words": n_dev * (n_dev - 1) * W,
+    }
+    return cols_remap, send_sel, send_mask, S, stats
 
 
 def schedule_stats(rows, cols, nb, n_dev, block_size, n_rhs=1, elt_bytes=4):

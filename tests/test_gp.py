@@ -213,3 +213,32 @@ def test_default_bounds_and_validation(small_data):
     yn[0] = np.nan
     with pytest.raises(Exception):
         GP(xn, yn, init_hyperparameters=np.array([1.0, 1.0, 1.0]))
+
+
+def test_posterior_probability_gaussian_fusion_oracle(small_data):
+    """posterior_probability == the brute-force precision-form Gaussian
+    fusion (the reference's formulation, ref gp_posterior.py:529-552),
+    computed here with explicit numpy inverses as the oracle."""
+    x, y = small_data
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 1.0, 1.0]))
+    xp = np.random.default_rng(5).uniform(0, 10, (6, x.shape[1]))
+    m_c = np.linspace(-0.5, 0.5, 6)
+    A = np.random.default_rng(6).standard_normal((6, 6))
+    S_c = A @ A.T / 6.0 + 0.5 * np.eye(6)
+
+    out = gp.posterior_probability(xp, m_c, S_c)
+
+    m_gp = gp.posterior_mean(xp)["m(x)"]
+    S_gp = gp.posterior_covariance(xp, add_noise=True)["S"]
+    P1 = np.linalg.inv(S_gp)
+    P2 = np.linalg.inv(S_c)
+    S = np.linalg.inv(P1 + P2)
+    mu = S @ (P1 @ m_gp + P2 @ m_c)
+    diff = m_gp - m_c
+    T = S_gp + S_c
+    p = np.exp(-0.5 * (diff @ np.linalg.solve(T, diff)
+                       + np.linalg.slogdet(T)[1]
+                       + len(diff) * np.log(2.0 * np.pi)))
+    np.testing.assert_allclose(out["mu"], mu, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(out["covariance"], S, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(out["probability"], p, rtol=1e-8)

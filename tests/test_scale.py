@@ -304,6 +304,48 @@ def test_sharded_gp_end_to_end(eight_devices):
     np.testing.assert_allclose(pm, gpd.posterior_mean(xp)["m(x)"], atol=1e-6)
 
 
+def test_partition_cache_rejects_changed_cols(eight_devices, monkeypatch):
+    """Regression (round-2 advisor, medium): the mesh-path partition cache
+    compared only the filtered rows array; a structure change that kept rows
+    byte-identical but moved cols reused a stale schedule.  The cache must
+    key on BOTH arrays — and still hit when both are unchanged."""
+    import fvgp_tpu.parallel.partition as part
+    x, y = _sparse_dataset(n=700)
+    calls = []
+    real = part.partition_schedule
+    monkeypatch.setattr(part, "partition_schedule",
+                        lambda *a, **k: (calls.append(1) or real(*a, **k)))
+    m = pmesh.make_mesh(8)
+    with pmesh.use_mesh(m):
+        gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                args={"gp2Scale_block_size": 128})
+        lml1 = gp.marginal_likelihood.log_likelihood(HPS)
+        n_first = len(calls)
+        assert n_first >= 1
+        # unchanged structure: cache hit (fresh SLQ probes per eval)
+        lml2 = gp.marginal_likelihood.log_likelihood(HPS)
+        assert len(calls) == n_first
+        np.testing.assert_allclose(lml2, lml1, rtol=2e-2)
+
+        # poison the cache with matching rows but different cols and a
+        # schedule of dropped-sentinel tiles; a false hit would zero out
+        # the whole covariance
+        entry = next(iter(gp.marginal_likelihood._sparse_cache.values()))
+        (rows_c, cols_c), payload = entry["partition_cache"]
+        rows_d, cols_d = payload[0], payload[1]
+        bad_cols = np.roll(cols_c, 1)
+        import jax.numpy as jnp
+        nb = int(jnp.max(rows_d))           # the pad sentinel == nb
+        entry["partition_cache"] = (
+            (rows_c, bad_cols),
+            (jnp.full_like(rows_d, nb), jnp.full_like(cols_d, nb))
+            + tuple(payload[2:]))
+        before = len(calls)
+        lml3 = gp.marginal_likelihood.log_likelihood(HPS)  # must recompute
+        assert len(calls) == before + 1
+        np.testing.assert_allclose(lml3, lml1, rtol=2e-2)
+
+
 def test_zero_tile_filter_reduces_tiles_exactly():
     """The bounding-box prune is loose; the exact-sparsity pass must drop
     the all-zero tiles without changing the assembled covariance."""
@@ -506,6 +548,230 @@ def test_partition_balance_morton():
     # the measured halo is smaller still
     assert stats["allgather_bytes"] * 2 == stats["allreduce_bytes"]
     assert stats["halo_bytes"] < stats["allreduce_bytes"], stats
+    # the production path rebalances by tile count when the equal-width
+    # split exceeds 1.05: the effective balance is always <= 1.1
+    from fvgp_tpu.parallel.partition import (apply_block_layout,
+                                             tile_balanced_layout)
+    layout, W = tile_balanced_layout(rows_f, nb, n_dev)
+    if layout is not None:
+        rows_u, cols_u, nb_pad = apply_block_layout(layout, rows_f, cols_f,
+                                                    nb)
+        rows_p, cols_p, _, _ = partition_schedule(rows_u, cols_u, nb_pad,
+                                                  n_dev)
+        stats = schedule_stats(rows_p, cols_p, nb_pad, n_dev, B)
+    assert stats["balance"] <= 1.1, stats
+
+
+def test_tile_balanced_layout_balance():
+    """The variable-width (permuted) layout brings per-device tile counts
+    to <= 1.1x the mean where the equal-width split does not."""
+    from fvgp_tpu.parallel.partition import (apply_block_layout,
+                                             partition_schedule,
+                                             schedule_stats,
+                                             tile_balanced_layout)
+    from fvgp_tpu.parallel.sharded_cov import _candidate_pairs
+
+    n, B, n_dev = 8000, 64, 8
+    rng = np.random.default_rng(5)
+    # clustered data: heavy tile-count skew under equal-width ranges
+    centers = rng.uniform(0, 60, (6, 2))
+    x = np.concatenate([c + rng.normal(0, 2.0, (n // 6 + 1, 2))
+                        for c in centers])[:n]
+    x = x[morton_order(x)]
+    ls = np.array([2.0, 2.0])
+    rows, cols = _candidate_pairs(x, None, ls, 1.0, B, symmetric=True)
+    off = rows < cols
+    rows_f = np.concatenate([rows, cols[off]])
+    cols_f = np.concatenate([cols, rows[off]])
+    nb = -(-(-(-n // B)) // n_dev) * n_dev
+    layout, W = tile_balanced_layout(rows_f, nb, n_dev)
+    assert layout is not None, "clustered data should need rebalancing"
+    rows_u, cols_u, nb_pad = apply_block_layout(layout, rows_f, cols_f, nb)
+    assert nb_pad == n_dev * W
+    # every original block appears exactly once
+    real = layout[layout >= 0]
+    assert sorted(real) == list(range(nb))
+    rows_p, cols_p, _, _ = partition_schedule(rows_u, cols_u, nb_pad, n_dev)
+    stats = schedule_stats(rows_p, cols_p, nb_pad, n_dev, B)
+    assert stats["balance"] <= 1.1, stats
+    # contiguity preserved: each device's blocks are one ascending run
+    for d in range(n_dev):
+        seg = layout[d * W:(d + 1) * W]
+        seg = seg[seg >= 0]
+        if len(seg):
+            assert np.all(np.diff(seg) == 1)
+
+
+def test_tile_balanced_layout_identity_when_balanced():
+    """A uniform tile histogram needs no permutation."""
+    from fvgp_tpu.parallel.partition import tile_balanced_layout
+    nb, n_dev = 64, 8
+    rows = np.repeat(np.arange(nb), 5)
+    layout, W = tile_balanced_layout(rows, nb, n_dev)
+    assert layout is None and W == nb // n_dev
+
+
+@pytest.mark.parametrize("mode", [
+    "sparseCG", "sparseMINRES", "sparseCGpre", "sparseMINRESpre",
+    "sparseCGpre_schwarz", "sparseCGpre_amg", "sparseMINRESpre_ichol",
+    "sparseLU", "sparseSolve"])
+def test_gp2scale_all_modes_under_mesh(eight_devices, mode):
+    """The reference sweeps gp2Scale across every sparse linalg mode on its
+    live Dask cluster fixture (ref tests/test_fvgp.py:598-700); this is the
+    mesh equivalent: every mode through the public API on the 8-device
+    mesh, LML and posterior against the dense meshless oracle."""
+    x, y = _sparse_dataset(n=500)
+    perm = morton_order(x)
+    x, y = x[perm], y[perm]
+    args = {"gp2Scale_block_size": 64, "sparse_cg_tol": 1e-10,
+            "sparse_minres_tol": 1e-10,
+            # exercise the KV-state machinery itself, not the traced
+            # bypass, exactly as the reference sweep does
+            "gp2Scale_traced_lml": False}
+    xp = np.random.default_rng(21).uniform(0, 40, (6, 2))
+    gpd = GP(x, y, init_hyperparameters=HPS,
+             kernel_function=wendland_anisotropic)
+    lml_oracle = gpd.log_likelihood()
+    pm_oracle = gpd.posterior_mean(xp)["m(x)"]
+    m = pmesh.make_mesh(8)
+    with pmesh.use_mesh(m):
+        gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                linalg_mode=mode, args=dict(args))
+        lml = gp.log_likelihood()
+        pm = gp.posterior_mean(xp)["m(x)"]
+    assert abs(lml - lml_oracle) / abs(lml_oracle) < 0.02
+    np.testing.assert_allclose(pm, pm_oracle, atol=1e-5)
+
+
+def test_halo_plan_covers_all_references():
+    """Every non-local column block a device references appears exactly once
+    in its receive layout; local references map into the local shard."""
+    from fvgp_tpu.parallel.partition import halo_plan, partition_schedule
+
+    rng = np.random.default_rng(3)
+    nb, n_dev, T = 32, 8, 300
+    rows = rng.integers(0, nb, T).astype(np.int32)
+    cols = rng.integers(0, nb, T).astype(np.int32)
+    rows_p, cols_p, _, per = partition_schedule(rows, cols, nb, n_dev)
+    cols_remap, send_sel, send_mask, S, stats = halo_plan(
+        rows_p, cols_p, nb, n_dev, bucket=1)
+    W = nb // n_dev
+    for d in range(n_dev):
+        seg = slice(d * per, (d + 1) * per)
+        for r, c, cm in zip(rows_p[seg], cols_p[seg], cols_remap[seg]):
+            if r >= nb:
+                continue
+            if d * W <= c < (d + 1) * W:
+                assert cm == c - d * W
+            else:
+                e, s = divmod(int(cm) - W, S)
+                assert send_mask[e, d, s] == 1.0
+                assert send_sel[e, d, s] == c - e * W
+
+
+def test_halo_spmv_matches_allgather_spmv(eight_devices):
+    """The halo-exchange SpMM == the all-gather SpMM == the dense product."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fvgp_tpu.ops.sparse_lml import (_halo_spmv_factory,
+                                         _rowpart_spmv_factory)
+    from fvgp_tpu.parallel.mesh import TILE_AXIS
+    from fvgp_tpu.parallel.partition import halo_plan, partition_schedule
+
+    rng = np.random.default_rng(11)
+    nb, B, n_dev, k = 32, 8, 8, 3
+    # banded structure (mostly-local references: the halo regime)
+    rows, cols = [], []
+    for i in range(nb):
+        for j in range(max(0, i - 2), min(nb, i + 3)):
+            rows.append(i)
+            cols.append(j)
+    rows = np.asarray(rows, np.int32)
+    cols = np.asarray(cols, np.int32)
+    rows_p, cols_p, perm, per = partition_schedule(rows, cols, nb, n_dev)
+    T_out = len(rows_p)
+    tiles = np.zeros((T_out, B, B))
+    live = perm >= 0
+    tiles[live] = rng.standard_normal((int(live.sum()), B, B))
+    X = rng.standard_normal((nb * B, k))
+
+    dense = np.zeros((nb * B, nb * B))
+    for t in range(T_out):
+        if rows_p[t] < nb:
+            dense[rows_p[t] * B:(rows_p[t] + 1) * B,
+                  cols_p[t] * B:(cols_p[t] + 1) * B] += tiles[t]
+
+    cols_remap, send_sel, send_mask, S, stats = halo_plan(
+        rows_p, cols_p, nb, n_dev, bucket=1)
+    assert stats["halo_words"] < stats["allgather_words"]
+
+    m = pmesh.make_mesh(8)
+    tile_s = NamedSharding(m, P(TILE_AXIS))
+    row_s = NamedSharding(m, P(TILE_AXIS, None))
+    plan_s = NamedSharding(m, P(TILE_AXIS, None, None))
+    with m:
+        halo_mv = _halo_spmv_factory(nb, B, m, S)
+        plain_mv = _rowpart_spmv_factory(nb, B, m)
+        args_halo = (
+            jax.device_put(jnp.asarray(rows_p), tile_s),
+            jax.device_put(jnp.asarray(cols_remap), tile_s),
+            jax.device_put(jnp.asarray(tiles), NamedSharding(
+                m, P(TILE_AXIS, None, None))),
+            jax.device_put(jnp.asarray(X), row_s),
+            jax.device_put(jnp.asarray(send_sel), plan_s),
+            jax.device_put(jnp.asarray(send_mask), plan_s))
+        out_halo = np.asarray(jax.jit(halo_mv)(*args_halo))
+        out_plain = np.asarray(jax.jit(plain_mv)(
+            args_halo[0],
+            jax.device_put(jnp.asarray(np.minimum(cols_p, nb - 1)), tile_s),
+            args_halo[2], jnp.asarray(X)))
+    np.testing.assert_allclose(out_halo, dense @ X, atol=1e-9)
+    np.testing.assert_allclose(out_plain, dense @ X, atol=1e-9)
+
+
+def test_gp_forced_halo_matches_meshless(eight_devices):
+    """Public-API gp2Scale with args['gp2Scale_halo_exchange']=True under
+    the mesh matches the meshless LML+gradient."""
+    x, y = _sparse_dataset(n=900)
+    perm = morton_order(x)
+    x, y = x[perm], y[perm]
+    a = {"gp2Scale_block_size": 64}
+    gp1 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True, args=dict(a))
+    v1, g1 = gp1.marginal_likelihood.log_likelihood_value_and_gradient(HPS)
+    ah = dict(a, gp2Scale_halo_exchange=True)
+    m = pmesh.make_mesh(8)
+    with pmesh.use_mesh(m):
+        gp8 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True, args=ah)
+        v8, g8 = gp8.marginal_likelihood.log_likelihood_value_and_gradient(HPS)
+        entry = next(iter(gp8.marginal_likelihood._sparse_cache.values()))
+        assert entry["partition_cache"][1][-1] is not None, \
+            "halo plan not engaged despite gp2Scale_halo_exchange=True"
+    np.testing.assert_allclose(v8, v1, rtol=1e-5)
+    np.testing.assert_allclose(g8, g1, rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_lml_parity_with_clustered_data(eight_devices):
+    """Clustered (layout-rebalanced) data: the mesh-path LML+grad matches
+    the meshless evaluation — the permuted block layout is a similarity
+    transform."""
+    rng = np.random.default_rng(17)
+    centers = rng.uniform(0, 40, (5, 2))
+    x = np.concatenate([c + rng.normal(0, 1.5, (180, 2)) for c in centers])
+    y = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(len(x))
+    x = x[morton_order(x)]
+    y = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(len(x))
+    a = {"gp2Scale_block_size": 64, "random_logdet_fixed_probes": 32}
+    gp1 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True, args=dict(a))
+    v1, g1 = gp1.marginal_likelihood.log_likelihood_value_and_gradient(HPS)
+    m = pmesh.make_mesh(8)
+    with pmesh.use_mesh(m):
+        gp2 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True, args=dict(a))
+        entry_used = gp2.marginal_likelihood
+        v2, g2 = gp2.marginal_likelihood.log_likelihood_value_and_gradient(HPS)
+        entry = next(iter(entry_used._sparse_cache.values()))
+        # the clustered histogram must actually trigger the permuted layout
+        nb_eff = entry["partition_cache"][1][-1]
+    np.testing.assert_allclose(v2, v1, rtol=2e-2)
+    np.testing.assert_allclose(g2, g1, rtol=5e-2, atol=1e-3)
 
 
 def test_rowpart_gp_api_parity(eight_devices):

@@ -47,6 +47,18 @@ def test_merge_duplicates_sum():
     np.testing.assert_allclose(np.asarray(m @ v), (A + B) @ v, atol=1e-12)
 
 
+def test_merged_fingerprint_is_frobenius_of_represented_matrix():
+    """merge() keeps duplicate (row, col) tiles; the drift fingerprint must
+    still be the Frobenius norm of A+B (cross terms included)."""
+    A = sps.random(30, 30, density=0.2, random_state=0)
+    B = sps.random(30, 30, density=0.2, random_state=1)
+    m = merge(from_scipy(A, 8), from_scipy(B, 8))
+    tr, fro = m.trace_and_fro()
+    dense = (A + B).toarray()
+    np.testing.assert_allclose(float(tr), np.trace(dense), atol=1e-10)
+    np.testing.assert_allclose(float(fro), np.linalg.norm(dense), atol=1e-10)
+
+
 def test_dense_gp_sparse_noise_matches_dense_oracle():
     """Sparse-matrix noise on the dense path == the same noise passed dense."""
     x, y = _data()
