@@ -22,6 +22,23 @@ import numpy as np
 if os.environ.get("FVGP_TPU_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
 
+# --- persistent compilation cache ----------------------------------------
+# The N~1M traced sparse LML compiles in tens of seconds on TPU; caching
+# the executable on disk makes every process after the first start at full
+# speed (the large-N "time to first gradient" lever).  Opt out with
+# FVGP_TPU_COMPILE_CACHE=0, redirect with FVGP_TPU_COMPILE_CACHE_DIR.
+if os.environ.get("FVGP_TPU_COMPILE_CACHE", "1") != "0":
+    _cache_dir = os.environ.get(
+        "FVGP_TPU_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "fvgp_tpu_jax"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:                     # unwritable home: stay in-memory
+        pass
+
 import jax.numpy as jnp  # noqa: E402  (after x64 switch)
 
 _FORCED_DTYPE = None
