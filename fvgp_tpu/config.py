@@ -34,7 +34,10 @@ if os.environ.get("FVGP_TPU_COMPILE_CACHE", "1") != "0":
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # only expensive programs (the large-N LML, big posteriors) are
+        # worth a disk entry; tiny programs recompile faster than the
+        # load-and-feature-check round trip
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 3.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:                     # unwritable home: stay in-memory
         pass

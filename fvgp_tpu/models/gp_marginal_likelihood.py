@@ -165,10 +165,12 @@ class GPMarginalLikelihood:
     def invalidate_traced(self):
         self._traced_key = None
         self._sparse_cache = {}
-        # the tile-liveness keep mask is a function of the dataset as well as
-        # the lengthscales — a stale mask after update_gp_data would silently
-        # drop live covariance tiles (corrupting LML and gradient)
+        # the tile-liveness keep mask and the box-prune candidate set are
+        # functions of the dataset as well as the lengthscales — stale ones
+        # after update_gp_data would silently drop live covariance tiles
+        # (corrupting LML and gradient)
         self._filter_mask_cache = None
+        self._candidate_cache = None
 
     # ------------------------------------------------------------------
     # traced sparse fast path (gp2Scale training hot loop)
@@ -187,7 +189,8 @@ class GPMarginalLikelihood:
 
     def _sparse_lml_eval(self, hyperparameters, want_grad=False):
         from ..ops.sparse_lml import make_padded_inputs, make_sparse_lml
-        from ..parallel.mesh import TILE_AXIS, current_mesh
+        from ..parallel.mesh import current_mesh, tile_device_count, \
+            tile_spec
         from ..parallel.sharded_cov import (_bucket, _candidate_pairs,
                                             support_geometry)
         prior = self.prior
@@ -201,18 +204,40 @@ class GPMarginalLikelihood:
         # cross-device reduction
         mesh = current_mesh()
         n_dev = 1
-        if mesh is not None and TILE_AXIS in mesh.shape:
-            n_dev = int(mesh.shape[TILE_AXIS])
+        if mesh is not None:
+            n_dev = tile_device_count(mesh)
         if n_dev <= 1:
             mesh = None
         nb = -(-(-(-n // B)) // n_dev) * n_dev
         dtype = config.linalg_dtype(args)
 
+        from ..utils.logging import phase_timer
         ls, radius = support_geometry(prior, hyperparameters, args)
-        rows, cols = _candidate_pairs(x, None, ls, radius, B, symmetric=True)
-        off = rows < cols
-        rows_f = np.concatenate([rows, cols[off]]).astype(np.int32)
-        cols_f = np.concatenate([cols, rows[off]]).astype(np.int32)
+        # the box-prune candidate structure costs seconds of host time at
+        # N~1M and depends only on (data, B, lengthscales); it is cached
+        # under the same drift policy as the liveness mask.  Candidates are
+        # computed at INFLATED lengthscales ls·(1+tol) — larger ls brings
+        # whitened boxes closer, so the inflated set is a superset for
+        # every ls within the tolerance band; the exact tile-liveness
+        # filter (below) then prunes it exactly, and with the filter off
+        # the extras are exact zeros of the compact-support kernel.
+        tol_c = float(args.get("gp2Scale_filter_drift", 0.05))
+        data_token = (self.data.point_number, self.data.generation)
+        ls_now = np.asarray(ls, dtype=np.float64)
+        ccache = getattr(self, "_candidate_cache", None)
+        if (ccache is not None
+                and ccache[0] == (data_token, B, float(radius))
+                and np.all(np.abs(ls_now / ccache[1] - 1.0) <= tol_c)):
+            rows_f, cols_f = ccache[2], ccache[3]
+        else:
+            with phase_timer("sparse LML: candidate structure"):
+                rows, cols = _candidate_pairs(x, None, ls_now * (1.0 + tol_c),
+                                              radius, B, symmetric=True)
+            off = rows < cols
+            rows_f = np.concatenate([rows, cols[off]]).astype(np.int32)
+            cols_f = np.concatenate([cols, rows[off]]).astype(np.int32)
+            self._candidate_cache = ((data_token, B, float(radius)), ls_now,
+                                     rows_f, cols_f)
 
         cg_iters = int(args.get("sparse_cg_maxiter",
                                 args.get("sparse_krylov_maxiter", 64)) or 64)
@@ -249,7 +274,7 @@ class GPMarginalLikelihood:
                 B, dtype=dtype, row_multiple=n_dev)
             if mesh is not None:
                 repl = NamedSharding(mesh, P())
-                row_s = NamedSharding(mesh, P(TILE_AXIS))
+                row_s = NamedSharding(mesh, tile_spec(mesh))
                 xb = jax.device_put(xb, repl)
                 mask = jax.device_put(mask, repl)
                 y_pad = jax.device_put(y_pad, row_s)
@@ -310,7 +335,8 @@ class GPMarginalLikelihood:
                 # for compactly supported kernels, ~5x the device assembly
                 # pass at N=1M and it leaves the TPU free
                 from ..native import tile_live
-                keep = tile_live(x / ls_now, rows_f, cols_f, B, radius)
+                with phase_timer("sparse LML: exact tile liveness"):
+                    keep = tile_live(x / ls_now, rows_f, cols_f, B, radius)
                 self._filter_mask_cache = (ls_now, np.sort(pair_key[~keep]),
                                            data_token)
             rows_f = rows_f[keep]
@@ -371,7 +397,7 @@ class GPMarginalLikelihood:
                         layout, np.asarray(noise_pad).reshape(nb, B),
                         pad_value=1.0).ravel()
                     repl = NamedSharding(mesh, P())
-                    row_s = NamedSharding(mesh, P(TILE_AXIS))
+                    row_s = NamedSharding(mesh, tile_spec(mesh))
                     xb_m = jax.device_put(jnp.asarray(xb_m, dtype), repl)
                     mask_m = jax.device_put(jnp.asarray(mask_m, dtype), repl)
                     y_m = jax.device_put(jnp.asarray(y_m, dtype), row_s)
@@ -392,7 +418,7 @@ class GPMarginalLikelihood:
                     pad_to = _bucket(1)
                 rows_p, cols_p, _, _ = partition_schedule(
                     rows_u, cols_u, nb_eff, n_dev, pad_to=pad_to)
-                tile_s = NamedSharding(mesh, P(TILE_AXIS))
+                tile_s = NamedSharding(mesh, tile_spec(mesh))
                 rows_d = jax.device_put(jnp.asarray(rows_p), tile_s)
                 cols_d = jax.device_put(jnp.asarray(cols_p), tile_s)
                 # halo exchange: ship only the referenced non-local column
@@ -408,8 +434,7 @@ class GPMarginalLikelihood:
                     use = (hstats["halo_words"]
                            <= 0.8 * hstats["allgather_words"])
                     if halo_mode in (True, "on") or use:
-                        plan_s = NamedSharding(mesh,
-                                               P(TILE_AXIS, None, None))
+                        plan_s = NamedSharding(mesh, tile_spec(mesh, 2))
                         halo = (
                             jax.device_put(jnp.asarray(send_sel), plan_s),
                             jax.device_put(
@@ -460,10 +485,13 @@ class GPMarginalLikelihood:
             Zb = jnp.reshape(Z, (nb, B, probes))[layout_idx]
             Z = Zb.reshape(nb_eff * B, probes) * ym_m[:, None]
         if mesh is not None:
-            Z = jax.device_put(Z, NamedSharding(mesh, P(TILE_AXIS, None)))
+            Z = jax.device_put(Z, NamedSharding(mesh, tile_spec(mesh, 1)))
         halo_args = halo[:3] if halo is not None else ()
-        out = fn(hps_dev, rows_d, cols_d,
-                 xb_m, mask_m, y_m, ym_m, np_m, Z, *halo_args)
+        with phase_timer("sparse LML: device program (incl. compile on "
+                         "first shape)"):
+            out = fn(hps_dev, rows_d, cols_d,
+                     xb_m, mask_m, y_m, ym_m, np_m, Z, *halo_args)
+            jax.block_until_ready(out)
         if want_grad:
             (val, var), grad = out
         else:

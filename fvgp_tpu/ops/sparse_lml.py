@@ -103,8 +103,8 @@ def _rowpart_spmv_factory(nb, B, mesh, mv_dtype=None):
     position-sharded tiles, and the output lands row-sharded for the next
     (local) vector op of CG.
     """
-    from ..parallel.mesh import TILE_AXIS
-    n_dev = mesh.shape[TILE_AXIS]
+    from ..parallel.mesh import flat_tile_index, tile_device_count, tile_spec
+    n_dev = tile_device_count(mesh)
     if nb % n_dev:
         raise ValueError(f"row-partitioned SpMM needs nb ({nb}) divisible by "
                          f"the mesh size ({n_dev}); pad the point blocking")
@@ -120,7 +120,7 @@ def _rowpart_spmv_factory(nb, B, mesh, mv_dtype=None):
         Xb = Xc.reshape(nb, B, -1)
         prod = jnp.einsum("tij,tjk->tik", tiles, Xb[cols],
                           preferred_element_type=acc)
-        row0 = jax.lax.axis_index(TILE_AXIS) * nb_local
+        row0 = flat_tile_index(mesh) * nb_local
         # foreign rows cannot occur under a correct partition; the guard
         # routes clamped sentinels (and any misuse) to the dropped segment
         r_loc = jnp.where((rows >= row0) & (rows < row0 + nb_local),
@@ -129,9 +129,9 @@ def _rowpart_spmv_factory(nb, B, mesh, mv_dtype=None):
         return out.reshape(nb_local * B, -1).astype(X.dtype)
 
     return jax.shard_map(local_spmv, mesh=mesh,
-                         in_specs=(P(TILE_AXIS), P(TILE_AXIS),
-                                   P(TILE_AXIS, None, None), P(None)),
-                         out_specs=P(TILE_AXIS, None))
+                         in_specs=(tile_spec(mesh), tile_spec(mesh),
+                                   tile_spec(mesh, 2), P(None)),
+                         out_specs=tile_spec(mesh, 1))
 
 
 def _halo_spmv_factory(nb, B, mesh, halo_S, mv_dtype=None):
@@ -144,8 +144,11 @@ def _halo_spmv_factory(nb, B, mesh, halo_S, mv_dtype=None):
     ``n·(n-1)·W``.  X stays row-sharded end to end; cols arrive REMAPPED to
     positions in ``concat([local blocks, received blocks])``.
     """
-    from ..parallel.mesh import TILE_AXIS
-    n_dev = mesh.shape[TILE_AXIS]
+    from ..parallel.mesh import (flat_tile_index, tile_axes,
+                                 tile_device_count, tile_spec)
+    n_dev = tile_device_count(mesh)
+    axes = tile_axes(mesh)
+    a2a_axis = axes[0] if len(axes) == 1 else axes
     if nb % n_dev:
         raise ValueError(f"halo SpMM needs nb ({nb}) divisible by the mesh "
                          f"size ({n_dev}); pad the point blocking")
@@ -161,24 +164,24 @@ def _halo_spmv_factory(nb, B, mesh, halo_S, mv_dtype=None):
         k = Xc.shape[1]
         Xb = Xc.reshape(W, B, k)
         send = Xb[send_sel[0]] * send_mask[0][..., None, None].astype(Xc.dtype)
-        recv = jax.lax.all_to_all(send, TILE_AXIS, 0, 0, tiled=True)
+        recv = jax.lax.all_to_all(send, a2a_axis, 0, 0, tiled=True)
         Xcat = jnp.concatenate([Xb, recv.reshape(n_dev * halo_S, B, k)],
                                axis=0)
         prod = jnp.einsum("tij,tjk->tik", tiles, Xcat[cols_remap],
                           preferred_element_type=acc)
-        row0 = jax.lax.axis_index(TILE_AXIS) * W
+        row0 = flat_tile_index(mesh) * W
         r_loc = jnp.where((rows >= row0) & (rows < row0 + W),
                           rows - row0, W)
         out = jax.ops.segment_sum(prod, r_loc, num_segments=W)
         return out.reshape(W * B, -1).astype(X.dtype)
 
     return jax.shard_map(local_spmv, mesh=mesh,
-                         in_specs=(P(TILE_AXIS), P(TILE_AXIS),
-                                   P(TILE_AXIS, None, None),
-                                   P(TILE_AXIS, None),
-                                   P(TILE_AXIS, None, None),
-                                   P(TILE_AXIS, None, None)),
-                         out_specs=P(TILE_AXIS, None))
+                         in_specs=(tile_spec(mesh), tile_spec(mesh),
+                                   tile_spec(mesh, 2),
+                                   tile_spec(mesh, 1),
+                                   tile_spec(mesh, 2),
+                                   tile_spec(mesh, 2)),
+                         out_specs=tile_spec(mesh, 1))
 
 
 def _spmv_for(nb, B, mesh, mv_dtype=None, halo_S=None):
@@ -188,8 +191,8 @@ def _spmv_for(nb, B, mesh, mv_dtype=None, halo_S=None):
     (ops/pallas_kernels.chunked_spmm — 1.2-1.33x the XLA formulation, see
     docs/source/roofline.md); the XLA segment-sum otherwise."""
     if mesh is not None:
-        from ..parallel.mesh import TILE_AXIS
-        if mesh.shape[TILE_AXIS] > 1:
+        from ..parallel.mesh import tile_device_count
+        if tile_device_count(mesh) > 1:
             if halo_S is not None:
                 return _halo_spmv_factory(nb, B, mesh, halo_S,
                                           mv_dtype=mv_dtype)
@@ -495,8 +498,8 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
                          "facade and bench use) or 'slq'")
     n_dev = 1
     if mesh is not None:
-        from ..parallel.mesh import TILE_AXIS
-        n_dev = mesh.shape[TILE_AXIS]
+        from ..parallel.mesh import tile_device_count
+        n_dev = tile_device_count(mesh)
         if n_dev > 1 and nb % n_dev:
             raise ValueError(
                 f"make_sparse_lml(mesh=...): nb ({nb}) must be a multiple of "
@@ -607,8 +610,8 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
         return Minv, Lb
 
     if mesh is not None:
-        from ..parallel.mesh import TILE_AXIS
-        _ax = TILE_AXIS
+        from ..parallel.mesh import flat_tile_index, tile_spec
+        _ts = lambda k=0: tile_spec(mesh, k)                 # noqa: E731
 
         # each device assembles its own (row-partitioned) tile shard and
         # factors its own diagonal blocks — zero communication: xb/mask/hps
@@ -618,18 +621,18 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
 
         _assemble = jax.shard_map(
             _local_assemble, mesh=mesh,
-            in_specs=(P(None), P(_ax), P(_ax), P(_ax),
+            in_specs=(P(None), _ts(), _ts(), _ts(),
                       P(None, None, None), P(None, None)),
-            out_specs=P(_ax, None, None))
+            out_specs=_ts(2))
 
         def _local_precond(hps, xb, mask, noise_local):
-            i0 = jax.lax.axis_index(_ax) * (nb // n_dev)
+            i0 = flat_tile_index(mesh) * (nb // n_dev)
             return _diag_precond(hps, xb, mask, noise_local, i0)
 
         _precond = jax.shard_map(
             _local_precond, mesh=mesh,
-            in_specs=(P(None), P(None, None, None), P(None, None), P(_ax)),
-            out_specs=(P(_ax, None, None), P(_ax, None, None)))
+            in_specs=(P(None), P(None, None, None), P(None, None), _ts()),
+            out_specs=(_ts(2), _ts(2)))
     else:
         def _assemble(hps, rows_c, cols_c, live, xb, mask):
             return _assemble_chunked(hps, rows_c, cols_c, live, xb, mask)

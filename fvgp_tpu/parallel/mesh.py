@@ -3,7 +3,15 @@
 Replaces the reference's Dask distributed client (SURVEY.md §2d): there is no
 scatter/future lifetime management because sharded arrays are SPMD-resident.
 A 1-D mesh over axis ``"tiles"`` shards the block-sparse covariance; XLA's
-GSPMD partitions the batched-tile SpMM and inserts the all-reduce over ICI.
+GSPMD partitions the batched-tile SpMM and inserts the collectives over ICI.
+
+Multi-slice: a 2-D ``("slice", "tiles")`` mesh (``make_mesh_2d``) nests the
+row ownership — slices own contiguous Morton ranges (outer, DCN boundary),
+chips within a slice own contiguous sub-ranges (inner, ICI).  Row-sharded
+arrays shard over BOTH axes flattened (``tile_spec``); the shard_map SpMM
+uses the flattened device index (``flat_tile_index``), so the same program
+runs on either mesh shape.  See docs/source/comm_model.md for the DCN
+traffic analysis.
 """
 
 import contextlib
@@ -15,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _ACTIVE_MESH = None
 
 TILE_AXIS = "tiles"
+SLICE_AXIS = "slice"
 
 
 def make_mesh(n_devices=None, devices=None):
@@ -24,6 +33,50 @@ def make_mesh(n_devices=None, devices=None):
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.array(devices), (TILE_AXIS,))
+
+
+def make_mesh_2d(n_slices, per_slice, devices=None):
+    """A 2-D ``(slice, tiles)`` mesh: ``n_slices`` groups of ``per_slice``
+    devices.  On hardware, order ``devices`` so each group is one pod slice
+    (intra-group traffic rides ICI, inter-group DCN)."""
+    if devices is None:
+        devices = jax.devices()[:n_slices * per_slice]
+    if len(devices) != n_slices * per_slice:
+        raise ValueError(f"need {n_slices * per_slice} devices, "
+                         f"got {len(devices)}")
+    return Mesh(np.asarray(devices).reshape(n_slices, per_slice),
+                (SLICE_AXIS, TILE_AXIS))
+
+
+def tile_axes(mesh):
+    """The mesh axes a row/tile-sharded array spans, outer first."""
+    return tuple(n for n in (SLICE_AXIS, TILE_AXIS) if n in mesh.shape)
+
+
+def tile_device_count(mesh):
+    """Number of devices in the (flattened) tile sharding."""
+    n = 1
+    for a in tile_axes(mesh):
+        n *= int(mesh.shape[a])
+    return n
+
+
+def tile_spec(mesh, extra_dims=0):
+    """PartitionSpec sharding the leading axis over the flattened tile
+    axes, with ``extra_dims`` unsharded trailing dims."""
+    axes = tile_axes(mesh)
+    lead = axes[0] if len(axes) == 1 else axes
+    return P(lead, *([None] * extra_dims))
+
+
+def flat_tile_index(mesh):
+    """Inside shard_map: this device's index in the flattened tile order
+    (slice-major), matching ``tile_spec``'s shard layout."""
+    axes = tile_axes(mesh)
+    idx = jax.lax.axis_index(axes[-1])
+    if len(axes) == 2:
+        idx = idx + jax.lax.axis_index(axes[0]) * mesh.shape[axes[1]]
+    return idx
 
 
 def set_mesh(mesh):
@@ -53,8 +106,8 @@ def shard_tiles(bsm, mesh=None):
     mesh = mesh or current_mesh()
     if mesh is None or np.prod(list(mesh.shape.values())) == 1:
         return bsm
-    s1 = NamedSharding(mesh, P(TILE_AXIS))
-    s3 = NamedSharding(mesh, P(TILE_AXIS, None, None))
+    s1 = NamedSharding(mesh, tile_spec(mesh))
+    s3 = NamedSharding(mesh, tile_spec(mesh, 2))
     bsm.rows = jax.device_put(bsm.rows, s1)
     bsm.cols = jax.device_put(bsm.cols, s1)
     bsm.tiles = jax.device_put(bsm.tiles, s3)

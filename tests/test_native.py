@@ -126,3 +126,47 @@ def test_tile_live_agrees_with_kernel_maxabs():
                                 jnp.asarray(rows), jnp.asarray(cols),
                                 jnp.asarray(hps)))
     np.testing.assert_array_equal(geo, mx > 0)
+
+
+def test_gp2scale_end_to_end_without_native_toolchain(monkeypatch, rng):
+    """Simulated missing C++ toolchain (ref tests monkeypatch missing
+    ilupp/imate/torch, tests/test_fvgp.py:1431,:1480,:4878): with
+    ``get_lib() -> None`` the whole gp2Scale path must run on the numpy
+    fallbacks and agree with the dense kernel."""
+    import jax.numpy as jnp
+    import warnings
+    from fvgp_tpu import GP
+    from fvgp_tpu.kernels import wendland_anisotropic
+
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)
+    assert native.get_lib() is None
+
+    warnings.simplefilter("ignore")
+    x = rng.uniform(0, 30, (400, 2))
+    y = np.sin(x[:, 0])
+    hps = np.array([1.0, 1.5, 1.5])
+    gp = GP(x, y, init_hyperparameters=hps, gp2Scale=True,
+            args={"gp2Scale_block_size": 64})
+    Kd = np.asarray(gp.K.to_dense())
+    xd = np.asarray(gp.x_data)
+    np.testing.assert_allclose(
+        Kd, np.asarray(wendland_anisotropic(xd, xd, hps)), atol=1e-12)
+    assert np.isfinite(gp.log_likelihood())
+
+
+def test_pallas_spmm_disabled_env_fallback(monkeypatch, rng):
+    """FVGP_TPU_PALLAS_SPMM=0 must route the SpMM to the XLA formulation
+    with identical results (the missing-accelerator-kernel analogue)."""
+    import jax.numpy as jnp
+    from fvgp_tpu.parallel.block_sparse import BlockSparseMatrix
+
+    monkeypatch.setenv("FVGP_TPU_PALLAS_SPMM", "0")
+    B = 16
+    tiles = rng.standard_normal((4, B, B))
+    rows = np.array([0, 0, 1, 1])
+    cols = np.array([0, 1, 0, 1])
+    bsm = BlockSparseMatrix(2 * B, 2 * B, B, rows, cols, tiles)
+    X = rng.standard_normal((2 * B, 3))
+    np.testing.assert_allclose(np.asarray(bsm.matmat(jnp.asarray(X))),
+                               np.asarray(bsm.to_dense()) @ X, atol=1e-10)

@@ -643,6 +643,45 @@ def test_gp2scale_all_modes_under_mesh(eight_devices, mode):
     np.testing.assert_allclose(pm, pm_oracle, atol=1e-5)
 
 
+def test_2d_slice_mesh_matches_meshless(eight_devices):
+    """The same gp2Scale program on a 2-D (slice=2, tiles=4) mesh — the
+    multi-slice layout of docs/source/comm_model.md — matches the meshless
+    LML+gradient.  Row ownership nests: slices own contiguous Morton
+    ranges, chips own contiguous sub-ranges (flattened slice-major)."""
+    x, y = _sparse_dataset(n=900)
+    perm = morton_order(x)
+    x, y = x[perm], y[perm]
+    a = {"gp2Scale_block_size": 64}
+    gp1 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True, args=dict(a))
+    v1, g1 = gp1.marginal_likelihood.log_likelihood_value_and_gradient(HPS)
+    m2 = pmesh.make_mesh_2d(2, 4)
+    with pmesh.use_mesh(m2):
+        gp2 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True, args=dict(a))
+        v2, g2 = gp2.marginal_likelihood.log_likelihood_value_and_gradient(HPS)
+    np.testing.assert_allclose(v2, v1, rtol=1e-5)
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)
+
+
+def test_2d_slice_mesh_halo_forced(eight_devices):
+    """Halo exchange on the 2-D mesh (all-to-all over the flattened
+    (slice, tiles) axes) matches the meshless result."""
+    x, y = _sparse_dataset(n=900)
+    perm = morton_order(x)
+    x, y = x[perm], y[perm]
+    a = {"gp2Scale_block_size": 64}
+    gp1 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True, args=dict(a))
+    v1, g1 = gp1.marginal_likelihood.log_likelihood_value_and_gradient(HPS)
+    ah = dict(a, gp2Scale_halo_exchange=True)
+    m2 = pmesh.make_mesh_2d(2, 4)
+    with pmesh.use_mesh(m2):
+        gp2 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True, args=ah)
+        v2, g2 = gp2.marginal_likelihood.log_likelihood_value_and_gradient(HPS)
+        entry = next(iter(gp2.marginal_likelihood._sparse_cache.values()))
+        assert entry["partition_cache"][1][-1] is not None
+    np.testing.assert_allclose(v2, v1, rtol=1e-5)
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)
+
+
 def test_halo_plan_covers_all_references():
     """Every non-local column block a device references appears exactly once
     in its receive layout; local references map into the local shard."""
