@@ -164,10 +164,24 @@ def main():
     log(f"tiles scheduled: {len(rows_full)} of {nb * nb} "
         f"({len(rows_full) * B * B / N / N:.3f} fill)")
 
-    # compile + warm up
+    # compile + warm up; if the Pallas SpMM fails to compile on this
+    # libtpu (e.g. scoped-VMEM accounting changes between releases), fall
+    # back to the XLA formulation rather than losing the metric
     t0 = time.time()
-    val, grad = vg(hps_j, *args)
-    jax.block_until_ready((val, grad))
+    try:
+        val, grad = vg(hps_j, *args)
+        jax.block_until_ready((val, grad))
+    except Exception as exc:
+        log(f"pallas path failed ({type(exc).__name__}); retrying with "
+            "FVGP_TPU_PALLAS_SPMM=0")
+        os.environ["FVGP_TPU_PALLAS_SPMM"] = "0"
+        lml = make_sparse_lml(wendland_anisotropic, nb, B,
+                              cg_iters=48, slq_degree=16,
+                              solver_dtype=solver_dtype, solver="mbcg")
+        vg = jax.jit(jax.value_and_grad(lml))
+        t0 = time.time()
+        val, grad = vg(hps_j, *args)
+        jax.block_until_ready((val, grad))
     log(f"compile+first eval: {time.time() - t0:.1f}s, lml={float(val):.2f}")
     assert np.isfinite(float(val)) and np.all(np.isfinite(np.asarray(grad)))
 
