@@ -36,7 +36,11 @@ def main():
         gp = GP(x, y, init_hyperparameters=np.array([1.0, 2.0, 2.0]),
                 gp2Scale=True,
                 args={"gp2Scale_block_size": 64,
-                      "gp2Scale_precond_width": 2})
+                      "gp2Scale_precond_width": 2,
+                      # collective selection: "auto" (default) picks the
+                      # halo exchange when its measured volume beats the
+                      # X all-gather; True/False force it
+                      "gp2Scale_halo_exchange": "auto"})
         print("LML:", round(gp.log_likelihood(), 2))
         # gradient-based training AT SCALE — the reference cannot do this
         # (its sparse path has no gradient); here the row-partitioned mBCG
@@ -47,6 +51,15 @@ def main():
         xp = x[:5] + 0.05
         print("posterior mean:",
               np.round(np.asarray(gp.posterior_mean(xp)["m(x)"]), 3))
+
+    # multi-slice: the same program on a 2-D (slice, tiles) mesh — slices
+    # own contiguous Morton ranges (DCN boundary), chips own sub-ranges
+    if n_dev >= 4 and n_dev % 2 == 0:
+        with pmesh.use_mesh(pmesh.make_mesh_2d(2, n_dev // 2)):
+            gp2 = GP(x, y, init_hyperparameters=np.array([1.0, 2.0, 2.0]),
+                     gp2Scale=True, args={"gp2Scale_block_size": 64})
+            print("2-D (2 x", n_dev // 2, ") mesh LML:",
+                  round(gp2.log_likelihood(), 2))
 
 
 if __name__ == "__main__":
