@@ -386,13 +386,20 @@ class GP:
                 return _ml.batched_neg_log_likelihood(P)
 
             batched_vg = ml.batched_value_and_grad_device()
-        elif (not user_provided_obj
-              and self.marginal_likelihood._sparse_traced_ready()):
+        adam_chain_runner = None
+        if (not user_provided_obj
+                and self.marginal_likelihood._sparse_traced_ready()):
             ml = self.marginal_likelihood
 
             def fused_vg(hps, _ml=ml):
                 val, grad = _ml.log_likelihood_value_and_gradient(hps)
                 return -val, -grad
+
+            def adam_chain_runner(theta, m, v, t, steps, bounds, _ml=ml):
+                # K Adam steps per device program (sparse path; see
+                # GPMarginalLikelihood.sparse_adam_steps)
+                return _ml.sparse_adam_steps(theta, m, v, t, steps,
+                                             bounds=bounds)
 
         common = dict(
             objective_function=objective_function,
@@ -412,7 +419,8 @@ class GP:
                 hyperparameters = self.trainer.train(
                     dask_client=None, batched_objective=batched_objective,
                     fused_value_and_grad=fused_vg,
-                    batched_value_and_grad=batched_vg, **common)
+                    batched_value_and_grad=batched_vg,
+                    adam_chain_runner=adam_chain_runner, **common)
                 self.set_hyperparameters(hyperparameters)
                 return hyperparameters
         with sequential_linalg_state(self.args, method):

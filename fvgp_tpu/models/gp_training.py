@@ -47,7 +47,7 @@ class GPtraining:
               mcmc_prop_distrs="normal", mcmc_args=None, bo_args=None,
               dask_client=None, info=False,
               batched_objective=None, fused_value_and_grad=None,
-              batched_value_and_grad=None):
+              batched_value_and_grad=None, adam_chain_runner=None):
         """Synchronous training; returns the optimized hyperparameters
         (ref gp_training.py:28-196)."""
         if mcmc_args is None:
@@ -125,16 +125,61 @@ class GPtraining:
             hyperparameters = res["median(x)"]
             self.mcmc_info = res
         elif method == "adam":
-            adam_progress = None
-            if info:
-                def adam_progress(theta, fval, grad, iteration):
-                    if iteration % 10 == 0 or iteration == 1:
-                        print(f"fvgp_tpu adam iteration {iteration} out of "
-                              f"{max_iter}: f(x)= {float(fval)}, "
-                              f"|grad|= {float(np.linalg.norm(grad))}")
-            hyperparameters, _ = self.adam_optimize(
-                objective_function, objective_function_gradient,
-                init_hyperparameters, max_iter=max_iter, callback=adam_progress)
+            chain_steps = int(self.args.get("adam_chain_steps", 8))
+            if adam_chain_runner is not None and chain_steps > 1:
+                # device-chained Adam: chain_steps steps per compiled
+                # program (sparse traced path; the host loop's per-step
+                # dispatch costs as much as an N=50k evaluation itself)
+                theta = np.asarray(init_hyperparameters, np.float64).copy()
+                m = np.zeros_like(theta)
+                v = np.zeros_like(theta)
+                bounds = np.asarray(hyperparameter_bounds, np.float64)
+                t = 0
+                # full chunks only: a ragged final chunk would compile a
+                # second program for a handful of steps
+                n_chunks = max(1, int(max_iter) // chain_steps)
+                for _ in range(n_chunks):
+                    k = chain_steps
+                    theta_new, m, v, fvals = adam_chain_runner(
+                        theta, m, v, t, k, bounds)
+                    t += k
+                    step_norm = np.linalg.norm(theta_new - theta) / k
+                    theta = theta_new
+                    if info:
+                        print(f"fvgp_tpu adam (device chain) iteration {t} "
+                              f"out of {max_iter}: f(x)= {float(fvals[-1])}")
+                    if step_norm < tolerance * 1e-2:
+                        break
+                hyperparameters = theta
+            else:
+                adam_progress = None
+                if info:
+                    def adam_progress(theta, fval, grad, iteration):
+                        if iteration % 10 == 0 or iteration == 1:
+                            print(f"fvgp_tpu adam iteration {iteration} out of "
+                                  f"{max_iter}: f(x)= {float(fval)}, "
+                                  f"|grad|= {float(np.linalg.norm(grad))}")
+                obj_fn, grad_fn = objective_function, objective_function_gradient
+                if fused_value_and_grad is not None:
+                    # one device call per step instead of two: adam_optimize
+                    # always evaluates value then gradient at the SAME theta
+                    memo = {}
+
+                    def obj_fn(theta, _f=fused_value_and_grad, _m=memo):
+                        v, g = _f(np.asarray(theta))
+                        _m["g"] = (np.asarray(theta).tobytes(), g)
+                        return v
+
+                    def grad_fn(theta, _f=fused_value_and_grad, _m=memo):
+                        key = np.asarray(theta).tobytes()
+                        hit = _m.get("g")
+                        if hit is not None and hit[0] == key:
+                            return hit[1]
+                        return _f(np.asarray(theta))[1]
+                hyperparameters, _ = self.adam_optimize(
+                    obj_fn, grad_fn,
+                    init_hyperparameters, max_iter=max_iter,
+                    callback=adam_progress)
         elif method == "bo":
             hyperparameters, self.bo_info = bayesian_optimize(
                 objective_function, hyperparameter_bounds, init_hyperparameters,

@@ -120,36 +120,93 @@ int64_t candidate_pairs(const double* lo, const double* hi, int64_t nb,
 // inside the support); this is the tight check, with an early exit on the
 // first close pair (live tiles finish almost immediately).
 // `x` is the whitened (n, d) point array; padded tail handled by n.
+// Exact tile liveness: a tile (bi, bj) is live iff some point pair is
+// inside the support radius.  Brute force is O(B²·d) per tile and DEAD
+// tiles (no early exit) dominate the loose box-pruned candidate set.  One
+// level of sub-box refinement fixes that: each block is split into SUB
+// index sub-ranges with their own bounding boxes (Morton ordering makes
+// them spatially tight), a sub-box pair farther than the radius is skipped
+// wholesale, and point pairs are only scanned inside surviving sub-pairs —
+// dead tiles resolve in <= SUB² box checks instead of B² point pairs.
 void tile_live(const double* x, int64_t n, int64_t d, int64_t block_size,
                const int32_t* rows, const int32_t* cols, int64_t n_tiles,
                double radius, uint8_t* out) {
     const double r2 = radius * radius;
     const int64_t nb = (n + block_size - 1) / block_size;
+    const int SUB = 8;
+    const int64_t sub_w = (block_size + SUB - 1) / SUB;
+    const int64_t dd = d;
+    // per (block, sub): lo/hi box, interleaved [lo0..lo_{d-1} hi0..hi_{d-1}]
+    double* boxes = new double[(size_t)nb * SUB * 2 * dd];
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < nb; ++b) {
+        for (int s = 0; s < SUB; ++s) {
+            double* bx = boxes + ((size_t)b * SUB + s) * 2 * dd;
+            const int64_t p0 = b * block_size + s * sub_w;
+            const int64_t p1 = std::min(n, std::min(p0 + sub_w,
+                                                    (b + 1) * block_size));
+            if (p0 >= p1) {        // empty sub-range: box that matches nothing
+                for (int64_t k = 0; k < dd; ++k) {
+                    bx[k] = 1e300; bx[dd + k] = -1e300;
+                }
+                continue;
+            }
+            for (int64_t k = 0; k < dd; ++k) {
+                bx[k] = 1e300; bx[dd + k] = -1e300;
+            }
+            for (int64_t i = p0; i < p1; ++i) {
+                const double* xi = x + i * dd;
+                for (int64_t k = 0; k < dd; ++k) {
+                    if (xi[k] < bx[k]) bx[k] = xi[k];
+                    if (xi[k] > bx[dd + k]) bx[dd + k] = xi[k];
+                }
+            }
+        }
+    }
 #pragma omp parallel for schedule(dynamic, 16)
     for (int64_t t = 0; t < n_tiles; ++t) {
         const int64_t bi = rows[t];
         const int64_t bj = cols[t];
         if (bi >= nb || bj >= nb) { out[t] = 0; continue; }  // sentinel
-        const int64_t i0 = bi * block_size;
-        const int64_t i1 = std::min(n, i0 + block_size);
-        const int64_t j0 = bj * block_size;
-        const int64_t j1 = std::min(n, j0 + block_size);
         uint8_t live = 0;
-        for (int64_t i = i0; i < i1 && !live; ++i) {
-            const double* xi = x + i * d;
-            for (int64_t j = j0; j < j1; ++j) {
-                const double* xj = x + j * d;
-                double dist2 = 0.0;
-                for (int64_t k = 0; k < d; ++k) {
-                    const double diff = xi[k] - xj[k];
-                    dist2 += diff * diff;
-                    if (dist2 >= r2) break;
+        for (int si = 0; si < SUB && !live; ++si) {
+            const double* bx_i = boxes + ((size_t)bi * SUB + si) * 2 * dd;
+            if (bx_i[0] > bx_i[dd]) continue;               // empty
+            const int64_t i0 = std::min(n, bi * block_size + si * sub_w);
+            const int64_t i1 = std::min(n, std::min(i0 + sub_w,
+                                                    (bi + 1) * block_size));
+            for (int sj = 0; sj < SUB && !live; ++sj) {
+                const double* bx_j = boxes + ((size_t)bj * SUB + sj) * 2 * dd;
+                if (bx_j[0] > bx_j[dd]) continue;           // empty
+                double box_d2 = 0.0;
+                for (int64_t k = 0; k < dd; ++k) {
+                    double gap = 0.0;
+                    if (bx_i[k] > bx_j[dd + k]) gap = bx_i[k] - bx_j[dd + k];
+                    else if (bx_j[k] > bx_i[dd + k]) gap = bx_j[k] - bx_i[dd + k];
+                    box_d2 += gap * gap;
                 }
-                if (dist2 < r2) { live = 1; break; }
+                if (box_d2 >= r2) continue;                 // sub-pair dead
+                const int64_t j0 = std::min(n, bj * block_size + sj * sub_w);
+                const int64_t j1 = std::min(n, std::min(j0 + sub_w,
+                                                        (bj + 1) * block_size));
+                for (int64_t i = i0; i < i1 && !live; ++i) {
+                    const double* xi = x + i * dd;
+                    for (int64_t j = j0; j < j1; ++j) {
+                        const double* xj = x + j * dd;
+                        double dist2 = 0.0;
+                        for (int64_t k = 0; k < dd; ++k) {
+                            const double diff = xi[k] - xj[k];
+                            dist2 += diff * diff;
+                            if (dist2 >= r2) break;
+                        }
+                        if (dist2 < r2) { live = 1; break; }
+                    }
+                }
             }
         }
         out[t] = live;
     }
+    delete[] boxes;
 }
 
 }  // extern "C"

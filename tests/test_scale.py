@@ -682,6 +682,32 @@ def test_2d_slice_mesh_halo_forced(eight_devices):
     np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)
 
 
+def test_sparse_adam_device_chain_trains():
+    """method='adam' on the sparse traced path runs K steps per device
+    program (adam_chain_steps) and reaches a comparable optimum to the
+    per-step host loop."""
+    x, y = _sparse_dataset(n=500)
+    a = {"gp2Scale_block_size": 64}
+    gp_chain = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                  args=dict(a, adam_chain_steps=8))
+    gp_host = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                 args=dict(a, adam_chain_steps=1))
+    bounds = np.array([[0.1, 10.0], [0.5, 10.0], [0.5, 10.0]])
+    lml0 = gp_chain.marginal_likelihood.log_likelihood(HPS)
+    gp_chain.train(method="adam", hyperparameter_bounds=bounds, max_iter=40)
+    gp_host.train(method="adam", hyperparameter_bounds=bounds, max_iter=40)
+    lml_chain = gp_chain.marginal_likelihood.log_likelihood(
+        gp_chain.hyperparameters)
+    lml_host = gp_host.marginal_likelihood.log_likelihood(
+        gp_host.hyperparameters)
+    assert lml_chain > lml0 + 1.0, (lml0, lml_chain)
+    # same optimizer, same step count: optima within a few percent
+    assert abs(lml_chain - lml_host) / abs(lml_host) < 0.05, \
+        (lml_chain, lml_host)
+    assert np.all(gp_chain.hyperparameters >= bounds[:, 0] - 1e-12)
+    assert np.all(gp_chain.hyperparameters <= bounds[:, 1] + 1e-12)
+
+
 def test_halo_plan_covers_all_references():
     """Every non-local column block a device references appears exactly once
     in its receive layout; local references map into the local shard."""
