@@ -189,3 +189,28 @@ def test_update_gp_data_failed_validation_keeps_state(mt_data, rng):
                      append=True)
     assert f.fvgp_x_data.shape == (34, 2)
     assert f.data.point_number == 90 + 12
+
+
+def test_fvgp_gp2scale_multitask_under_mesh(eight_devices):
+    """Multi-task gp2Scale on the 8-device mesh — the fused (x, task)
+    product space rides the row-partitioned scale path; LML matches the
+    meshless evaluation (the reference's closest analogue is its
+    multi-task run on the live Dask cluster fixture)."""
+    from fvgp_tpu import fvGP
+    from fvgp_tpu.parallel import mesh as pmesh
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 25, (400, 2))
+    y = np.stack([np.sin(x[:, 0]), np.cos(x[:, 1])], axis=1)
+    hps = np.array([1.0, 1.5, 1.5, 1.0])
+    gp1 = fvGP(x, y, init_hyperparameters=hps, gp2Scale=True,
+               args={"gp2Scale_block_size": 64})
+    v1 = gp1.log_likelihood()
+    m = pmesh.make_mesh(8)
+    with pmesh.use_mesh(m):
+        gp8 = fvGP(x, y, init_hyperparameters=hps, gp2Scale=True,
+                   args={"gp2Scale_block_size": 64})
+        v8 = gp8.log_likelihood()
+        xp = x[:4] + 0.02
+        pm = gp8.posterior_mean(xp, x_out=np.array([0, 1]))["m(x)"]
+    np.testing.assert_allclose(v8, v1, rtol=1e-6)
+    assert pm.shape == (4, 2)
