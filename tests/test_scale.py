@@ -602,6 +602,41 @@ def test_tile_balanced_layout_balance():
             assert np.all(np.diff(seg) == 1)
 
 
+def test_tile_balanced_layout_properties_random():
+    """Property check over random tile histograms: any returned layout
+    covers every block exactly once, keeps per-device runs contiguous
+    ascending, and never exceeds the equal-width split's max load."""
+    from fvgp_tpu.parallel.partition import (local_row_blocks,
+                                             tile_balanced_layout)
+    rng = np.random.default_rng(123)
+    for trial in range(25):
+        nb = int(rng.integers(8, 120))
+        n_dev = int(rng.choice([2, 4, 8]))
+        # lumpy histogram: most rows light, a few heavy
+        h = rng.integers(0, 4, nb)
+        h[rng.integers(0, nb, max(1, nb // 8))] += rng.integers(10, 40)
+        rows = np.repeat(np.arange(nb), h)
+        if len(rows) == 0:
+            continue
+        layout, W = tile_balanced_layout(rows, nb, n_dev)
+        W0 = local_row_blocks(nb, n_dev)
+        owner0 = np.minimum(np.arange(nb) // W0, n_dev - 1)
+        load0 = np.bincount(owner0, weights=h.astype(float),
+                            minlength=n_dev)
+        if layout is None:
+            continue
+        real = layout[layout >= 0]
+        assert sorted(real) == list(range(nb)), trial
+        loads = np.zeros(n_dev)
+        for d in range(n_dev):
+            seg = layout[d * W:(d + 1) * W]
+            seg = seg[seg >= 0]
+            if len(seg):
+                assert np.all(np.diff(seg) == 1), trial
+                loads[d] = h[seg].sum()
+        assert loads.max() < load0.max(), (trial, loads.max(), load0.max())
+
+
 def test_tile_balanced_layout_identity_when_balanced():
     """A uniform tile histogram needs no permutation."""
     from fvgp_tpu.parallel.partition import tile_balanced_layout
