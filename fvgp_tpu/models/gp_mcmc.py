@@ -27,6 +27,16 @@ import warnings
 import numpy as np
 
 
+# module-level (not closures) so a sampler configured with the defaults
+# stays picklable — the checkpoint/resume contract covers gpMCMC
+def _uniform_box_log_prior(theta, b, _):
+    return 0. if np.all((theta >= b[:, 0]) & (theta <= b[:, 1])) else -np.inf
+
+
+def _no_adapt(step, sampler):
+    return None
+
+
 def shaby_update(sigma_m, Sigma, accept_rate, window, step, K, *,
                  r_opt=0.234, c_0=10.0, c_1=0.8, adapt_cov=True):
     """One Robbins–Monro adaptation of (step scale, shape matrix).
@@ -87,7 +97,7 @@ class ProposalDistribution:
         elif isinstance(adapt_callable, str):
             raise Exception("Invalid string provided for adapt callable.")
         else:
-            self.adapt = lambda step, sampler: None
+            self.adapt = _no_adapt
 
         scale0 = 2.4 ** 2 / block_dim          # Gelman–Roberts–Gilks start
         if prop_args is None:
@@ -224,8 +234,7 @@ class gpMCMC:
             raise AssertionError("Provide either bounds (for the default uniform "
                                  "prior) or a prior_function.")
         if prior_function is None:
-            self.prior_function = lambda theta, b, _: (
-                0. if np.all((theta >= b[:, 0]) & (theta <= b[:, 1])) else -np.inf)
+            self.prior_function = _uniform_box_log_prior
         else:
             self.prior_function = prior_function
         if proposal_distributions == "normal":

@@ -541,6 +541,11 @@ class GPposterior:
             raise AssertionError("wrong format in x_out")
         if isinstance(x_out, np.ndarray) and x_out.ndim != 1:
             raise AssertionError("wrong dim in x_out, has to be 1-d")
+        # reject before any product-space kernel evaluation — otherwise the
+        # mismatch surfaces as an opaque broadcasting error mid-solve
+        if isinstance(x_out, np.ndarray) and self.y_data.ndim == 2 \
+                and self.y_data.shape[1] > 1:
+            raise Exception("multi-column y_data cannot be combined with x_out")
 
     @staticmethod
     def cartesian_product(x, y):
