@@ -17,6 +17,23 @@ Design notes (TPU-first, not a port):
 * Non-Euclidean inputs call user kernels on the host — this module only ever
   sees numeric arrays.
 
+Choosing a kernel
+-----------------
+* Most models: :func:`default_matern_ard` (the GP default) — one signal
+  variance + one lengthscale per input dimension, differentiable once.
+* Very smooth targets: squared-exponential; rough targets: exponential.
+* "Robust" variants reparameterize 1/l → φ² so an *unbounded* optimizer
+  cannot produce invalid lengthscales.
+* gp2Scale / very large N: a compactly-supported kernel
+  (:func:`wendland_anisotropic` or :func:`sparse_kernel`) so the covariance
+  is sparse and tile pruning fires; declare custom kernels' support via
+  ``args['gp2Scale_lengthscales'/'gp2Scale_support_radius']``.
+* Periodicity: :func:`periodic_kernel`; trends: linear/polynomial families;
+  hetero-smoothness: :func:`non_stat_kernel` (g(x1)·g(x2) envelopes);
+  distributions as inputs: the Wasserstein helpers; landmark embeddings:
+  :func:`sle_kernel`.
+These compose by + and × into valid kernels.
+
 Reference citations are to file:line of /root/reference for the judge's
 parity check; no code was copied (formulas are standard literature kernels).
 """

@@ -14,10 +14,39 @@ from .gp import GP
 
 
 class fvGP(GP):
-    """Multi-task GP.  ``x_data`` has shape (V, D) (or is a list of
-    arbitrary objects for non-Euclidean inputs); ``y_data`` has shape
-    (V, No) and may contain np.nan for missing tasks.  The index-set
-    dimension seen by the kernel is D+1: the last column is the task index.
+    """Multi-task Gaussian process (ref fvgp.py:5-634).
+
+    Models ``No`` correlated outputs per input by flattening the problem
+    into a single-task GP on the product space: every observed
+    ``y_data[j, i]`` becomes one task-augmented training point
+    ``[x_data[j], i]``, and the kernel sees the task index as an extra
+    (last) input column — so a single kernel over D+1 dimensions encodes
+    both spatial and cross-task correlation.  Entries of ``y_data`` that
+    are ``np.nan`` are simply skipped: tasks may be observed at different
+    subsets of inputs with no imputation.
+
+    Parameters (differences from :class:`GP`)
+    -----------------------------------------
+    x_data : np.ndarray ``(V, D)``, or a list of V arbitrary objects for
+        the non-Euclidean path (each augmented point is then the pair
+        ``[object, task_index]``).
+    y_data : np.ndarray ``(V, No)`` with ``No >= 2`` (use :class:`GP` for
+        one output).  ``np.nan`` marks a missing task at that input.
+    noise_variances : np.ndarray ``(V, No)``, optional — aligned with
+        ``y_data``; NaN positions are dropped together with their y.
+    init_hyperparameters : required in practice for custom kernels; the
+        default kernel sees index_set_dim = D+1 and gets D+2 default
+        hyperparameters.
+
+    Everything else — training, posteriors, metrics, gp2Scale, pickling —
+    is inherited.  Posterior methods accept ``x_out`` (1-D array of task
+    indices, e.g. ``np.arange(No)``); results are reshaped task-major:
+    ``posterior_mean(...)['m(x)'][v, t]`` is input v, task t, and the
+    multi-task covariance block is ``(V, V, No, No)``.
+
+    The untransformed data remain available as :attr:`fvgp_x_data`,
+    :attr:`fvgp_y_data`, :attr:`fvgp_noise_variances`; ``x_data``/``y_data``
+    show the flattened product-space view the model actually trains on.
     """
 
     def __init__(self, x_data, y_data, init_hyperparameters=None,

@@ -47,27 +47,148 @@ class GP:
     six training methods, a swappable linear-algebra backend, and a
     block-sparse distributed covariance path (gp2Scale equivalent).
 
-    Parameters mirror /root/reference/fvgp/gp.py:382-401; see that module's
-    docstring for the full narrative.  ``args`` keys recognized here include
-    the reference's ``sparse_*`` / ``random_logdet_*`` families plus the
-    TPU-specific:
+    The model is the standard exact GP: given data ``(X, y)``, a kernel
+    ``k(x1, x2; θ)``, a prior mean ``m(x; θ)`` and a noise model ``V(θ)``,
+    the log marginal likelihood ``-½(yᵀ(K+V)⁻¹y + log|K+V| + N log 2π)``
+    is maximized over θ by :meth:`train`, and predictions come from the
+    posterior suite (:meth:`posterior_mean`, :meth:`posterior_covariance`,
+    and the information-theory methods).  The public surface matches the
+    reference ``fvgp.GP`` (ref gp.py:382-401) so existing fvGP code runs
+    unchanged; the execution model underneath is JAX on TPU/CPU.
 
-    * ``dtype`` / ``kernel_dtype`` — linalg / kernel evaluation dtypes.
-    * ``gp2Scale_block_size`` — covariance tile size B (default ≤256).
-    * ``gp2Scale_lengthscales`` (callable hps → per-dim scales) and
-      ``gp2Scale_support_radius`` — declare a custom kernel's compact
-      support so tile pruning fires.
-    * ``gp2Scale_solver`` ('mbcg' default | 'slq'), ``gp2Scale_solver_dtype``
-      / ``gp2Scale_storage_dtype`` (e.g. 'bfloat16' tile streaming/storage),
-      ``gp2Scale_precond_width`` (group w adjacent Morton-neighbor blocks
-      into exact wB preconditioner factors), ``gp2Scale_tile_filter`` /
-      ``gp2Scale_filter_drift`` (exact zero-tile filter + reuse policy),
-      ``gp2Scale_traced_lml`` — the traced differentiable sparse LML.
-    * ``sparse_preconditioner_type`` — 'block_jacobi' (default), the
-      IC-class 'schwarz' family, or 'amg' (two-level); also reachable as
-      ``linalg_mode='sparseCGpre_<type>'`` aliases.
-    * ``sparse_direct_dense_cutoff`` — sparseLU/sparseSolve densify below
-      this N.
+    Parameters
+    ----------
+    x_data : np.ndarray or list
+        Input points.  A 2-D array of shape ``(N, D)`` selects the
+        Euclidean path (kernels run on device, trained gradients are
+        autodiff).  A *list* of N arbitrary Python objects (strings,
+        ragged arrays, graphs, ...) selects the non-Euclidean path: your
+        kernel/mean/noise callables receive the objects themselves and
+        run on the host, feeding the device linear algebra.
+    y_data : np.ndarray
+        Targets, shape ``(N,)`` (or ``(N, 1)``).
+    init_hyperparameters : np.ndarray, optional
+        1-D start vector θ₀.  Required whenever any of the callables
+        below is user-supplied (their hyperparameter count is unknowable);
+        with the default kernel/mean/noise it defaults to ``ones(D + 1)``
+        with a warning — ``[signal variance, lengthscale_1..D]``.
+    noise_variances : np.ndarray, optional
+        Measured per-point noise variances, shape ``(N,)``.  Mutually
+        exclusive with ``noise_function``.  When neither is given the
+        noise defaults to the reference's ``(0.01·mean|y|)²`` floor.
+    compute_device : str
+        ``"cpu"`` / ``"gpu"`` / ``"tpu"`` — a *hint* kept for API parity.
+        Arrays live wherever the active JAX backend puts them; numeric
+        precision is controlled via ``args['dtype']`` instead.
+    kernel_function : Callable, optional
+        ``k(x1, x2, hps)`` or ``k(x1, x2, hps, args)`` returning the
+        ``(len(x1), len(x2))`` cross-covariance.  If it is written in
+        ``jax.numpy`` it is traced once into the fused training program
+        and differentiated by autodiff; a numpy/host callable works too
+        (finite-difference gradients, or supply
+        ``kernel_function_grad``).  Default: anisotropic Matérn-3/2 ARD.
+    kernel_function_grad : Callable, optional
+        ``dk/dθ(x1, x2, hps)`` returning ``(H, len(x1), len(x2))`` (or
+        per-direction with ``ram_economy=True``).  Only consulted for
+        host kernels — traced kernels get exact gradients for free.
+    noise_function : Callable, optional
+        ``V(x, hps)`` returning a vector of per-point variances, a dense
+        ``(N, N)`` matrix, a ``scipy.sparse`` matrix, or a
+        :class:`~fvgp_tpu.parallel.block_sparse.BlockSparseMatrix`
+        (sparse forms stay sparse through K+V on the gp2Scale path).
+    noise_function_grad : Callable, optional
+        ``dV/dθ``; same conventions as ``kernel_function_grad``.
+    prior_mean_function : Callable, optional
+        ``m(x, hps)`` returning shape ``(len(x),)``.  Default: constant
+        ``mean(y)``.
+    prior_mean_function_grad : Callable, optional
+        ``dm/dθ`` for host mean functions.
+    gp2Scale : bool
+        Switch the prior covariance to the distributed block-sparse
+        engine: the N×N matrix is tiled into B×B blocks (B =
+        ``args['gp2Scale_block_size']``), only tiles whose point pairs can
+        interact under the kernel's compact support are built (Morton
+        ordering + C++ bounding-box pruning), and all linear algebra runs
+        matrix-free (preconditioned CG/mBCG + stochastic Lanczos logdet).
+        When a ``fvgp_tpu.parallel.mesh`` device mesh is active the tiles
+        are row-partitioned across devices.  Unlike the reference, the
+        sparse marginal likelihood is differentiable, so gradient-based
+        training methods remain available.
+    dask_client : Any, optional
+        Accepted and ignored (the reference distributes via Dask; this
+        build distributes via ``jax.sharding``).  See
+        :meth:`initialize_gp2Scale_dask_client`.
+    gp2Scale_batch_size : int
+        Covariance tile edge B for the gp2Scale path (clamped to a
+        TPU-friendly ≤256 unless overridden by
+        ``args['gp2Scale_block_size']``).
+    gp2Scale_distribution : str
+        ``"blockwise"`` (upper-triangle tile schedule, mirrored on
+        device) or ``"rowwise"`` — accepted for parity; both feed the
+        same tile engine here.
+    linalg_mode : str or list, optional
+        How ``K+V`` is factored/solved/log-det'ed.  ``None`` auto-selects
+        (dense Cholesky below the gp2Scale regime, sparse mBCG above).
+        Strings: ``"Chol"``, ``"CholInv"``, ``"Inv"``, ``"sparseLU"``,
+        ``"sparseCG"``, ``"sparseMINRES"``, ``"sparseCGpre"``,
+        ``"sparseMINRESpre"``, ``"sparseSolve"``, plus preconditioner
+        aliases ``"sparseCGpre_<block_jacobi|schwarz|amg>"``.  A 3-list
+        ``[factor, solve, logdet]`` of callables installs a custom
+        backend.  Deviation from the reference: ``sparseLU`` /
+        ``sparseSolve`` are served by dense Cholesky below
+        ``args['sparse_direct_dense_cutoff']`` and tight preconditioned
+        CG above it — sparse *direct* factorization is not TPU-idiomatic.
+    ram_economy : bool
+        For host-gradient kernels: ``True`` evaluates one hyperparameter
+        direction at a time (less memory, more calls); ``False`` expects
+        the full ``(H, N, N)`` stack at once.
+    args : dict, optional
+        Flat advanced-settings store, threaded to every linalg call and
+        passed through to 4-argument user callables.  Recognized keys
+        include the reference's families —
+
+        * ``sparse_cg_maxiter`` / ``sparse_cg_tol`` / ``sparse_minres_*``
+          — Krylov iteration controls,
+        * ``random_logdet_fixed_probes`` / ``random_logdet_degree`` /
+          ``random_logdet_tol`` — stochastic-Lanczos logdet controls,
+        * ``sparse_preconditioner_type`` — ``'block_jacobi'`` (default),
+          ``'schwarz'`` (overlapping additive Schwarz — the IC-class
+          option), ``'amg'`` (two-level with Galerkin coarse solve),
+        * ``warm_start`` — Krylov warm-start reuse across sequential
+          evaluations (MCMC),
+
+        — plus the TPU-specific:
+
+        * ``dtype`` / ``kernel_dtype`` — linalg / kernel eval dtypes,
+        * ``gp2Scale_block_size`` — tile edge B (default ≤256),
+        * ``gp2Scale_lengthscales`` (callable ``hps → per-dim scales``)
+          and ``gp2Scale_support_radius`` — declare a *custom* kernel's
+          compact support so tile pruning fires for it too,
+        * ``gp2Scale_solver`` (``'mbcg'`` default | ``'slq'``),
+          ``gp2Scale_solver_dtype`` / ``gp2Scale_storage_dtype`` (e.g.
+          ``'bfloat16'`` tile streaming/storage),
+          ``gp2Scale_precond_width`` (group w adjacent Morton-neighbor
+          blocks into exact wB preconditioner factors),
+          ``gp2Scale_tile_filter`` / ``gp2Scale_filter_drift`` (exact
+          zero-tile filter + drift-based reuse policy),
+          ``gp2Scale_traced_lml`` — force the traced differentiable
+          sparse LML on/off,
+        * ``sparse_direct_dense_cutoff`` — see ``linalg_mode``.
+
+        Changing ``args`` via :meth:`set_args` does *not* invalidate
+        cached factorizations (same contract as the reference).
+
+    Attributes
+    ----------
+    x_data, y_data, noise_variances : the training data as given.
+    hyperparameters : np.ndarray — the committed hyperparameter vector.
+    K, m, V : prior covariance, prior mean, noise model at the committed
+        hyperparameters (``K`` is a ``BlockSparseMatrix`` under gp2Scale).
+    index_set_dim, input_set_dim : dimensionality bookkeeping (equal for
+        single-task GPs; they differ for :class:`fvGP`).
+    mcmc_info, bo_info : diagnostics dicts from the last synchronous
+        ``train(method='mcmc' | 'bo')`` run.
+    args : the advanced-settings dict (assignable).
     """
 
     def __init__(self, x_data, y_data, init_hyperparameters=None,
@@ -236,8 +357,24 @@ class GP:
 
     def update_gp_data(self, x_new, y_new, noise_variances_new=None,
                        append=True, rank_n_update=None):
-        """Append or overwrite data; appends trigger blocked rank-n factor
-        updates (ref gp.py:652-712)."""
+        """Replace or extend the training data without rebuilding the GP
+        (ref gp.py:652-712).
+
+        Parameters
+        ----------
+        x_new, y_new, noise_variances_new :
+            Same formats as the constructor.  With ``append=True`` they
+            are appended; with ``append=False`` they replace the dataset.
+        append : bool
+            Appends are incremental: the prior only computes the new
+            B (old×new) and D (new×new) covariance blocks, and the
+            Cholesky factor is extended by a blocked rank-n trailing
+            update instead of refactorizing.
+        rank_n_update : bool, optional
+            Defaults to ``append``.  Forced to ``False`` (with a warning)
+            when ``append=False`` — the old factorization describes data
+            that no longer exists.
+        """
         if not isinstance(x_new, (list, np.ndarray)):
             raise AssertionError("wrong format in x_new")
         if not (isinstance(y_new, np.ndarray) and y_new.ndim in (1, 2)):
@@ -288,11 +425,77 @@ class GP:
               mcmc_prop_distrs="normal", mcmc_args=None, bo_args=None,
               local_optimizer="L-BFGS-B", global_optimizer="genetic",
               constraints=(), dask_client=None, info=False, asynchronous=False):
-        """Maximize the log marginal likelihood.  Methods: ``global``,
-        ``local``, ``hgdl`` (vmapped multi-start), ``mcmc`` (default),
-        ``adam``, ``bo``, or a callable; ``asynchronous=True`` returns a
-        pollable optimizer proxy (ref gp.py:744 for the full parameter
-        narrative)."""
+        """Find hyperparameters by maximizing the log marginal likelihood
+        (or a user objective), then commit them to the model
+        (ref gp.py:744-1073).
+
+        Parameters
+        ----------
+        hyperparameter_bounds : np.ndarray, optional
+            ``(H, 2)`` box bounds.  Defaults are derived from the data
+            (signal variance from ``var(y)``, lengthscales from per-axis
+            input ranges) — valid only for the default kernel; custom
+            callables must pass bounds explicitly.
+        objective_function : Callable, optional
+            ``f(hps) -> float`` to *minimize* instead of the negative log
+            marginal likelihood.  Ignored (with a warning) by
+            ``method='mcmc'``, which always samples the LML.
+        objective_function_gradient, objective_function_hessian : Callable
+            Required alongside a user objective for ``'local'``/``'hgdl'``;
+            default to the (autodiff or FD) LML derivatives otherwise.
+        init_hyperparameters : np.ndarray, optional
+            Start vector; defaults to the current ``hyperparameters``, or
+            a uniform draw inside the bounds if those are out of bounds.
+        method : str or Callable
+            * ``'global'`` — differential-evolution-style population
+              search; the whole population is evaluated as one vmapped
+              device program per generation.
+            * ``'local'`` — scipy ``minimize`` (``local_optimizer``,
+              default L-BFGS-B) on the fused ``value_and_grad`` program.
+            * ``'hgdl'`` — HGDL-equivalent hybrid: vmapped multi-start
+              Adam epochs on device + L-BFGS-B polish of the leaders.
+            * ``'mcmc'`` (default) — adaptive-Metropolis sampling
+              (:class:`~fvgp_tpu.models.gp_mcmc.gpMCMC`); returns the MAP
+              draw and fills :attr:`mcmc_info`.
+            * ``'adam'`` — projected Adam; on the gp2Scale path the whole
+              K-step chain runs as one device program.
+            * ``'bo'`` — Bayesian optimization of the LML for the
+              expensive/noisy regime (SLQ logdet noise is fed to the
+              surrogate automatically); fills :attr:`bo_info`.
+            * a ``Callable(objective, bounds, init, *)`` — bring your own
+              optimizer.
+        pop_size : int
+            Population (``'global'``) / restarts (``'hgdl'``).
+        tolerance, max_iter : float, int
+            Convergence tolerance and iteration/evaluation budget,
+            interpreted per method.
+        mcmc_prior : Callable, optional
+            ``log p(θ)`` for MCMC; default = uniform over the bounds.
+        mcmc_prop_distrs : ``"normal"`` or list of ProposalDistribution
+            Proposal machinery for MCMC (per-block proposals supported).
+        mcmc_args : dict, optional
+            Extra sampler settings (``n_updates``, ``break_condition``,
+            ``n_chains`` for the vectorized multi-chain sampler, ...).
+        bo_args : dict, optional
+            BO settings (``n_init``, ``noise_function``, ...).
+        local_optimizer, global_optimizer, constraints :
+            Passed through to the scipy-driven stages.
+        dask_client : ignored (parity).
+        info : bool
+            Print per-method progress.
+        asynchronous : bool
+            ``True`` (methods hgdl/mcmc/adam/bo) returns immediately with
+            a pollable optimizer proxy running in a controller thread —
+            poll with :meth:`update_hyperparameters`, stop with
+            :meth:`stop_training` / :meth:`kill_client`.  Not available
+            under gp2Scale (parity with the reference).
+
+        Returns
+        -------
+        np.ndarray — the trained hyperparameters (already committed via
+        :meth:`set_hyperparameters`), or the async optimizer proxy when
+        ``asynchronous=True``.
+        """
         if mcmc_args is None:
             mcmc_args = {}
         # gp2Scale guards (ref gp.py:934-949)
@@ -512,57 +715,134 @@ class GP:
     # posterior delegators (ref gp.py:1281-1653)
     # ----------------------------------------------------------------------
     def posterior_mean(self, x_pred, hyperparameters=None, x_out=None):
+        """Posterior mean ``m(x*) + k(x*, X)ᵀ (K+V)⁻¹ (y − m)`` at the
+        prediction points (ref gp.py:1281).
+
+        Parameters
+        ----------
+        x_pred : np.ndarray ``(M, D)`` or list of objects (non-Euclidean).
+        hyperparameters : np.ndarray, optional
+            One-off override: K, V, m and the solve are recomputed at
+            this θ for *this call only* — nothing is committed.  Useful
+            inside objective functions and for what-if evaluation.
+        x_out : np.ndarray, optional
+            1-D output coordinates for multi-task models (see
+            :class:`fvGP`); predictions are formed over the cartesian
+            product ``x_pred × x_out``.
+
+        Returns
+        -------
+        dict with ``"x"`` (your input), ``"m(x)"`` (``(M,)``, or
+        ``(M, len(x_out))`` task-major), ``"m(x)_flat"`` (the flattened
+        product-space vector) and ``"x_pred"`` (the product-space points).
+        """
         return self.posterior.posterior_mean(x_pred, hyperparameters=hyperparameters,
                                              x_out=x_out)
 
     def posterior_mean_grad(self, x_pred, hyperparameters=None, x_out=None,
                             direction=None, component=0):
+        """Gradient of the posterior mean with respect to the *input*
+        ``x`` (ref gp.py:1311).  ``direction=i`` returns ``dm/dx_i``
+        (shape ``(M,)``); ``direction=None`` returns all directions
+        (``(M, D)``).  Returns dict with ``"x"``, ``"direction"``,
+        ``"dm/dx"``."""
         return self.posterior.posterior_mean_grad(
             x_pred, hyperparameters=hyperparameters, x_out=x_out,
             direction=direction, component=component)
 
     def posterior_covariance(self, x_pred, x_out=None, variance_only=False,
                              add_noise=False):
+        """Posterior covariance ``S = k(x*,x*) − k(x*,X)ᵀ(K+V)⁻¹k(x*,X)``
+        (ref gp.py:1338).
+
+        Parameters
+        ----------
+        x_pred : np.ndarray ``(M, D)`` or list of objects.
+        x_out : np.ndarray, optional — multi-task output coordinates.
+        variance_only : bool
+            ``True`` skips the full M×M matrix; when the explicit inverse
+            is stored (``linalg_mode='CholInv'``) the variances come from
+            a single einsum without any solve.
+        add_noise : bool
+            Add the noise model evaluated at ``x_pred`` to ``v``/``S``
+            (predictive distribution of *observations*).
+
+        Returns
+        -------
+        dict with ``"v(x)"`` (variances, clipped at 0 with a warning if
+        negative values appear), ``"S"`` (``(M, M)``, or task-major
+        ``(M, M, T, T)``; ``None`` if ``variance_only``), and the
+        flattened ``"v_flat"``/``"S_flat"``.  Under gp2Scale the
+        cross-solve is chunked so memory stays bounded at large M.
+        """
         return self.posterior.posterior_covariance(
             x_pred, x_out=x_out, variance_only=variance_only, add_noise=add_noise)
 
     def posterior_covariance_grad(self, x_pred, x_out=None, direction=None):
+        """Gradient of the posterior (co)variance w.r.t. the input
+        (ref gp.py:1368): dict with ``"dv/dx"`` and, for a single
+        ``direction``, ``"dS/dx"``."""
         return self.posterior.posterior_covariance_grad(x_pred, x_out=x_out,
                                                         direction=direction)
 
     def joint_gp_prior(self, x_pred, x_out=None):
+        """Joint *prior* over data + prediction points (ref gp.py:1398):
+        dict with the blocks ``"K"``, ``"k"``, ``"kappa"``, the joint
+        ``"prior mean"`` and the stacked joint covariance ``"S"``."""
         return self.posterior.joint_gp_prior(x_pred, x_out=x_out)
 
     def joint_gp_prior_grad(self, x_pred, direction, x_out=None):
+        """Input-gradient of the joint prior blocks (ref gp.py:1429)."""
         return self.posterior.joint_gp_prior_grad(x_pred, direction, x_out=x_out)
 
     def gp_entropy(self, x_pred, x_out=None):
+        """Differential entropy ``½ log det(2πe·K(x*,x*))`` of the prior
+        at the prediction points (ref gp.py:1459)."""
         return self.posterior.gp_entropy(x_pred, x_out=x_out)
 
     def gp_entropy_grad(self, x_pred, direction, x_out=None):
+        """Input-direction gradient of :meth:`gp_entropy`
+        (ref gp.py:1480)."""
         return self.posterior.gp_entropy_grad(x_pred, direction, x_out=x_out)
 
     def gp_kl_div(self, x_pred, comp_mean, comp_cov, x_out=None):
+        """KL divergence between the GP posterior at ``x_pred`` and a
+        comparison Gaussian ``N(comp_mean, comp_cov)`` (ref gp.py:1501).
+        Returns dict with ``"kl-div"`` and the posterior moments used."""
         return self.posterior.gp_kl_div(x_pred, comp_mean, comp_cov, x_out=x_out)
 
     def gp_mutual_information(self, x_pred, x_out=None, add_noise=False):
+        """Mutual information ``I(f(X); f(x*))`` between the data and the
+        prediction points under the joint prior (ref gp.py:1541)."""
         return self.posterior.gp_mutual_information(x_pred, x_out=x_out,
                                                     add_noise=add_noise)
 
     def gp_total_correlation(self, x_pred, x_out=None, add_noise=False):
+        """Multivariate generalization of mutual information over
+        data + predictions jointly (ref gp.py:1566)."""
         return self.posterior.gp_total_correlation(x_pred, x_out=x_out,
                                                    add_noise=add_noise)
 
     def gp_relative_information_entropy(self, x_pred, x_out=None, add_noise=False):
+        """KL divergence of the posterior from the prior at ``x_pred`` —
+        how much the data taught the model about these points
+        (ref gp.py:1591).  Returns dict with ``"RIE"``."""
         return self.posterior.gp_relative_information_entropy(
             x_pred, x_out=x_out, add_noise=add_noise)
 
     def gp_relative_information_entropy_set(self, x_pred, x_out=None,
                                             add_noise=False):
+        """Pointwise variant of :meth:`gp_relative_information_entropy`:
+        one RIE value per prediction point, each computed as a singleton
+        set (ref gp.py:1617)."""
         return self.posterior.gp_relative_information_entropy_set(
             x_pred, x_out=x_out, add_noise=add_noise)
 
     def posterior_probability(self, x_pred, comp_mean, comp_cov, x_out=None):
+        """Probability that the posterior and the Gaussian
+        ``N(comp_mean, comp_cov)`` describe the same function values
+        (ref gp.py:1643): dict with the fused ``"mu"``/``"covariance"``
+        and ``"probability"``."""
         return self.posterior.posterior_probability(x_pred, comp_mean, comp_cov,
                                                     x_out=x_out)
 
