@@ -569,7 +569,15 @@ class _BayesOpt:
             if not self._iterate():
                 break
 
-        best_idx, noise_var, noise_learned = self._recommend()
+        if self.log.count == 0:
+            # stopped before a single evaluation: nothing to recommend
+            # but the starting point
+            self.log.record(self.space.encode(self.x0)[0],
+                            np.asarray(self.x0, dtype=float), np.inf, None)
+            self.log.count = 0       # keep the trace honestly empty
+            best_idx, noise_var, noise_learned = 0, 0.0, False
+        else:
+            best_idx, noise_var, noise_learned = self._recommend()
         theta_best = np.asarray(self.log.theta[best_idx], dtype=float)
         hps, ard, sens, post_cov, curv = self._diagnostics(best_idx)
         if self.info:
