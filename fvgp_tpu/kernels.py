@@ -53,6 +53,8 @@ __all__ = [
     "get_distance_matrix", "get_anisotropic_distance_matrix",
     "default_matern_ard", "wendland_anisotropic_gp2Scale_cpu",
     "wendland_anisotropic_gp2Scale_gpu", "wendland_anisotropic_tpu",
+    "wendland_anisotropic_gp2Scale_cpu_sparse",
+    "wendland_anisotropic_gp2Scale_gpu_sparse",
     "wasserstein_1d", "wasserstein_1d_outer_vec",
     "bump", "sle_kernel",
 ]
@@ -235,6 +237,30 @@ def wendland_anisotropic(x1, x2, hyperparameters):
 wendland_anisotropic_tpu = wendland_anisotropic
 wendland_anisotropic_gp2Scale_cpu = wendland_anisotropic
 wendland_anisotropic_gp2Scale_gpu = wendland_anisotropic
+
+
+def wendland_anisotropic_gp2Scale_cpu_sparse(x1, x2, hyperparameters):
+    """Support-aware Wendland returning a ``scipy.sparse.coo_matrix`` with
+    only the in-support entries stored — name/shape parity with the
+    reference's KD-tree sparse kernels (ref kernels.py:658-738, :741-840).
+
+    Values are identical to :func:`wendland_anisotropic`; on TPU the
+    sparsity is exploited structurally (tile pruning + the exact zero-tile
+    filter) rather than per element, so this exists for drop-in
+    compatibility with reference code that passes the ``_sparse`` kernels
+    as ``kernel_function``.  Deliberately a host (numpy/scipy) callable.
+    """
+    import numpy as np
+    from scipy.sparse import coo_matrix
+    k = np.asarray(wendland_anisotropic(
+        jnp.asarray(np.asarray(x1, dtype=np.float64)),
+        jnp.asarray(np.asarray(x2, dtype=np.float64)),
+        jnp.asarray(np.asarray(hyperparameters, dtype=np.float64))))
+    rows, cols = np.nonzero(k)
+    return coo_matrix((k[rows, cols], (rows, cols)), shape=k.shape)
+
+
+wendland_anisotropic_gp2Scale_gpu_sparse = wendland_anisotropic_gp2Scale_cpu_sparse
 
 
 # ---------------------------------------------------------------------------

@@ -253,8 +253,15 @@ class GPprior:
             K = self.kernel(a, b, hps_in, self.args)
         else:
             raise Exception("No valid kernel function signature")
-        return config.asarray(np.asarray(K)) if not self.kernel_traceable \
-            else jnp.asarray(K, dtype=config.linalg_dtype(self.args))
+        if not self.kernel_traceable:
+            # the reference's sparse-kernel contract (ref
+            # gp2Scale_covariance.py:82-95): a host kernel may return a
+            # scipy.sparse block; the dense linalg consumes it densified
+            from scipy.sparse import issparse
+            if issparse(K):
+                K = K.toarray()
+            return config.asarray(np.asarray(K))
+        return jnp.asarray(K, dtype=config.linalg_dtype(self.args))
 
     def compute_mean(self, x, hps):
         """Prior mean m(x) (ref gp_prior.py:222-230)."""

@@ -171,3 +171,46 @@ def test_dot_product_family():
     M = np.eye(2)
     assert abs(float(K.dot_product_kernel(x1, x2, 0.3, M)) - (0.3 + x1 @ x2)) < 1e-12
     assert abs(float(K.linear_kernel(2., 3., 1., 2., 0.5)) - (1 + 2 * 1.5 * 2.5)) < 1e-12
+
+
+def test_sparse_wendland_kernel_names_and_values():
+    """The reference's ``_sparse`` kernels return scipy COO blocks with only
+    in-support entries (ref kernels.py:658-738); the parity aliases must
+    produce identical values to the dense Wendland."""
+    from scipy.sparse import issparse
+    rng = np.random.default_rng(5)
+    x1 = rng.uniform(0, 4, (30, 2))
+    x2 = rng.uniform(0, 4, (20, 2))
+    hps = np.array([1.2, 1.0, 1.5])
+    s = K.wendland_anisotropic_gp2Scale_cpu_sparse(x1, x2, hps)
+    assert issparse(s)
+    dense = np.asarray(K.wendland_anisotropic(x1, x2, hps))
+    np.testing.assert_allclose(s.toarray(), dense, atol=1e-12)
+    assert s.nnz == np.count_nonzero(dense)
+    assert K.wendland_anisotropic_gp2Scale_gpu_sparse is \
+        K.wendland_anisotropic_gp2Scale_cpu_sparse
+
+
+def test_gp_accepts_a_sparse_returning_kernel():
+    """A reference user may pass the ``_sparse`` kernel as kernel_function;
+    the GP must densify its blocks and match the dense-kernel GP exactly —
+    on the dense path and under gp2Scale (host tile loop)."""
+    from fvgp_tpu import GP
+    rng = np.random.default_rng(6)
+    x = rng.uniform(0, 5, (70, 2))
+    y = np.sin(x[:, 0])
+    hps = np.array([1.0, 1.0, 1.0])
+    xp = rng.uniform(0, 5, (9, 2))
+    gp_d = GP(x, y, init_hyperparameters=hps,
+              kernel_function=K.wendland_anisotropic)
+    gp_s = GP(x, y, init_hyperparameters=hps,
+              kernel_function=K.wendland_anisotropic_gp2Scale_cpu_sparse)
+    np.testing.assert_allclose(gp_s.log_likelihood(), gp_d.log_likelihood(),
+                               rtol=1e-8)
+    np.testing.assert_allclose(gp_s.posterior_mean(xp)["m(x)"],
+                               gp_d.posterior_mean(xp)["m(x)"], atol=1e-8)
+    gp_s2 = GP(x, y, init_hyperparameters=hps, gp2Scale=True,
+               gp2Scale_batch_size=32,
+               kernel_function=K.wendland_anisotropic_gp2Scale_cpu_sparse)
+    np.testing.assert_allclose(gp_s2.log_likelihood(), gp_d.log_likelihood(),
+                               rtol=1e-6)
