@@ -208,7 +208,16 @@ class GPMarginalLikelihood:
             n_dev = tile_device_count(mesh)
         if n_dev <= 1:
             mesh = None
-        nb = -(-(-(-n // B)) // n_dev) * n_dev
+        # width-w preconditioner: group w adjacent (Morton-neighboring)
+        # point blocks into exact wB-sized factors — captures the coupling
+        # that stalls block-Jacobi on long length scales while M stays
+        # block-diagonal (the mBCG log|M| correction needs that).  The
+        # blocking is padded so every device's local block count divides by
+        # w: pad blocks are all-masked with unit noise, so they enter the
+        # preconditioner as identity and the quadrature as log(1) = 0
+        pwidth = int(args.get("gp2Scale_precond_width", 1))
+        row_mult = n_dev * max(pwidth, 1)
+        nb = -(-(-(-n // B)) // row_mult) * row_mult
         dtype = config.linalg_dtype(args)
 
         from ..utils.logging import phase_timer
@@ -253,11 +262,6 @@ class GPMarginalLikelihood:
         # backward that reuses the probe solves — 2-3x the slq path
         # (ops/sparse_lml._mbcg_factory).  "slq" restores separate CG+SLQ.
         solver = str(args.get("gp2Scale_solver", "mbcg"))
-        # width-w preconditioner: group w adjacent (Morton-neighboring)
-        # point blocks into exact wB-sized factors — captures the coupling
-        # that stalls block-Jacobi on long length scales while M stays
-        # block-diagonal (the mBCG log|M| correction needs that)
-        pwidth = int(args.get("gp2Scale_precond_width", 1))
 
         if not hasattr(self, "_sparse_cache"):
             self._sparse_cache = {}
@@ -271,7 +275,7 @@ class GPMarginalLikelihood:
                 x, np.asarray(self.y_data)[:, 0],
                 np.asarray(self.likelihood.calculate_V(self.x_data,
                                                        hyperparameters)),
-                B, dtype=dtype, row_multiple=n_dev)
+                B, dtype=dtype, row_multiple=row_mult)
             if mesh is not None:
                 repl = NamedSharding(mesh, P())
                 row_s = NamedSharding(mesh, tile_spec(mesh))

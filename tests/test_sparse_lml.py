@@ -252,3 +252,36 @@ def test_default_solver_is_mbcg():
     import fvgp_tpu.models.gp_marginal_likelihood as gml
     src = inspect.getsource(gml.GPMarginalLikelihood._sparse_lml_eval)
     assert '"gp2Scale_solver", "mbcg"' in src
+
+
+def test_precond_width_engages_on_indivisible_block_counts():
+    """gp2Scale_precond_width used to fall back silently whenever the block
+    count was not divisible by the width (at N=1M, B=128 the flagship nb =
+    7813 is prime — the documented arg never engaged).  The facade now pads
+    the blocking to a multiple of n_dev * width, so the width factor builds
+    without a fallback warning and the estimator stays consistent."""
+    import warnings as _w
+    from fvgp_tpu import GP
+    rng = np.random.default_rng(3)
+    N = 700                                     # 11 blocks of 64: indivisible
+    x = rng.uniform(0, 12, (N, 2))
+    y = np.sin(x[:, 0])
+    hps = np.array([1.0, 1.5, 1.5])
+
+    def value(width):
+        gp = GP(x, y, init_hyperparameters=hps.copy(),
+                noise_variances=np.full(N, 1e-2), gp2Scale=True,
+                args={"gp2Scale_block_size": 64, "sparse_cg_maxiter": 200,
+                      "gp2Scale_precond_width": width,
+                      "random_logdet_fixed_probes": 64})
+        v, _ = gp.marginal_likelihood.log_likelihood_value_and_gradient(hps)
+        return float(v)
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        v1, v2, v3 = value(1), value(2), value(3)
+    assert not any("falling back to width-1" in str(r.message) for r in rec)
+    # same solve, same probes; only the quadrature path differs — the
+    # estimates must agree to probe-noise level
+    assert abs(v2 - v1) / abs(v1) < 5e-3
+    assert abs(v3 - v1) / abs(v1) < 5e-3
