@@ -82,3 +82,26 @@ def test_sparse_lml_phase_timers_fire(capsys):
         assert "device program" in err
     finally:
         flog.disable()
+
+
+def test_train_info_prints_progress_for_every_method(capsys):
+    """info=True must narrate progress for each training method (contract:
+    ref tests/test_fvgp.py test_train_info_prints_progress_for_every_method;
+    ref gp.py:902-920)."""
+    import numpy as np
+    from fvgp_tpu import GP
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 10, (40, 1))
+    y = np.sin(x[:, 0])
+    for method, kwargs in (
+            ("local", dict(max_iter=5)),
+            ("global", dict(max_iter=3, pop_size=6)),
+            ("adam", dict(max_iter=12)),
+            ("mcmc", dict(max_iter=30)),
+            ("hgdl", dict(max_iter=4, pop_size=4)),
+            ("bo", dict(max_iter=6)),
+    ):
+        gp = GP(x, y, init_hyperparameters=np.array([1.0, 1.0]))
+        gp.train(method=method, info=True, **kwargs)
+        out = capsys.readouterr().out
+        assert out.strip(), f"method={method} printed nothing with info=True"
