@@ -12,6 +12,11 @@ import os
 
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
+# no persistent compile cache under tests: CPU AOT entries record the
+# compile machine's feature set and loading them on a different host can
+# SIGILL (XLA logs cpu_aot_loader feature-mismatch errors); every test
+# program is cheap to recompile
+os.environ.setdefault("FVGP_TPU_COMPILE_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
