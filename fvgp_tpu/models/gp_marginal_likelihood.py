@@ -136,6 +136,7 @@ class GPMarginalLikelihood:
         self._lml_vg = jax.jit(jax.value_and_grad(lml))
         self._lml_vmap = None
         self._bvg_dev = None
+        self._lml_hess = None
 
     def batched_neg_log_likelihood(self, P):
         """Vectorized -LML over a (pop, H) batch of hyperparameter vectors —
@@ -815,9 +816,20 @@ class GPMarginalLikelihood:
         return dL_dH + dL_dHm
 
     def neg_log_likelihood_hessian(self, hyperparameters=None):
-        """FD-of-gradient Hessian (ref gp_marginal_likelihood.py:312-336)."""
+        """Hessian of the negative LML.  On the traced path this is the
+        EXACT ``jax.hessian`` (forward-over-reverse) of the compiled LML —
+        the reference can only finite-difference its hand-written gradient
+        (ref gp_marginal_likelihood.py:312-336); the FD-of-gradient engine
+        is retained for host callables and non-Euclidean spaces."""
         if hyperparameters is None:
             hyperparameters = self.hyperparameters
+        if self._traced_ready():
+            self._get_traced()
+            if getattr(self, "_lml_hess", None) is None:
+                self._lml_hess = jax.jit(
+                    jax.hessian(lambda h: -self._lml_raw(h)))
+            Hm = self._lml_hess(config.asarray(np.asarray(hyperparameters)))
+            return np.asarray(Hm, dtype=np.float64)
         H = len(hyperparameters)
         d2 = np.zeros((H, H))
         eps = 1e-6

@@ -242,3 +242,30 @@ def test_posterior_probability_gaussian_fusion_oracle(small_data):
     np.testing.assert_allclose(out["mu"], mu, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(out["covariance"], S, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(out["probability"], p, rtol=1e-8)
+
+
+def test_hessian_exact_on_traced_path_matches_fd():
+    """neg_log_likelihood_hessian is the exact jax.hessian when the kernel
+    is traceable (beyond the reference, which can only FD its gradient,
+    ref gp_marginal_likelihood.py:312-336); it must agree with the
+    FD-of-gradient engine and be symmetric."""
+    from fvgp_tpu import GP
+    rng = np.random.default_rng(8)
+    x = rng.uniform(0, 10, (50, 2))
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(50)
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 1.0, 1.0]))
+    ml = gp.marginal_likelihood
+    hps = np.array([0.8, 1.3, 0.9])
+    H = ml.neg_log_likelihood_hessian(hyperparameters=hps)
+    assert H.shape == (3, 3)
+    np.testing.assert_allclose(H, H.T, rtol=1e-10)        # exactly symmetric
+    # FD oracle of the gradient
+    eps = 1e-5
+    g0 = ml.neg_log_likelihood_gradient(hyperparameters=hps)
+    H_fd = np.zeros((3, 3))
+    for i in range(3):
+        hp = hps.copy()
+        hp[i] += eps
+        H_fd[i] = (ml.neg_log_likelihood_gradient(hyperparameters=hp) - g0) / eps
+    H_fd = (H_fd + H_fd.T) / 2
+    np.testing.assert_allclose(H, H_fd, rtol=2e-3, atol=2e-3)
