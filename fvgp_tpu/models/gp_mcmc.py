@@ -115,6 +115,14 @@ class ProposalDistribution:
         cov = obj.prop_args["sigma_m"] * np.asarray(obj.prop_args["prop_Sigma"])
         return np.random.multivariate_normal(x, cov)
 
+    def normal_proposal_dist(self, x, hps, obj):
+        """Public default Gaussian proposal (API parity with ref
+        gp_mcmc.py:320-340): draw around the current position using the
+        adapted shape matrix ``obj.prop_args['prop_Sigma']``.  Documented
+        deviation: the adapted step scale ``sigma_m`` multiplies the
+        covariance here, as Shaby's scheme prescribes (module docstring)."""
+        return self._gaussian_step(x, hps, obj)
+
     def _shaby_adapt(self, step, sampler):
         """Every K steps: feed the recent acceptance rate and the recent
         positions of THIS block into the shared Robbins–Monro update."""

@@ -442,3 +442,14 @@ def test_fvgp_rejects_bad_update_formats():
         gp.update_gp_data(x2, np.ones(4), append=True)   # 1-d y_new
     # the fused internal data is unchanged (12 points x 2 tasks)
     assert len(gp.y_data) == y2.size
+
+
+def test_proposal_distribution_public_normal_proposal():
+    """normal_proposal_dist is public API (ref gp_mcmc.py:320): a direct
+    call must draw a finite vector around the current position."""
+    from fvgp_tpu import ProposalDistribution
+    pd = ProposalDistribution(indices=[0, 1])
+    np.random.seed(0)
+    step = pd.normal_proposal_dist(np.array([1.0, -2.0]), None, pd)
+    assert step.shape == (2,)
+    assert np.all(np.isfinite(step))
