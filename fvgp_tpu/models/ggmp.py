@@ -30,8 +30,10 @@ __all__ = ["GGMP", "hyperparameters", "NormalLikelihood", "constant_mean",
            "fit_gmm_fixed_weights", "align_gmm_components_hungarian",
            "gaussian_w2_squared", "optimize_weights_em_density",
            "optimize_weights_em_samples", "bhattacharyya_distance",
-           "kl_divergence", "wasserstein_1d_density",
-           "fit_station_gmms_cached",
+           "kl_divergence", "wasserstein_1d_density", "wasserstein_1d",
+           "fit_station_gmms_cached", "fit_station_gmms_fixed_weights_cached",
+           "build_gp_init_kwargs", "train_component_gps_mcmc",
+           "prepare_station_terms_density",
            "fit_gmm_free_weights_multivariate", "fit_local_gmms_multivariate",
            "optimize_weights_em_multivariate_samples",
            "loglik_multivariate_mixture_samples", "sample_gmm_multivariate",
@@ -382,6 +384,140 @@ def fit_station_gmms_cached(y_data, K, *, cache_dir=None, align=True,
     if path is not None:
         _atomic_savez(path, means=means, variances=variances)
     return means, variances
+
+
+def wasserstein_1d(domain, p, q):
+    """W₁ between two densities on a shared grid (ref ggmp.py:2430) —
+    the reference ggmp module's name for :func:`wasserstein_1d_density`
+    (distinct from the sample-measure ``fvgp_tpu.kernels.wasserstein_1d``)."""
+    return wasserstein_1d_density(domain, p, q)
+
+
+def build_gp_init_kwargs(*, use_gpu=False, gpu_engine="torch"):
+    """Convenience for ``GGMP(gp_init_kwargs=..., gp_device_ids=...)``
+    (ref ggmp.py:2002).  On this build the GPU request is a placement hint —
+    JAX owns devices — so the returned kwargs are accepted everywhere and
+    the engine string is carried for API compatibility."""
+    if not use_gpu:
+        return {"compute_device": "cpu"}, None
+    return ({"compute_device": "gpu",
+             "args": {"GPU_engine": str(gpu_engine)}}, None)
+
+
+def fit_station_gmms_fixed_weights_cached(series_list, station_ids, *,
+                                          data_path=None, K,
+                                          gmm_max_iter=100, gmm_tol=1e-4,
+                                          cache=True, cache_dir=None,
+                                          log_every=100, logger=None):
+    """Fit per-station fixed-weight GMMs from raw SAMPLE series
+    (ref ggmp.py:1847): each station's samples become an empirical PDF,
+    which is fit by :func:`fit_gmm_fixed_weights`; results are cached to an
+    ``.npz`` keyed by a content hash of the series and settings.
+
+    Returns ``(means, variances, cache_path)`` with shapes ``(N, K)``.
+    """
+    hasher = hashlib.sha256()
+    for s in series_list:
+        hasher.update(np.ascontiguousarray(np.asarray(s, float)).tobytes())
+    hasher.update(np.ascontiguousarray(
+        np.asarray(station_ids)).tobytes())
+    hasher.update(str((int(K), int(gmm_max_iter), float(gmm_tol))).encode())
+    key = hasher.hexdigest()[:24]
+    path = None
+    if cache and (cache_dir is not None or data_path is not None):
+        base = Path(cache_dir) if cache_dir is not None else Path(data_path)
+        base.mkdir(parents=True, exist_ok=True)
+        path = base / f"ggmp_station_gmms_{key}.npz"
+        if path.exists():
+            blob = np.load(path)
+            return blob["means"], blob["variances"], path
+    N = len(series_list)
+    means = np.empty((N, K))
+    variances = np.empty((N, K))
+    for n, s in enumerate(series_list):
+        domain, density = empirical_pdf_from_samples(np.asarray(s, float))
+        means[n], variances[n] = fit_gmm_fixed_weights(
+            domain, density, K, max_iter=int(gmm_max_iter), tol=float(gmm_tol))
+        order = np.argsort(means[n])
+        means[n] = means[n][order]
+        variances[n] = variances[n][order]
+        if logger is not None and log_every and (n + 1) % int(log_every) == 0:
+            logger.info("fit_station_gmms: %d/%d stations", n + 1, N)
+    if path is not None:
+        _atomic_savez(path, means=means, variances=variances)
+    return means, variances, path
+
+
+def train_component_gps_mcmc(model, hps_obj, *, n_updates_gp=500,
+                             mcmc_until_converged=False, mcmc_chunk=100,
+                             mcmc_max_total=5000, mcmc_tol_rel=1e-3,
+                             mcmc_patience=3, gp_parallel=False,
+                             gp_workers=None, blas_threads_per_gp=None,
+                             **_compat):
+    """Train each component GP independently by MCMC (ref ggmp.py:2159);
+    returns the list of K trained hyperparameter vectors (the caller
+    commits them to ``hps_obj``).  Thread/device partitioning arguments are
+    accepted for compatibility and ignored — JAX owns the devices, and the
+    K likelihood programs already share one compiled step."""
+    K = int(model.likelihood_terms)
+    trained = []
+    for k in range(K):
+        gp = model.gps[k]
+        bounds = np.asarray(hps_obj.hps_bounds[k], dtype=float)
+        if mcmc_until_converged:
+            rounds = max(1, int(mcmc_max_total) // max(int(mcmc_chunk), 1))
+            hps_k, _ = train_gp_mcmc_until_converged(
+                gp, bounds, max_rounds=rounds,
+                steps_per_round=int(mcmc_chunk),
+                rel_tol=float(mcmc_tol_rel))
+        else:
+            hps_k = gp.train(method="mcmc", hyperparameter_bounds=bounds,
+                             max_iter=int(n_updates_gp))
+        trained.append(np.asarray(hps_k, dtype=float))
+    return trained
+
+
+def prepare_station_terms_density(model, hps_list):
+    """Per-station EM ingredients (ref ggmp.py:2301): for station i a tuple
+    ``(p_obs, dx, log_pdf_grid)`` with ``log_pdf_grid[j, k] =
+    log N(domain[j] | mu_ik, var_ik)`` where ``var_ik`` = GP predictive
+    variance + the component's within-likelihood variance.  Returns
+    ``(terms, ll_comp)`` with ``ll_comp[k]`` the density-weighted
+    log-likelihood mass of component k."""
+    if getattr(model, "multi_task", False):
+        raise NotImplementedError(
+            "prepare_station_terms_density covers single-task GGMP (as in "
+            "the reference); multi-task models use "
+            "GGMP._station_terms_density, whose terms are per (station, "
+            "task).")
+    K = int(model.likelihood_terms)
+    x = np.asarray(model.x_data, dtype=float)
+    mu, var_total = [], []
+    for k in range(K):
+        gp = model.gps[k]
+        gp.set_hyperparameters(np.asarray(hps_list[k], dtype=np.float64))
+        m = np.asarray(gp.posterior_mean(x)["m(x)"], dtype=float).reshape(-1)
+        v = np.asarray(gp.posterior_covariance(x, variance_only=True)["v(x)"],
+                       dtype=float).reshape(-1)
+        v = np.maximum(v, 0.0)
+        v_comp = max(float(np.mean(model.likelihoods[k].variance)), 1e-9)
+        mu.append(m)
+        var_total.append(v + v_comp)
+    mu = np.stack(mu, axis=1)
+    var_total = np.stack(var_total, axis=1)
+
+    terms = []
+    ll_comp = np.zeros(K)
+    for i, (domain, density) in enumerate(model.y_data):
+        domain_n, dens_n, dx = _normalize_density(domain, density)
+        p_obs = dens_n
+        log_pdf = np.stack([
+            np.log(np.maximum(gaussian_pdf(domain_n, mu[i, k],
+                                           var_total[i, k]), 1e-300))
+            for k in range(K)], axis=1)
+        ll_comp += np.sum((p_obs[:, None] * log_pdf) * dx[:, None], axis=0)
+        terms.append((p_obs, dx, log_pdf))
+    return terms, ll_comp
 
 
 def train_gp_mcmc_until_converged(gp, bounds, *, max_rounds=5,

@@ -382,3 +382,53 @@ def test_ggmp_multitask_rejects_sample_weights():
     with pytest.raises(ValueError, match="single-task"):
         g.train(method="local", max_iter=5, weight_method="samples",
                 y_samples=[np.zeros(3)] * len(x))
+
+
+def test_reference_name_helper_parity(tmp_path):
+    """The reference ggmp module's remaining public helpers exist with the
+    same contracts (ref ggmp.py:1847, :2002, :2159, :2301, :2430)."""
+    from fvgp_tpu.models.ggmp import (build_gp_init_kwargs,
+                                      fit_station_gmms_fixed_weights_cached,
+                                      prepare_station_terms_density,
+                                      train_component_gps_mcmc,
+                                      wasserstein_1d)
+    # wasserstein_1d == wasserstein_1d_density on densities
+    dom = np.linspace(-3, 3, 100)
+    p = gaussian_pdf(dom, 0.0, 1.0)
+    q = gaussian_pdf(dom, 1.0, 1.0)
+    assert wasserstein_1d(dom, p, q) == pytest.approx(
+        wasserstein_1d_density(dom, p, q))
+    assert wasserstein_1d(dom, p, q) == pytest.approx(1.0, abs=0.1)
+
+    kw, devs = build_gp_init_kwargs()
+    assert kw == {"compute_device": "cpu"} and devs is None
+    kw, _ = build_gp_init_kwargs(use_gpu=True, gpu_engine="cupy")
+    assert kw["compute_device"] == "gpu"
+
+    # sample-series GMM fitting with the npz cache
+    rng = np.random.default_rng(0)
+    series = [np.concatenate([rng.normal(-1, 0.3, 300),
+                              rng.normal(2, 0.4, 300)]) for _ in range(4)]
+    m1, v1, path = fit_station_gmms_fixed_weights_cached(
+        series, np.arange(4), data_path=tmp_path, K=2, gmm_max_iter=150)
+    assert m1.shape == v1.shape == (4, 2)
+    assert path is not None and path.exists()
+    m2, v2, _ = fit_station_gmms_fixed_weights_cached(
+        series, np.arange(4), data_path=tmp_path, K=2, gmm_max_iter=150)
+    np.testing.assert_array_equal(m1, m2)          # cache hit
+    assert np.all(np.diff(m1, axis=1) > 0)         # sorted components
+
+    # component-GP MCMC training + EM term preparation on a tiny model
+    K = 2
+    x, y_data = _make_distributional_data(n=8)
+    g = GGMP(x, y_data, hps_obj=_hps_obj(K), likelihood_terms=K)
+    g.initLikelihoods()
+    g.initGPs()
+    trained = train_component_gps_mcmc(g, g.hps_obj, n_updates_gp=40)
+    assert len(trained) == K
+    assert all(np.all(np.isfinite(t)) for t in trained)
+    terms, ll_comp = prepare_station_terms_density(g, trained)
+    assert len(terms) == len(y_data) and ll_comp.shape == (K,)
+    p_obs, dx, log_pdf = terms[0]
+    assert log_pdf.shape == (len(p_obs), K)
+    assert np.all(np.isfinite(log_pdf))
