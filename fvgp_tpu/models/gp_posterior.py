@@ -87,10 +87,21 @@ class GPposterior:
         return self.K.to_dense()
 
     def _cross_solve_product(self, k, chunk_size=None):
-        """kᵀ (K+V)⁻¹ k in column chunks (ref gp_posterior.py:120-136)."""
+        """kᵀ (K+V)⁻¹ k in column chunks (ref gp_posterior.py:120-136).
+
+        Under gp2Scale the chunk is additionally bounded by MEMORY, not
+        just the batch size: every Krylov matvec with c right-hand sides
+        materializes a (T, B, c) per-tile product, so c is capped at
+        ~2 GB of intermediate (at N=1M that is a handful of columns —
+        the solve loops more, but never OOMs)."""
         n_pred = k.shape[1]
         if chunk_size is None:
             chunk_size = n_pred if not self.gp2Scale else self.prior.batch_size
+            KV = getattr(self.kv, "KV", None)
+            if self.gp2Scale and is_block_sparse(KV):
+                per_col = int(KV.tiles.shape[0]) * int(KV.block_size) * 4
+                chunk_size = min(int(chunk_size),
+                                 max(1, (2 << 30) // max(per_col, 1)))
         chunk_size = max(1, min(int(chunk_size), n_pred))
         parts = []
         kd = None if is_block_sparse(k) else jnp.asarray(k)

@@ -135,13 +135,22 @@ def block_spmv(rows, cols, tiles, X, nb, block_size, n=None):
 # chunked SpMM — the production matvec kernel (X/out resident in VMEM)
 # ---------------------------------------------------------------------------
 
-_VMEM_BUDGET = 12 * 1024 * 1024
+_VMEM_BUDGET = 96 * 1024 * 1024       # of the chip's 128 MB VMEM
 
 
 def chunked_spmm_fits(T, nb, B, k, tile_itemsize=2, C=8):
     """True when X + accumulator + a double-buffered tile chunk fit VMEM
-    and the (bucket-padded) tile count divides into (8, C) SMEM blocks."""
-    vmem = 2 * nb * B * k * 4 + 2 * C * B * B * tile_itemsize
+    and the (bucket-padded) tile count divides into (8, C) SMEM blocks.
+
+    VMEM windows are physically padded to the (8, 128) register tile, so
+    the MINOR dimension of the (nb, B, k) X/out windows costs
+    ``ceil(k/128)*128`` lanes regardless of the logical k — a k=1 matvec
+    at nb~8000 is a 512 MB window, not 4 MB (this gate once used logical
+    sizes and compiled such a window straight into a VMEM OOM on the
+    N=1M posterior path)."""
+    k_pad = -(-int(k) // 128) * 128
+    b_pad = -(-int(B) // 8) * 8
+    vmem = 2 * nb * b_pad * k_pad * 4 + 2 * C * b_pad * b_pad * tile_itemsize
     return vmem <= _VMEM_BUDGET and T % (8 * C) == 0
 
 

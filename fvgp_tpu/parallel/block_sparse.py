@@ -58,6 +58,10 @@ def bsm_matvec_factory(nb, block_size, n, with_diag):
     return mv
 
 
+# per-pass bytes allowed for the (T, B, c) rectangular-product temporary
+_MATMAT_BUDGET = 2 << 30
+
+
 @functools.partial(jax.jit, static_argnames=("nb", "block_size"))
 def _bsm_matmat(rows, cols, tiles, X, nb, block_size):
     """(n, k) = sum over tiles of tile @ X[col-block] scattered to row-block.
@@ -154,9 +158,23 @@ class BlockSparseMatrix:
 
     __matmul__ = matmat
 
+    def _col_chunk(self, k):
+        """Columns per pass so the (T, B, c) per-tile product stays under
+        ``_MATMAT_BUDGET`` — at N=1M a 500-column product is ~30 GB, an
+        instant HBM OOM without this bound (these products run on the
+        host-driven posterior path, so a python loop over chunks costs
+        nothing)."""
+        per_col = int(self.tiles.shape[0]) * int(self.block_size) * 4
+        return max(1, min(int(k), _MATMAT_BUDGET // max(per_col, 1)))
+
     def _rect_matmat(self, X):
         n_pad_c = self.nb_cols * self.block_size
         k = X.shape[1]
+        kc = self._col_chunk(k)
+        if kc < k:
+            return jnp.concatenate(
+                [self._rect_matmat(X[:, s:s + kc])
+                 for s in range(0, k, kc)], axis=1)
         Xp = jnp.zeros((n_pad_c, k), X.dtype).at[: X.shape[0]].set(X)
         Xb = Xp.reshape(self.nb_cols, self.block_size, k)
         gathered = Xb[self.cols]
@@ -173,6 +191,11 @@ class BlockSparseMatrix:
             X = X[:, None]
         n_pad_r = self.nb * self.block_size
         k = X.shape[1]
+        kc = self._col_chunk(k)
+        if kc < k:
+            out = jnp.concatenate([self.rmatmat(X[:, s:s + kc])
+                                   for s in range(0, k, kc)], axis=1)
+            return out[:, 0] if squeeze else out
         Xp = jnp.zeros((n_pad_r, k), X.dtype).at[: X.shape[0]].set(X)
         Xb = Xp.reshape(self.nb, self.block_size, k)
         gathered = Xb[self.rows]

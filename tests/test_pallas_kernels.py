@@ -103,3 +103,18 @@ def test_chunked_spmm_fits_bounds():
     assert not chunked_spmm_fits(219648, 7813, 128, 17, 2)
     # unpadded tile counts fall back
     assert not chunked_spmm_fits(100, 16, 64, 4, 4)
+
+
+def test_chunked_spmm_fits_accounts_for_lane_padding():
+    """VMEM windows pad the minor dim to 128 lanes: a k=1 matvec at the
+    N=1M blocking (nb=7813) is a 512MB window and must be REJECTED (it
+    used to pass on logical bytes and VMEM-OOM the posterior path), while
+    the N=50k bench shapes (nb=196, k=17) must still be accepted."""
+    from fvgp_tpu.ops.pallas_kernels import chunked_spmm_fits
+    # N=1M posterior matvec: nb=7813, k=1 -> 2*7813*128*128*4 = 1 GB
+    assert not chunked_spmm_fits(T=7813 - 7813 % 64, nb=7813, B=128, k=1,
+                                 tile_itemsize=2)
+    # N=50k bench: nb=196, k=17 (lane-padded to 128) ~ 26 MB -> fits
+    assert chunked_spmm_fits(T=4096, nb=196, B=256, k=17, tile_itemsize=2)
+    # tile-count divisibility still enforced
+    assert not chunked_spmm_fits(T=100, nb=196, B=256, k=17)

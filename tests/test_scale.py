@@ -927,3 +927,39 @@ def test_rowpart_partition_cache_hit(eight_devices):
         v3 = gp.marginal_likelihood.log_likelihood(HPS)
     assert np.isfinite(v1) and np.isfinite(v2)
     np.testing.assert_allclose(v3, v1, rtol=1e-2)  # fresh SLQ probes per eval
+
+
+def test_rect_matmat_column_chunking_matches_unchunked():
+    """The rectangular block-sparse products chunk their columns so the
+    (T, B, c) per-tile temporary stays bounded (at N=1M an unchunked
+    500-column rmatmat is a ~30 GB allocation).  Forcing a tiny budget
+    must not change any result."""
+    import fvgp_tpu.parallel.block_sparse as bs
+    rng = np.random.default_rng(0)
+    n, m, B = 200, 100, 32
+    dense = np.zeros((n, m))
+    nb, nbc = -(-n // B), -(-m // B)
+    rows, cols, tiles = [], [], []
+    for i in range(nb):
+        for j in range(nbc):
+            t = rng.standard_normal((B, B))
+            rows.append(i); cols.append(j); tiles.append(t)
+            dense[i*B:(i+1)*B, j*B:(j+1)*B] = t[:min(B, n-i*B), :min(B, m-j*B)]
+    A = bs.BlockSparseMatrix(n, m, B, np.array(rows), np.array(cols),
+                             jnp.asarray(np.stack(tiles)))
+    X = rng.standard_normal((m, 17))
+    Y = rng.standard_normal((n, 17))
+    full_mat = np.asarray(A.matmat(jnp.asarray(X)))
+    full_r = np.asarray(A.rmatmat(jnp.asarray(Y)))
+    old = bs._MATMAT_BUDGET
+    try:
+        bs._MATMAT_BUDGET = A.tiles.shape[0] * B * 4 * 3   # ~3 columns/pass
+        assert A._col_chunk(17) < 17
+        np.testing.assert_allclose(np.asarray(A.matmat(jnp.asarray(X))),
+                                   full_mat, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(A.rmatmat(jnp.asarray(Y))),
+                                   full_r, rtol=1e-12)
+    finally:
+        bs._MATMAT_BUDGET = old
+    np.testing.assert_allclose(full_mat, dense @ X, rtol=1e-10)
+    np.testing.assert_allclose(full_r, dense.T @ Y, rtol=1e-10)
