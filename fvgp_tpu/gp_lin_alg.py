@@ -35,9 +35,14 @@ from .ops.precond import _SCHWARZ_ALIASES, build_preconditioner_op
 from .parallel.block_sparse import (BlockSparseMatrix, bsm_matvec_factory,
                                     from_scipy, is_block_sparse)
 
+from .ops.dense import NonPositiveDefiniteError  # noqa: F401  (ref :27)
+
 __all__ = [
+    "NonPositiveDefiniteError",
     "calculate_Chol_factor", "update_Chol_factor", "calculate_Chol_solve",
     "calculate_Chol_logdet", "cholesky_update_rank_n",
+    "cholesky_update_rank_1", "cholesky_update_rank_1_numpy",
+    "cholesky_update_rank_1_torch", "cholesky_update_rank_1_cupy",
     "calculate_inv_from_chol", "calculate_logdet", "update_logdet",
     "calculate_inv", "update_inv", "solve", "matmul", "matmul3",
     "is_sparse", "how_sparse_is",
@@ -45,6 +50,8 @@ __all__ = [
     "calculate_sparse_solve", "calculate_random_logdet",
     "calculate_sparse_preconditioner", "normalize_sparse_preconditioner_type",
     "calculate_sparse_LU_factor", "calculate_LU_solve", "calculate_LU_logdet",
+    "get_gpu_engine", "gpu_engine_unavailable_reason", "spai",
+    "sparse_preconditioner_failure_guidance", "resolve_gp2scale_linalg_mode",
 ]
 
 
@@ -339,3 +346,122 @@ def calculate_sparse_preconditioner(KV, args=None):
         KV = from_scipy(KV.tocsr(), block)
     m_fn, m_data = build_preconditioner_op(KV, args=args)
     return m_data, (m_fn, m_data)
+
+
+# ---------------------------------------------------------------------------
+# remaining reference-name surface (ref gp_lin_alg.py:27, :124-201, :363-471,
+# :474-505, :1310-1463)
+# ---------------------------------------------------------------------------
+
+def cholesky_update_rank_1(L, b, c, compute_device="cpu", args=None):
+    """Extend ``L`` (factor of A) to the factor of ``[[A, b], [bᵀ, c]]`` for
+    ONE new point (ref gp_lin_alg.py:1310).  Same blocked device update as
+    :func:`cholesky_update_rank_n` with a single column."""
+    b = np.asarray(b, dtype=float).reshape(-1, 1)
+    c = np.asarray(c, dtype=float).reshape(1, 1)
+    return cholesky_update_rank_n(L, b, c, compute_device, args)
+
+
+# the reference splits this per GPU engine (ref gp_lin_alg.py:1385-1463);
+# here every device path is the same XLA program, so the engine-named
+# variants are aliases kept for import compatibility
+cholesky_update_rank_1_numpy = cholesky_update_rank_1
+cholesky_update_rank_1_torch = cholesky_update_rank_1
+cholesky_update_rank_1_cupy = cholesky_update_rank_1
+
+
+def get_gpu_engine(args):
+    """The reference returns a torch/cupy module for its GPU branches
+    (ref gp_lin_alg.py:148); this build has no separate GPU engine — every
+    array op is one JAX/XLA program that runs on whatever backend jax
+    initialized (TPU here).  Returns ``None`` always."""
+    return None
+
+
+def gpu_engine_unavailable_reason(engine, args=None):
+    """Why a requested GPU engine is not in play (ref gp_lin_alg.py:124).
+    Always a fixed explanation here: there are no per-engine branches to
+    enable — compute already runs on the accelerator via XLA."""
+    return (f"GPU engine {engine!r} is not used by fvgp_tpu: all linear "
+            "algebra compiles through JAX/XLA onto the active backend "
+            "(TPU/CPU); torch/cupy device branches do not exist. "
+            "Remove 'Chol_*_compute_device'/'GPU_engine' args or leave "
+            "them — they are accepted and ignored.")
+
+
+def spai(A, m, args=None):
+    """Sparse Approximate Inverse preconditioner, ``m`` refinement steps
+    (ref gp_lin_alg.py:363).  Re-derived minimal-residual SPAI: starting
+    from the 1-norm-scaled ``M0 = 2 A / ||A A^T||_1``, each step adds the
+    optimally-scaled residual direction
+
+        ``M <- M + alpha G``,  ``G = I - A M``,
+        ``alpha = tr(G^T A G) / ||A G||_F^2``
+
+    which monotonically reduces ``||I - A M||_F`` for SPD ``A``.  Host
+    scipy computation — this is a setup-time operation; the TPU solvers
+    take preconditioners as batched operators (ops/precond.py), and a CSR
+    ``M`` can be wrapped as ``M=(lambda X, d: d @ X, M_dense)`` for the
+    host path or used with scipy's own cg."""
+    from scipy import sparse as sp
+    from scipy.sparse.linalg import onenormest
+    if not sp.issparse(A):
+        raise AssertionError("A must be sparse for SPAI")
+    steps = int(m)
+    M = (2.0 / onenormest(A @ A.T)) * A
+    eye = sp.identity(A.shape[0], format="csr")
+    for _ in range(max(steps, 0)):
+        G = eye - A @ M
+        AG = A @ G
+        denom = float(np.sum(AG.data ** 2))
+        if denom == 0.0:
+            break
+        alpha = float((G.T @ AG).diagonal().sum()) / denom
+        M = M + alpha * G
+    if not sp.issparse(M):
+        raise AssertionError("SPAI result must remain sparse")
+    return M
+
+
+def sparse_preconditioner_failure_guidance(args=None):
+    """Actionable text attached to preconditioner-build failures
+    (ref gp_lin_alg.py:440).  Reflects the operators that exist HERE."""
+    ptype = None
+    if args:
+        try:
+            ptype = normalize_sparse_preconditioner_type(
+                args.get("sparse_preconditioner_type", "block_jacobi"))
+        except Exception:
+            ptype = str(args.get("sparse_preconditioner_type"))
+    lines = [
+        "A failed preconditioner build usually means the covariance is too "
+        "dense for its block structure: check the compact-support kernel's "
+        "length scales / support radius before tuning solver knobs.",
+        "All preconditioners here are batched device operators "
+        "(block-Jacobi, overlapping additive Schwarz behind every IC/ILU "
+        "alias, two-level 'amg'); there is no optional package to install.",
+    ]
+    if ptype == "schwarz":
+        lines.append("For Schwarz, the windows are exact 2B-size "
+                     "factorizations: reduce 'gp2Scale_block_size' if the "
+                     "batched Cholesky does not fit device memory.")
+    elif ptype == "amg":
+        lines.append("The two-level operator adds a tile-sum coarse solve "
+                     "on top of block-Jacobi; if the coarse factor fails, "
+                     "fall back to 'schwarz' or 'block_jacobi'.")
+    else:
+        lines.append("block-Jacobi always builds if the diagonal blocks are "
+                     "positive definite; a failure there indicates a non-PD "
+                     "K+V — grow the noise floor.")
+    lines.append("The built operator is cached and reused until K+V drifts "
+                 "past args['sparse_preconditioner_max_matrix_drift'] "
+                 "(default 0.1).")
+    return " ".join(lines)
+
+
+def resolve_gp2scale_linalg_mode(mode, args=None):
+    """``'sparseCGpre_amg'`` → ``('sparseCGpre', args-with-type)``
+    (ref gp_lin_alg.py:474) — the alias resolver the GP facade applies to
+    ``linalg_mode`` strings."""
+    from .models.gp_kv import resolve_linalg_mode
+    return resolve_linalg_mode(mode, dict(args or {}))

@@ -524,3 +524,171 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
                  "fill %.4f, %s", total, nb1 * nb2, block_size,
                  result.sparsity(), "sharded" if n_dev > 1 else "single-device")
     return result
+
+
+# ---------------------------------------------------------------------------
+# Host-side worker equivalents (power-user surface of the reference's Dask
+# engine, ref gp2Scale_covariance.py:41-224).  The TPU engine above never
+# calls these — tiles are assembled on device — but the reference unit-tests
+# and exposes them (ref tests/test_fvgp.py:3148-3265), and they remain the
+# right tool when a user wants a scipy CSR covariance on the host (e.g. to
+# feed an external solver).  numpy/scipy in, numpy/scipy out.
+# ---------------------------------------------------------------------------
+
+def ranges(N, nb):
+    """``nb`` near-equal ``(start, end)`` index windows covering ``range(N)``
+    (ref gp2Scale_covariance.py:41)."""
+    nb = max(int(nb), 1)
+    cuts = [round(N * i / nb) for i in range(nb + 1)]
+    return list(zip(cuts[:-1], cuts[1:]))
+
+
+def num_blocks(n, batch_size):
+    """Chunk count at ``batch_size`` points per chunk
+    (ref gp2Scale_covariance.py:48)."""
+    return max(1, int(n) // int(batch_size))
+
+
+def index_dtype_for(n1, n2):
+    """int32 COO indices whenever they fit — half the index bytes
+    (ref gp2Scale_covariance.py:53)."""
+    return np.int32 if max(int(n1), int(n2)) < 2 ** 31 else np.int64
+
+
+def evaluate_kernel(kernel, x1, x2, hyperparameters, k_n_params, args):
+    """Arity-dispatching kernel call — 3-arg ``k(x1,x2,hps)`` or 4-arg
+    ``k(x1,x2,hps,args)`` (ref gp2Scale_covariance.py:66)."""
+    if k_n_params == 3:
+        return kernel(x1, x2, hyperparameters)
+    if k_n_params == 4:
+        return kernel(x1, x2, hyperparameters, args)
+    raise Exception("No valid kernel function signature")
+
+
+def block_to_coo(k, index_dtype=np.int32):
+    """One kernel block as ``(data, rows, cols)`` in block-local coordinates
+    (ref gp2Scale_covariance.py:82).  Support-aware kernels that already
+    return a scipy.sparse block pass through without densifying."""
+    from scipy import sparse as _sp
+    if _sp.issparse(k):
+        coo = k.tocoo()
+        return (coo.data, coo.row.astype(index_dtype, copy=False),
+                coo.col.astype(index_dtype, copy=False))
+    k = np.asarray(k)
+    nz = np.nonzero(k)
+    return (k[nz], nz[0].astype(index_dtype, copy=False),
+            nz[1].astype(index_dtype, copy=False))
+
+
+def block_triplets(range_ij, x1, x2, hyperparameters, kernel,
+                   k_n_params, args, symmetric, index_dtype=np.int32):
+    """Global-coordinate COO triplets for one (row-window, col-window) block
+    (ref gp2Scale_covariance.py:97).  Diagonal-straddling blocks of a
+    symmetric matrix report only their upper triangle — the assembler
+    mirrors (half the kernel FLOPs, same contract as the device engine)."""
+    (i0, i1), (j0, j1) = range_ij
+    block = evaluate_kernel(kernel, x1[i0:i1], x2[j0:j1],
+                            hyperparameters, k_n_params, args)
+    data, r, c = block_to_coo(block, index_dtype)
+    if symmetric and i0 == j0 and data.size:
+        upper = r <= c
+        data, r, c = data[upper], r[upper], c[upper]
+    return data, r + index_dtype(i0), c + index_dtype(j0)
+
+
+def row_strip_csr(range_i, x1, x2, hyperparameters, kernel,
+                  k_n_params, args, n2, col_batch_size,
+                  index_dtype=np.int32):
+    """``(first_row, csr_strip)`` for one row window, evaluated in column
+    chunks so peak memory is one dense block (ref gp2Scale_covariance.py:119,
+    the ``rowwise`` distribution mode)."""
+    from scipy import sparse as _sp
+    i0, i1 = range_i
+    xi = x1[i0:i1]
+    triplets = []
+    for j0, j1 in ranges(n2, num_blocks(n2, col_batch_size)):
+        block = evaluate_kernel(kernel, xi, x2[j0:j1],
+                                hyperparameters, k_n_params, args)
+        data, r, c = block_to_coo(block, index_dtype)
+        if data.size:
+            triplets.append((data, r, c + index_dtype(j0)))
+    shape = (i1 - i0, int(n2))
+    if not triplets:
+        return i0, _sp.csr_matrix(shape)
+    strip = _sp.coo_matrix(
+        (np.concatenate([t[0] for t in triplets]),
+         (np.concatenate([t[1] for t in triplets]),
+          np.concatenate([t[2] for t in triplets]))), shape=shape)
+    return i0, strip.tocsr()
+
+
+def assemble_triplets(harvest, n1, n2, symmetric, index_dtype=np.int32):
+    """Global CSR from harvested triplet parts, single allocation, mirroring
+    the off-diagonal entries of a symmetric matrix in the same pass
+    (ref gp2Scale_covariance.py:169 — avoids the 3-4x peak of stacked
+    hstacks)."""
+    from scipy import sparse as _sp
+    parts = [(d, r, c) for d, r, c in harvest if d.size]
+    if not parts:
+        return _sp.csr_matrix((int(n1), int(n2)))
+    sizes = []
+    for d, r, c in parts:
+        extra = int(np.count_nonzero(r != c)) if symmetric else 0
+        sizes.append(d.size + extra)
+    total = int(np.sum(sizes))
+    val = np.empty(total, dtype=np.result_type(*[d.dtype for d, _, _ in parts]))
+    ri = np.empty(total, dtype=index_dtype)
+    ci = np.empty(total, dtype=index_dtype)
+    at = 0
+    while parts:
+        d, r, c = parts.pop()
+        val[at:at + d.size], ri[at:at + d.size], ci[at:at + d.size] = d, r, c
+        at += d.size
+        if symmetric:
+            m = r != c
+            nm = int(np.count_nonzero(m))
+            if nm:
+                val[at:at + nm] = d[m]
+                ri[at:at + nm] = c[m]
+                ci[at:at + nm] = r[m]
+                at += nm
+    K = _sp.coo_matrix((val, (ri, ci)), shape=(int(n1), int(n2)))
+    return K.tocsr()
+
+
+def assemble_row_strips(harvest, n1, n2):
+    """Row-ordered vstack of harvested ``(first_row, csr_strip)`` pairs
+    (ref gp2Scale_covariance.py:219)."""
+    from scipy import sparse as _sp
+    strips = dict(harvest)
+    if not strips:
+        return _sp.csr_matrix((int(n1), int(n2)))
+    return _sp.vstack([strips[i] for i in sorted(strips)], format="csr")
+
+
+def covariance_csr(kernel, x1, x2, hyperparameters, *, batch_size=10000,
+                   args=None, symmetric=None, distribution="blockwise",
+                   k_n_params=3):
+    """Host scipy CSR covariance through the worker helpers — the
+    reference's full Dask pipeline run in-process (blockwise: upper-triangle
+    block schedule + mirrored single-alloc assembly; rowwise: finished CSR
+    strips).  For external host solvers; the TPU engine is
+    :func:`distributed_covariance`."""
+    n1, n2 = len(x1), len(x2)
+    if symmetric is None:
+        symmetric = x2 is x1 or (n1 == n2 and np.array_equal(
+            np.asarray(x1, dtype=object), np.asarray(x2, dtype=object)))
+    idt = index_dtype_for(n1, n2)
+    if distribution == "rowwise":
+        harvest = [row_strip_csr(w, x1, x2, hyperparameters, kernel,
+                                 k_n_params, args, n2, batch_size, idt)
+                   for w in ranges(n1, num_blocks(n1, batch_size))]
+        return assemble_row_strips(harvest, n1, n2)
+    rw = ranges(n1, num_blocks(n1, batch_size))
+    cw = ranges(n2, num_blocks(n2, batch_size))
+    pairs = [(a, b) for ai, a in enumerate(rw) for bi, b in enumerate(cw)
+             if not (symmetric and bi < ai)]
+    harvest = [block_triplets(p, x1, x2, hyperparameters, kernel,
+                              k_n_params, args, symmetric, idt)
+               for p in pairs]
+    return assemble_triplets(harvest, n1, n2, symmetric, idt)

@@ -130,3 +130,46 @@ def test_random_logdet_contract():
     assert abs(ld - exact) / abs(exact) < 0.05
     assert info["num_samples_used"] >= 40
     assert info["variance"] is None or info["variance"] >= 0.0
+
+
+def test_rank_1_update_and_engine_aliases():
+    A = _spd(30, seed=13)
+    rng = np.random.default_rng(13)
+    b = rng.standard_normal(30) * 0.05
+    c = 2.0
+    L = gla.calculate_Chol_factor(A)
+    big = np.block([[A, b[:, None]], [b[None, :], np.array([[c]])]])
+    for fn in (gla.cholesky_update_rank_1, gla.cholesky_update_rank_1_numpy,
+               gla.cholesky_update_rank_1_torch,
+               gla.cholesky_update_rank_1_cupy):
+        L1 = fn(L, b, c)
+        np.testing.assert_allclose(np.tril(L1) @ np.tril(L1).T, big,
+                                   atol=1e-8)
+
+
+def test_gpu_engine_stubs():
+    assert gla.get_gpu_engine({"GPU_engine": "torch"}) is None
+    msg = gla.gpu_engine_unavailable_reason("torch")
+    assert "JAX" in msg or "XLA" in msg
+
+
+def test_spai_reduces_residual_and_preconditions():
+    S = _sparse_spd(150, seed=17)
+    eye = sparse.identity(150, format="csr")
+    M1 = gla.spai(S, 1)
+    M8 = gla.spai(S, 8)
+    r1 = sparse.linalg.norm(eye - S @ M1)
+    r8 = sparse.linalg.norm(eye - S @ M8)
+    assert r8 < r1 < sparse.linalg.norm(eye)
+    assert sparse.issparse(M8)
+
+
+def test_failure_guidance_and_mode_resolution():
+    txt = gla.sparse_preconditioner_failure_guidance(
+        {"sparse_preconditioner_type": "ichol"})
+    assert "Schwarz" in txt or "schwarz" in txt.lower()
+    mode, args = gla.resolve_gp2scale_linalg_mode("sparseCGpre_amg", {})
+    assert mode == "sparseCGpre"
+    assert args["sparse_preconditioner_type"] == "amg"
+    # the error type is importable under its reference name
+    assert issubclass(gla.NonPositiveDefiniteError, np.linalg.LinAlgError)

@@ -198,3 +198,36 @@ def test_log_likelihood_variance_contract(small_data):
     gp2.log_likelihood()     # logdet is lazy; evaluate the LML first
     v = gp2.marginal_likelihood.log_likelihood_variance()
     assert v is not None and v >= 0.0
+
+def test_gp2scale_auto_mode_large_n_is_preconditioned_cg():
+    """At large N the auto-selected gp2Scale mode is sparseCGpre — a
+    documented TPU deviation from the reference's unpreconditioned
+    sparseMINRES (ref gp_kv.py:182-188): K+V is SPD, and at N=1M every
+    Krylov matvec reads every stored tile, so the preconditioned solve is
+    the difference between minutes and seconds per posterior call."""
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 25, (600, 2))
+    y = np.sin(x[:, 0])
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 3.0, 3.0]),
+            gp2Scale=True, args={"gp2Scale_block_size": 64,
+                                 "gp2Scale_traced_lml": False})
+    kv = gp.kv
+    KV = kv.KV          # materialize so nnz is known
+    xd_big = np.zeros((1_000_001, 1))
+    data = kv.data
+
+    class _BigN:
+        def __getattr__(self, attr):
+            return getattr(data, attr)
+
+        @property
+        def x_data(self):
+            return xd_big
+
+    kv.data = _BigN()
+    try:
+        assert kv._set_gp2Scale_mode(KV) == "sparseCGpre"
+    finally:
+        kv.data = data
+    # small/sparse branches keep reference parity
+    assert kv.mode in ("Chol", "sparseLU")

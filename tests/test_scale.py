@@ -649,12 +649,13 @@ def test_tile_balanced_layout_identity_when_balanced():
 @pytest.mark.parametrize("mode", [
     "sparseCG", "sparseMINRES", "sparseCGpre", "sparseMINRESpre",
     "sparseCGpre_schwarz", "sparseCGpre_amg", "sparseMINRESpre_ichol",
-    "sparseLU", "sparseSolve"])
+    "sparseLU", "sparseSolve", None])
 def test_gp2scale_all_modes_under_mesh(eight_devices, mode):
     """The reference sweeps gp2Scale across every sparse linalg mode on its
     live Dask cluster fixture (ref tests/test_fvgp.py:598-700); this is the
     mesh equivalent: every mode through the public API on the 8-device
-    mesh, LML and posterior against the dense meshless oracle."""
+    mesh, LML and posterior against the dense meshless oracle.  ``None``
+    exercises the auto-selected mode (the production default path)."""
     x, y = _sparse_dataset(n=500)
     perm = morton_order(x)
     x, y = x[perm], y[perm]
@@ -963,3 +964,63 @@ def test_rect_matmat_column_chunking_matches_unchunked():
         bs._MATMAT_BUDGET = old
     np.testing.assert_allclose(full_mat, dense @ X, rtol=1e-10)
     np.testing.assert_allclose(full_r, dense.T @ Y, rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# host worker-equivalent helpers (ref tests/test_fvgp.py:3148-3265 test the
+# Dask worker functions in-process; these are the same contracts)
+# ---------------------------------------------------------------------------
+
+def _whost(x1, x2, hps):
+    from fvgp_tpu.kernels import wendland_anisotropic
+    return np.asarray(wendland_anisotropic(x1, x2, hps))
+
+
+def test_worker_helpers_blockwise_matches_dense():
+    from fvgp_tpu.parallel import sharded_cov as sc
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 30, (237, 2))
+    hps = np.array([1.0, 2.5, 2.5])
+    K = sc.covariance_csr(_whost, x, x, hps, batch_size=50)
+    dense = _whost(x, x, hps)
+    np.testing.assert_allclose(K.toarray(), dense, atol=1e-12)
+
+
+def test_worker_helpers_rowwise_matches_blockwise():
+    from fvgp_tpu.parallel import sharded_cov as sc
+    rng = np.random.default_rng(12)
+    x1 = rng.uniform(0, 30, (120, 2))
+    x2 = rng.uniform(0, 30, (85, 2))
+    hps = np.array([1.0, 2.5, 2.5])
+    Kb = sc.covariance_csr(_whost, x1, x2, hps, batch_size=40,
+                           symmetric=False)
+    Kr = sc.covariance_csr(_whost, x1, x2, hps, batch_size=40,
+                           symmetric=False, distribution="rowwise")
+    np.testing.assert_allclose(Kb.toarray(), Kr.toarray(), atol=1e-12)
+    np.testing.assert_allclose(Kb.toarray(), _whost(x1, x2, hps), atol=1e-12)
+
+
+def test_worker_helpers_units():
+    from fvgp_tpu.parallel import sharded_cov as sc
+    from scipy import sparse as sp
+    assert sc.ranges(10, 3) == [(0, 3), (3, 7), (7, 10)]
+    assert sc.num_blocks(100, 30) == 3
+    assert sc.index_dtype_for(10, 10) is np.int32
+    assert sc.index_dtype_for(2 ** 31, 1) is np.int64
+    # sparse pass-through in block_to_coo (support-aware kernels)
+    blk = sp.random(6, 6, density=0.3, random_state=0, format="csr")
+    d, r, c = sc.block_to_coo(blk)
+    np.testing.assert_allclose(
+        sp.coo_matrix((d, (r, c)), shape=(6, 6)).toarray(), blk.toarray())
+    # diagonal block of a symmetric matrix reports only its upper triangle
+    x = np.random.default_rng(13).uniform(0, 5, (8, 2))
+    hps = np.array([1.0, 4.0, 4.0])
+    d, r, c = sc.block_triplets(((0, 8), (0, 8)), x, x, hps, _whost, 3,
+                                None, True)
+    assert np.all(r <= c)
+    # 4-arg kernels dispatch through evaluate_kernel
+    def k4(a, b, h, args):
+        assert args == {"tag": 1}
+        return _whost(a, b, h)
+    out = sc.evaluate_kernel(k4, x, x, hps, 4, {"tag": 1})
+    np.testing.assert_allclose(out, _whost(x, x, hps))
