@@ -2,6 +2,9 @@
 stationary kernel; the flattened weights ride in the hyperparameter vector
 and train by multi-start (`method='hgdl'`), with every gradient supplied by
 autodiff through the marginal likelihood."""
+import os as _os, sys as _sys
+# runnable from a bare checkout: put the repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 

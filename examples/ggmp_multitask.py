@@ -5,6 +5,9 @@ Every station observes one probability density PER OUTPUT CHANNEL; the
 mixture components are multi-task fvGP GPs over the task-augmented index
 set, trained per-component and re-weighted by EM against the observed
 densities."""
+import os as _os, sys as _sys
+# runnable from a bare checkout: put the repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -8,6 +8,9 @@ regime to MCMC/BO.  Scale N up on real hardware (the public API runs
 N=1,000,000 on one TPU chip with args={"gp2Scale_storage_dtype":
 "bfloat16", "gp2Scale_solver_dtype": "bfloat16"}); this script sizes
 itself modestly so it runs anywhere."""
+import os as _os, sys as _sys
+# runnable from a bare checkout: put the repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 

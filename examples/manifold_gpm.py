@@ -5,6 +5,9 @@ A 6-D input whose outputs really depend on one latent direction: GPm learns
 the embedding jointly with the kernel hyperparameters by Adam on the jitted
 trace-form marginal likelihood, then predicts all outputs with one shared
 solve."""
+import os as _os, sys as _sys
+# runnable from a bare checkout: put the repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 

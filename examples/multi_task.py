@@ -1,5 +1,8 @@
 """BASELINE config 2 — multi-task fvGP with a task-aware kernel (the
 reference's MultiTaskTest.ipynb workflow, synthetic climate-like data)."""
+import os as _os, sys as _sys
+# runnable from a bare checkout: put the repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 

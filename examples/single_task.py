@@ -1,5 +1,8 @@
 """BASELINE config 1 — 1-D single-task GP, N~100, Matérn kernel + noise,
 MAP training (the reference's SingleTaskTest.ipynb workflow)."""
+import os as _os, sys as _sys
+# runnable from a bare checkout: put the repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 

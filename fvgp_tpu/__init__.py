@@ -16,10 +16,11 @@ from . import config  # noqa: F401  (must run first: enables x64)
 from .models.gp import GP  # noqa: E402
 from .models.fvgp import fvGP  # noqa: E402
 from .models.gp_mcmc import gpMCMC, ProposalDistribution  # noqa: E402
+from .models import ggmp  # noqa: E402  (module export, ref __init__.py:19)
 from .models.ggmp import GGMP  # noqa: E402
 from .models.gplvm import GPLVM  # noqa: E402
 from .models.gpm import GPm  # noqa: E402
 
-__all__ = ["GP", "fvGP", "gpMCMC", "ProposalDistribution", "GGMP",
+__all__ = ["GP", "fvGP", "gpMCMC", "ProposalDistribution", "ggmp", "GGMP",
            "GPLVM", "GPm"]
 __version__ = "0.1.0"
