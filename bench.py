@@ -86,6 +86,23 @@ def large_n_metric(log):
             hps * (1.0 + 1e-4 * (i + 1)))
     per_eval = (time.time() - t0) / n_evals
     log(f"steady state: {per_eval:.2f} s per LML+grad eval")
+
+    if os.environ.get("BENCH_POSTERIOR", "1") == "1":
+        # posterior journey at the same scale (committed sparseCGpre state:
+        # preconditioned CG solves, logged for the record — not the metric)
+        try:
+            xp = rng.uniform(0, span, (500, 3))
+            t0 = time.time()
+            pm = gp.posterior_mean(xp)["m(x)"]
+            t_mean = time.time() - t0
+            t0 = time.time()
+            pv = gp.posterior_covariance(xp, variance_only=True)["v(x)"]
+            t_var = time.time() - t0
+            log(f"posterior at N={N}: mean(500) {t_mean:.1f}s, "
+                f"variance(500) {t_var:.1f}s, "
+                f"finite={bool(np.all(np.isfinite(pm)) and np.all(np.isfinite(pv)))}")
+        except Exception as exc:
+            log(f"posterior phase failed: {exc}")
     return {
         "metric": f"public-API sparse LML+grad seconds/eval at N={N} "
                   f"(gp2Scale path, one chip; north star: <10 s on v5p-32)",

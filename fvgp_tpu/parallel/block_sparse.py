@@ -150,8 +150,18 @@ class BlockSparseMatrix:
         if self.n != self.n_cols:
             out = self._rect_matmat(X)
         else:
-            out = _bsm_matmat(self.rows, self.cols, self.tiles, X,
-                              self.nb, self.block_size)
+            kc = self._col_chunk(X.shape[1])
+            if kc < X.shape[1]:
+                # same memory bound as _rect_matmat: the (T, B, c) per-tile
+                # product must not exceed the budget (host-driven callers
+                # may pass hundreds of columns)
+                out = jnp.concatenate(
+                    [_bsm_matmat(self.rows, self.cols, self.tiles,
+                                 X[:, s:s + kc], self.nb, self.block_size)
+                     for s in range(0, X.shape[1], kc)], axis=1)
+            else:
+                out = _bsm_matmat(self.rows, self.cols, self.tiles, X,
+                                  self.nb, self.block_size)
             if self.diag is not None:
                 out = out + self.diag[:, None] * X
         return out[:, 0] if squeeze else out

@@ -676,8 +676,15 @@ def covariance_csr(kernel, x1, x2, hyperparameters, *, batch_size=10000,
     :func:`distributed_covariance`."""
     n1, n2 = len(x1), len(x2)
     if symmetric is None:
-        symmetric = x2 is x1 or (n1 == n2 and np.array_equal(
-            np.asarray(x1, dtype=object), np.asarray(x2, dtype=object)))
+        if x2 is x1:
+            symmetric = True
+        else:
+            try:                      # ragged object inputs may not compare
+                symmetric = n1 == n2 and bool(np.array_equal(
+                    np.asarray(x1, dtype=object),
+                    np.asarray(x2, dtype=object)))
+            except Exception:
+                symmetric = False
     idt = index_dtype_for(n1, n2)
     if distribution == "rowwise":
         harvest = [row_strip_csr(w, x1, x2, hyperparameters, kernel,
