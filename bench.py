@@ -92,13 +92,20 @@ def large_n_metric(log):
         # preconditioned CG solves, logged for the record — not the metric)
         try:
             xp = rng.uniform(0, span, (500, 3))
+            # one-time lazy state first (KV tile materialization +
+            # preconditioner build + compile), so the per-call numbers
+            # below are steady state, not setup
+            t0 = time.time()
+            gp.posterior_mean(xp[:4])
+            log(f"posterior state setup (KV + precond + compile): "
+                f"{time.time() - t0:.1f}s")
             t0 = time.time()
             pm = gp.posterior_mean(xp)["m(x)"]
             t_mean = time.time() - t0
             t0 = time.time()
             pv = gp.posterior_covariance(xp, variance_only=True)["v(x)"]
             t_var = time.time() - t0
-            log(f"posterior at N={N}: mean(500) {t_mean:.1f}s, "
+            log(f"posterior at N={N} (warm): mean(500) {t_mean:.1f}s, "
                 f"variance(500) {t_var:.1f}s, "
                 f"finite={bool(np.all(np.isfinite(pm)) and np.all(np.isfinite(pv)))}")
         except Exception as exc:

@@ -416,7 +416,9 @@ def spai(A, m, args=None):
         denom = float(np.sum(AG.data ** 2))
         if denom == 0.0:
             break
-        alpha = float((G.T @ AG).diagonal().sum()) / denom
+        # tr(Gᵀ A G) is the Frobenius inner product <G, AG> — O(nnz),
+        # no need for the full sparse-sparse product G.T @ AG
+        alpha = float(G.multiply(AG).sum()) / denom
         M = M + alpha * G
     if not sp.issparse(M):
         raise AssertionError("SPAI result must remain sparse")
@@ -426,13 +428,12 @@ def spai(A, m, args=None):
 def sparse_preconditioner_failure_guidance(args=None):
     """Actionable text attached to preconditioner-build failures
     (ref gp_lin_alg.py:440).  Reflects the operators that exist HERE."""
-    ptype = None
-    if args:
-        try:
-            ptype = normalize_sparse_preconditioner_type(
-                args.get("sparse_preconditioner_type", "block_jacobi"))
-        except Exception:
-            ptype = str(args.get("sparse_preconditioner_type"))
+    raw = (args.get("sparse_preconditioner_type", "block_jacobi")
+           if isinstance(args, dict) else args)
+    try:
+        ptype = normalize_sparse_preconditioner_type(raw)
+    except Exception:
+        ptype = str(raw)
     lines = [
         "A failed preconditioner build usually means the covariance is too "
         "dense for its block structure: check the compact-support kernel's "
@@ -462,6 +463,26 @@ def sparse_preconditioner_failure_guidance(args=None):
 def resolve_gp2scale_linalg_mode(mode, args=None):
     """``'sparseCGpre_amg'`` → ``('sparseCGpre', args-with-type)``
     (ref gp_lin_alg.py:474) — the alias resolver the GP facade applies to
-    ``linalg_mode`` strings."""
-    from .models.gp_kv import resolve_linalg_mode
-    return resolve_linalg_mode(mode, dict(args or {}))
+    ``linalg_mode`` strings.  Reference contract: case-insensitive mode
+    matching; an explicit ``args['sparse_preconditioner_type']`` that
+    conflicts with the mode suffix raises ``ValueError``."""
+    args = dict(args or {})
+    if not isinstance(mode, str):
+        return mode, args
+    low = mode.lower()
+    for prefix, canonical in (("sparsecgpre_", "sparseCGpre"),
+                              ("sparseminrespre_", "sparseMINRESpre")):
+        if not low.startswith(prefix):
+            continue
+        inferred = normalize_sparse_preconditioner_type(low[len(prefix):])
+        explicit = args.get("sparse_preconditioner_type")
+        if explicit is not None:
+            explicit = normalize_sparse_preconditioner_type(explicit)
+            if explicit != inferred:
+                raise ValueError(
+                    f"Conflicting sparse preconditioner specifications: "
+                    f"mode {mode!r} implies {inferred!r}, but "
+                    f"args['sparse_preconditioner_type'] is {explicit!r}.")
+        args["sparse_preconditioner_type"] = inferred
+        return canonical, args
+    return mode, args

@@ -99,9 +99,11 @@ class GPposterior:
             chunk_size = n_pred if not self.gp2Scale else self.prior.batch_size
             KV = getattr(self.kv, "KV", None)
             if self.gp2Scale and is_block_sparse(KV):
-                per_col = int(KV.tiles.shape[0]) * int(KV.block_size) * 4
+                from .. import config
+                itemsize = np.dtype(
+                    config.linalg_dtype(self.data.args)).itemsize
                 chunk_size = min(int(chunk_size),
-                                 max(1, (2 << 30) // max(per_col, 1)))
+                                 KV._col_chunk(n_pred, itemsize))
         chunk_size = max(1, min(int(chunk_size), n_pred))
         parts = []
         kd = None if is_block_sparse(k) else jnp.asarray(k)

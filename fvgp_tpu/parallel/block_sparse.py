@@ -150,7 +150,7 @@ class BlockSparseMatrix:
         if self.n != self.n_cols:
             out = self._rect_matmat(X)
         else:
-            kc = self._col_chunk(X.shape[1])
+            kc = self._col_chunk(X.shape[1], X.dtype.itemsize)
             if kc < X.shape[1]:
                 # same memory bound as _rect_matmat: the (T, B, c) per-tile
                 # product must not exceed the budget (host-driven callers
@@ -168,19 +168,22 @@ class BlockSparseMatrix:
 
     __matmul__ = matmat
 
-    def _col_chunk(self, k):
-        """Columns per pass so the (T, B, c) per-tile product stays under
-        ``_MATMAT_BUDGET`` — at N=1M a 500-column product is ~30 GB, an
-        instant HBM OOM without this bound (these products run on the
-        host-driven posterior path, so a python loop over chunks costs
-        nothing)."""
-        per_col = int(self.tiles.shape[0]) * int(self.block_size) * 4
+    def _col_chunk(self, k, itemsize=4):
+        """Columns per pass so the TWO live (T, B, c) per-tile buffers
+        (``gathered`` and ``prod``) together stay under ``_MATMAT_BUDGET``
+        — at N=1M a 500-column product is ~30 GB, an instant HBM OOM
+        without this bound (these products run on the host-driven
+        posterior path, so a python loop over chunks costs nothing).
+        ``itemsize`` is the RHS element size: 8 on the float64/CPU-parity
+        path, 4 on TPU f32."""
+        per_col = (2 * int(self.tiles.shape[0]) * int(self.block_size)
+                   * int(itemsize))
         return max(1, min(int(k), _MATMAT_BUDGET // max(per_col, 1)))
 
     def _rect_matmat(self, X):
         n_pad_c = self.nb_cols * self.block_size
         k = X.shape[1]
-        kc = self._col_chunk(k)
+        kc = self._col_chunk(k, X.dtype.itemsize)
         if kc < k:
             return jnp.concatenate(
                 [self._rect_matmat(X[:, s:s + kc])
@@ -201,7 +204,7 @@ class BlockSparseMatrix:
             X = X[:, None]
         n_pad_r = self.nb * self.block_size
         k = X.shape[1]
-        kc = self._col_chunk(k)
+        kc = self._col_chunk(k, X.dtype.itemsize)
         if kc < k:
             out = jnp.concatenate([self.rmatmat(X[:, s:s + kc])
                                    for s in range(0, k, kc)], axis=1)

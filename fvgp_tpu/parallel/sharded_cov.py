@@ -668,12 +668,18 @@ def assemble_row_strips(harvest, n1, n2):
 
 def covariance_csr(kernel, x1, x2, hyperparameters, *, batch_size=10000,
                    args=None, symmetric=None, distribution="blockwise",
-                   k_n_params=3):
+                   k_n_params=None):
     """Host scipy CSR covariance through the worker helpers — the
     reference's full Dask pipeline run in-process (blockwise: upper-triangle
     block schedule + mirrored single-alloc assembly; rowwise: finished CSR
     strips).  For external host solvers; the TPU engine is
     :func:`distributed_covariance`."""
+    if k_n_params is None:          # sniff the kernel arity like GPprior
+        import inspect
+        try:
+            k_n_params = len(inspect.signature(kernel).parameters)
+        except (TypeError, ValueError):
+            k_n_params = 3
     n1, n2 = len(x1), len(x2)
     if symmetric is None:
         if x2 is x1:

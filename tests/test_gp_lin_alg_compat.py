@@ -173,3 +173,19 @@ def test_failure_guidance_and_mode_resolution():
     assert args["sparse_preconditioner_type"] == "amg"
     # the error type is importable under its reference name
     assert issubclass(gla.NonPositiveDefiniteError, np.linalg.LinAlgError)
+
+
+def test_mode_resolution_reference_contract():
+    """Case-insensitive matching; conflicting explicit type raises
+    (ref gp_lin_alg.py:474-505)."""
+    mode, args = gla.resolve_gp2scale_linalg_mode("sparsecgpre_AMG", {})
+    assert mode == "sparseCGpre" and args["sparse_preconditioner_type"] == "amg"
+    with pytest.raises(ValueError, match="Conflicting"):
+        gla.resolve_gp2scale_linalg_mode(
+            "sparseCGpre_amg", {"sparse_preconditioner_type": "schwarz"})
+    # non-conflicting explicit type (same after normalization) is fine
+    mode, args = gla.resolve_gp2scale_linalg_mode(
+        "sparseCGpre_ichol", {"sparse_preconditioner_type": "ic"})
+    assert args["sparse_preconditioner_type"] == "schwarz"
+    # guidance never raises, even on junk args
+    assert isinstance(gla.sparse_preconditioner_failure_guidance("junk"), str)

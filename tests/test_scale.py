@@ -1024,3 +1024,20 @@ def test_worker_helpers_units():
         return _whost(a, b, h)
     out = sc.evaluate_kernel(k4, x, x, hps, 4, {"tag": 1})
     np.testing.assert_allclose(out, _whost(x, x, hps))
+
+
+def test_worker_helpers_arity_sniffing_default():
+    """covariance_csr sniffs 4-arg kernels without an explicit k_n_params."""
+    from fvgp_tpu.parallel import sharded_cov as sc
+    rng = np.random.default_rng(14)
+    x = rng.uniform(0, 20, (60, 2))
+    hps = np.array([1.0, 2.0, 2.0])
+    seen = {}
+
+    def k4(a, b, h, args):
+        seen["args"] = args
+        return _whost(a, b, h)
+
+    K = sc.covariance_csr(k4, x, x, hps, batch_size=25, args={"tag": 2})
+    assert seen["args"] == {"tag": 2}
+    np.testing.assert_allclose(K.toarray(), _whost(x, x, hps), atol=1e-12)
