@@ -119,7 +119,57 @@ def large_n_metric(log):
     }
 
 
+def _reexec_cpu(reason):
+    """The metric must never sink with the backend: if the accelerator
+    relay is down (backend init raises), re-run this benchmark in a
+    subprocess forced onto CPU JAX and forward its output.  The metric
+    string carries the backend name, so the record stays honest."""
+    import os
+    import subprocess
+    import sys
+    print(f"[bench] accelerator backend unavailable ({reason}); "
+          "re-running on CPU JAX", file=sys.stderr, flush=True)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_CPU_FALLBACK"] = "1"
+    env["FVGP_TPU_COMPILE_CACHE"] = "0"
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env)
+    sys.exit(proc.returncode)
+
+
+def _backend_healthy(timeout_s):
+    """Bounded accelerator-backend probe in a SUBPROCESS: a wedged relay
+    makes in-process backend init HANG (not raise) for tens of minutes, so
+    the probe must be killable from outside."""
+    import os
+    import subprocess
+    import sys
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, env=dict(os.environ))
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    import os
+    import sys
+
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    if (os.environ.get("BENCH_CPU_FALLBACK") != "1"
+            and os.environ.get("JAX_PLATFORMS", "") not in ("cpu",)):
+        t = int(os.environ.get("BENCH_BACKEND_PROBE_TIMEOUT", "600"))
+        if not _backend_healthy(t):
+            _reexec_cpu(f"backend probe failed/hung past {t}s")
+            return
+
     import jax
     import jax.numpy as jnp
 
@@ -128,13 +178,13 @@ def main():
     from fvgp_tpu.parallel.ordering import morton_order
     from fvgp_tpu.parallel.sharded_cov import _candidate_pairs
 
-    import os
-    import sys
-
-    def log(msg):
-        print(f"[bench] {msg}", file=sys.stderr, flush=True)
-
-    backend = jax.default_backend()
+    try:
+        backend = jax.default_backend()
+    except RuntimeError as exc:
+        if os.environ.get("BENCH_CPU_FALLBACK") == "1":
+            raise
+        _reexec_cpu(f"{type(exc).__name__}: {exc}")
+        return
     on_tpu = backend not in ("cpu",)
     N = int(os.environ.get("BENCH_N", 50_000 if on_tpu else 4_000))
     D = 3
