@@ -149,10 +149,12 @@ def test_alias_modes_run_end_to_end():
     lml0 = oracle.log_likelihood()
     xp = x[:5] + 0.1
     pm0 = np.asarray(oracle.posterior_mean(xp)["m(x)"])
-    slq_args = {"sparse_cg_tol": 1e-12,
-                "random_logdet_lanczos_degree": 100,
-                "random_logdet_error_rtol": 1e-4,
-                "random_logdet_min_num_samples": 64}
+    # sized for the rtol=1e-2 acceptance below with ~10x margin (measured
+    # rel ~1e-3); degree-100/64-sample SLQ added 4+ minutes for nothing
+    slq_args = {"sparse_cg_tol": 1e-10,
+                "random_logdet_lanczos_degree": 40,
+                "random_logdet_error_rtol": 1e-3,
+                "random_logdet_min_num_samples": 32}
     for alias, ptype in (("sparseCGpre", "block_jacobi"),
                          ("sparseCGpre_ichol", "ichol"),
                          ("sparseCGpre_schwarz", "schwarz"),
