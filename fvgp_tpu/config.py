@@ -27,7 +27,12 @@ if os.environ.get("FVGP_TPU_X64", "1") != "0":
 # the executable on disk makes every process after the first start at full
 # speed (the large-N "time to first gradient" lever).  Opt out with
 # FVGP_TPU_COMPILE_CACHE=0, redirect with FVGP_TPU_COMPILE_CACHE_DIR.
-if os.environ.get("FVGP_TPU_COMPILE_CACHE", "1") != "0":
+# NOT enabled when the env pins a CPU backend: XLA:CPU AOT entries record
+# the compile machine's feature set, and loading one on a different host
+# risks SIGILL (cpu_aot_loader logs exactly this when a cache written by
+# another machine is read) — CPU programs recompile in seconds anyway.
+if (os.environ.get("FVGP_TPU_COMPILE_CACHE", "1") != "0"
+        and os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu"):
     _cache_dir = os.environ.get(
         "FVGP_TPU_COMPILE_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "fvgp_tpu_jax"))
