@@ -24,6 +24,26 @@ class GPposterior:
         self.kv = kv
         self.likelihood = likelihood
         self.noise_function_available = likelihood._mode == "callable"
+        self._cross_cov_memo = None
+
+    def _cross_cov(self, x_pred, hyperparameters):
+        """k(x_data, x_pred), memoizing the LAST (data, hps, x_pred) triple:
+        the standard posterior_mean-then-posterior_covariance flow assembles
+        the same k twice — at gp2Scale scale that is a full distributed
+        rectangular assembly per call.  Non-ndarray (non-Euclidean list)
+        inputs skip the memo."""
+        if not isinstance(x_pred, np.ndarray):
+            return self.prior.compute_data_cross_covariance(
+                x_pred, hyperparameters)
+        hps = np.asarray(hyperparameters)
+        key = (self.data.point_number, getattr(self.data, "generation", 0),
+               hps.tobytes(), x_pred.shape, x_pred.tobytes())
+        memo = self._cross_cov_memo
+        if memo is not None and memo[0] == key:
+            return memo[1]
+        k = self.prior.compute_data_cross_covariance(x_pred, hyperparameters)
+        self._cross_cov_memo = (key, k)
+        return k
 
     # -- plumbing ----------------------------------------------------------
     @property
@@ -142,7 +162,7 @@ class GPposterior:
         if isinstance(x_out, np.ndarray):
             x_pred = self.cartesian_product(x_pred, x_out)
 
-        k = self.prior.compute_data_cross_covariance(x_pred, hyperparameters)
+        k = self._cross_cov(x_pred, hyperparameters)
         if is_block_sparse(k):
             A = np.asarray(k.rmatmat(KVinvY))
         else:
@@ -220,7 +240,7 @@ class GPposterior:
         if isinstance(x_out, np.ndarray):
             x_pred = self.cartesian_product(x_pred, x_out)
 
-        k = self.prior.compute_data_cross_covariance(x_pred, self.hyperparameters)
+        k = self._cross_cov(x_pred, self.hyperparameters)
         kk = self.prior.compute_covariances(x_pred, x_pred, self.hyperparameters)
 
         if self.KVinv is not None and variance_only and self.y_data.shape[1] == 1:
@@ -583,3 +603,4 @@ class GPposterior:
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        self._cross_cov_memo = None    # device arrays never enter pickles

@@ -231,3 +231,47 @@ def test_gp2scale_auto_mode_large_n_is_preconditioned_cg():
         kv.data = data
     # small/sparse branches keep reference parity
     assert kv.mode in ("Chol", "sparseLU")
+
+
+def test_cross_covariance_memo_lifecycle():
+    """posterior_mean→posterior_covariance at the same points assembles
+    k(x_data, x_pred) ONCE; hps moves and data updates invalidate; pickles
+    drop the memo (device arrays never enter the blob)."""
+    import pickle
+    rng = np.random.default_rng(8)
+    x = rng.uniform(0, 40, (300, 2))
+    y = np.sin(x[:, 0])
+    hps = np.array([1.0, 1.5, 1.5])
+    gp = _make_gp2scale(x, y, hps)
+    xp = rng.uniform(0, 40, (9, 2))
+    calls = {"n": 0}
+    orig = gp.posterior.prior.compute_data_cross_covariance
+
+    def counted(xq, h):
+        calls["n"] += 1
+        return orig(xq, h)
+
+    gp.posterior.prior.compute_data_cross_covariance = counted
+    pm = gp.posterior_mean(xp)["m(x)"]
+    gp.posterior_covariance(xp, variance_only=True)
+    assert calls["n"] == 1
+    gp.set_hyperparameters(hps * 1.3)
+    pm2 = gp.posterior_mean(xp)["m(x)"]
+    assert calls["n"] == 2 and not np.allclose(pm2, pm)
+    xa = rng.uniform(0, 40, (32, 2))
+    gp.update_gp_data(np.vstack([np.asarray(gp.x_data), xa]),
+                      np.concatenate([np.asarray(gp.y_data)[:, 0],
+                                      np.sin(xa[:, 0])]))
+    before = calls["n"]
+    gp.posterior_mean(xp)
+    assert calls["n"] == before + 1
+    gp.posterior.prior.compute_data_cross_covariance = orig
+    gp2 = pickle.loads(pickle.dumps(gp))
+    assert gp2.posterior._cross_cov_memo is None
+    np.testing.assert_allclose(gp2.posterior_mean(xp)["m(x)"],
+                               gp.posterior_mean(xp)["m(x)"], atol=1e-10)
+
+
+def _make_gp2scale(x, y, hps):
+    return GP(x, y, init_hyperparameters=hps, gp2Scale=True,
+              args={"gp2Scale_block_size": 64, "sparse_cg_tol": 1e-10})
