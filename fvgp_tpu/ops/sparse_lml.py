@@ -46,11 +46,16 @@ def assemble_tiles(kernel_fn, xb, mask, rows, cols, hps, out_dtype=None):
     """tiles[t] = k(x block rows[t], x block cols[t]) with padding masked.
 
     xb: (nb, B, D) padded point blocks; mask: (nb, B) validity;
-    rows/cols: (T,) int32 (sentinel == nb allowed: gathers clamp, and the
-    mask of the clamped block zeroes nothing extra because sentinel tiles
-    are dropped at scatter time).  ``out_dtype`` casts per tile inside the
-    vmap, so a bf16 tile set never materializes in f32 (the memory ceiling
-    at N~1M on one chip).
+    rows/cols: (T,) int32.  Sentinel contract: pass UNCLAMPED indices
+    (sentinel == nb) — the gather clamps to the last block, producing a
+    garbage tile, and the downstream segment_sum DROPS it because the
+    unclamped row lands outside [0, nb).  If a caller clamps the indices
+    BEFORE the SpMM instead (the traced lml does, so occupancy stays a
+    runtime argument), the sentinel tiles land inside the last real row
+    block and MUST be zeroed explicitly — that caller's assembler takes a
+    ``live`` mask for exactly this (``_assemble_chunked``).  ``out_dtype``
+    casts per tile inside the vmap, so a bf16 tile set never materializes
+    in f32 (the memory ceiling at N~1M on one chip).
     """
     def one(i, j):
         Kt = kernel_fn(xb[i], xb[j], hps)
@@ -61,15 +66,29 @@ def assemble_tiles(kernel_fn, xb, mask, rows, cols, hps, out_dtype=None):
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_fn",))
+def _tile_maxabs_chunk(kernel_fn, xb, mask, rows, cols, hps):
+    t = assemble_tiles(kernel_fn, xb, mask, rows, cols, hps)
+    return jnp.max(jnp.abs(t), axis=(1, 2))
+
+
 def tile_maxabs(kernel_fn, xb, mask, rows, cols, hps):
     """Per-tile max|k| for the zero-tile filter: the bounding-box prune is
     loose (boxes overlap even when no point pair is inside the support), so
     one cheap assembly pass drops the exact zeros before the many matvec
-    passes of CG/SLQ touch them.  ``kernel_fn`` is a static (identity-cached)
-    closure; ``xb``/``mask`` are traced arguments so large point sets are
-    never baked into the compiled program as constants."""
-    t = assemble_tiles(kernel_fn, xb, mask, rows, cols, hps)
-    return jnp.max(jnp.abs(t), axis=(1, 2))
+    passes of CG/SLQ touch them.  Evaluated in ``_assembly_chunk``-sized
+    slices so the full (T, B, B) tile set never materializes — at N~1M
+    that set is tens of GB, the module's documented memory ceiling.
+    ``kernel_fn`` is a static (identity-cached) closure; ``xb``/``mask``
+    are traced arguments so large point sets are never baked into the
+    compiled program as constants."""
+    T = int(rows.shape[0])
+    chunk = _assembly_chunk(T)
+    if T <= chunk:
+        return _tile_maxabs_chunk(kernel_fn, xb, mask, rows, cols, hps)
+    parts = [_tile_maxabs_chunk(kernel_fn, xb, mask, rows[s:s + chunk],
+                                cols[s:s + chunk], hps)
+             for s in range(0, T, chunk)]
+    return jnp.concatenate(parts)
 
 
 def _spmv(rows, cols, tiles, X, nb, B, mv_dtype=None):
@@ -253,7 +272,18 @@ def _cg_fixed(matvec, Bmat, iters, M=None):
     return X
 
 
-def _slq_fixed(matvec, Z, degree, n_logical):
+def _block_apply(mats, X):
+    """Batched block-diagonal apply: (nb', w, w) operator blocks on a flat
+    (nb'*w, k) X — the preconditioner/Cholesky application shared by the
+    mBCG, implicit-CG, and width-grouped paths (one batched MXU matmul;
+    triangular solves here were an 11 ms/step hot-loop bottleneck)."""
+    Xb = X.reshape(mats.shape[0], mats.shape[1], -1)
+    z = jnp.einsum("rij,rjk->rik", mats, Xb,
+                   preferred_element_type=X.dtype)
+    return z.reshape(mats.shape[0] * mats.shape[1], -1)
+
+
+def _slq_fixed(matvec, Z, degree):
     """SLQ logdet with static probes Z (n_pad, P) and degree; Rademacher
     probes are zero on padded rows so the estimate covers the logical
     matrix."""
@@ -326,17 +356,8 @@ def _mbcg_factory(nb, B, iters, mv_dtype=None, mesh=None, halo_S=None):
         rows_c, cols_c, tiles, noise = od[:4]
         return spmv(rows_c, cols_c, tiles, X, *od[4:]) + noise[:, None] * X
 
-    def minv_apply(Minv, X):
-        Xb = X.reshape(Minv.shape[0], Minv.shape[1], -1)
-        z = jnp.einsum("rij,rjk->rik", Minv, Xb,
-                       preferred_element_type=X.dtype)
-        return z.reshape(nb * B, -1)
-
-    def lm_apply(Lm, X):
-        Xb = X.reshape(Lm.shape[0], Lm.shape[1], -1)
-        z = jnp.einsum("rij,rjk->rik", Lm, Xb,
-                       preferred_element_type=X.dtype)
-        return z.reshape(nb * B, -1)
+    minv_apply = _block_apply
+    lm_apply = _block_apply
 
     def _pcg_coeffs(od, Minv, RHS):
         X = jnp.zeros_like(RHS)
@@ -459,11 +480,7 @@ def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None, mesh=None,
         # batched matmul.  Triangular solves here were the hot-loop
         # bottleneck — sequential over B rows, ~11 ms per CG step vs ~2 ms
         # for the tile matvec itself.
-        Minv = data[4]
-        Xb = X.reshape(Minv.shape[0], Minv.shape[1], -1)
-        z = jnp.einsum("rij,rjk->rik", Minv, Xb,
-                       preferred_element_type=X.dtype)
-        return z.reshape(nb * B, -1)
+        return _block_apply(data[4], X)
 
     @jax.custom_vjp
     def solve(op_data, Bv):
@@ -492,6 +509,27 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
                     with_variance=False, mean_mode="data", prior_mean_fn=None,
                     precondition=True, solver_dtype=None, solver="mbcg",
                     mesh=None, precond_width=1, halo_S=None):
+    """Build the sparse LML as a pure jittable, differentiable function
+
+        lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z
+            [, send_sel, send_mask, cols_remap])
+
+    With ``halo_S`` set (mesh path), ``cols`` must arrive REMAPPED and the
+    three trailing halo-plan arrays are required
+    (parallel/partition.halo_plan): the SpMM then ships only referenced
+    non-local column blocks instead of all-gathering X.
+
+    The tile occupancy (rows/cols) is a RUNTIME argument: hyperparameter
+    moves that change the support pattern re-run the same compiled program
+    as long as the bucket-padded tile count is unchanged — the resolution of
+    "dynamic sparsity under jit" (SURVEY.md §7 hard part 1).  Sentinel
+    entries (index == nb) contribute nothing: the assembler zeroes their
+    tiles via the live mask before the (clamped) scatter.
+
+    y/noise arrive padded to nb*B with a validity mask; padded noise is 1.0
+    so K+V stays PD on padded rows, and Rademacher probes are zeroed there,
+    so padding contributes log(1) = 0 to the quadrature.
+    """
     if solver not in ("slq", "mbcg"):
         raise ValueError(f"unknown sparse-LML solver {solver!r}; "
                          "use 'mbcg' (fused, the default — also what the GP "
@@ -509,27 +547,6 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
         mesh = None
     if mesh is None:
         halo_S = None
-    """Build the sparse LML as a pure jittable, differentiable function
-
-        lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z
-            [, send_sel, send_mask])
-
-    With ``halo_S`` set (mesh path), ``cols`` must arrive REMAPPED and the
-    two trailing halo-plan arrays are required
-    (parallel/partition.halo_plan): the SpMM then ships only referenced
-    non-local column blocks instead of all-gathering X.
-
-    The tile occupancy (rows/cols) is a RUNTIME argument: hyperparameter
-    moves that change the support pattern re-run the same compiled program
-    as long as the bucket-padded tile count is unchanged — the resolution of
-    "dynamic sparsity under jit" (SURVEY.md §7 hard part 1).  Sentinel
-    entries (index == nb) contribute nothing: the gather clamps but the
-    scatter drops them.
-
-    y/noise arrive padded to nb*B with a validity mask; padded noise is 1.0
-    so K+V stays PD on padded rows, and Rademacher probes are zeroed there,
-    so padding contributes log(1) = 0 to the quadrature.
-    """
 
     spmv = _spmv_for(nb, B, mesh, mv_dtype=solver_dtype, halo_S=halo_S)
 
@@ -658,15 +675,8 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
             out = spmv(rows_c, mv_cols, tiles, X, *halo)
             return out + noise_diag_pad[:, None] * X
 
-        M = None
         if solver == "mbcg" or precondition:
             Minv, Lb = _precond(hps, xb, mask, noise_diag_pad)
-
-            def M(X):
-                Xb = X.reshape(Minv.shape[0], Minv.shape[1], -1)
-                z = jnp.einsum("rij,rjk->rik", Minv, Xb,
-                               preferred_element_type=X.dtype)
-                return z.reshape(nb * B, -1)
 
         n = jnp.sum(ypad_mask)
         if mean_mode == "data":
@@ -698,7 +708,7 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
             op_data = (rows_c, mv_cols, tiles, noise_diag_pad) + halo
         alpha = solve(op_data, ym[:, None])[:, 0]
         l1 = jnp.dot(ym, alpha)
-        logdet, logdet_var = _slq_fixed(matvec, Z, slq_degree, n)
+        logdet, logdet_var = _slq_fixed(matvec, Z, slq_degree)
         value = -0.5 * (l1 + logdet + n * jnp.log(2.0 * jnp.pi))
         if with_variance:
             return value, logdet_var

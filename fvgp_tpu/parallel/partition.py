@@ -167,9 +167,9 @@ def tile_balanced_layout(rows, nb, n_dev, width=None, width_cap=1.5,
     loads[widths == 0] = 0
     if float(loads.max() / mean) >= balance0:
         return None, W0
+    # W bounds every range by construction: unpinned, it IS widths.max();
+    # pinned, _greedy_ranges caps each range at `width`
     W = int(width) if width is not None else int(widths.max())
-    if widths.max() > W:
-        return None, W0
     layout = np.full(n_dev * W, -1, dtype=np.int64)
     for d in range(n_dev):
         w = int(widths[d])
