@@ -288,8 +288,8 @@ class GPkv:
         self.Preconditioner_reuse_counter = 0
         self.Last_preconditioner_error = None
 
-    def _can_reuse_sparse_preconditioner(self, KV):
-        if self.mode not in self._PRECONDITIONED_MODES:
+    def _can_reuse_sparse_preconditioner(self, KV, mode=None):
+        if (mode or self.mode) not in self._PRECONDITIONED_MODES:
             return False
         if self.Preconditioner_operator is None:
             return False
@@ -304,14 +304,19 @@ class GPkv:
             return False
         return True
 
-    def _get_or_refresh_preconditioner(self, KV, force_refresh=False):
+    def _get_or_refresh_preconditioner(self, KV, force_refresh=False,
+                                       mode=None):
         """Cached or fresh preconditioner callable for KV
         (ref gp_kv.py:355-388).  All reference preconditioner families map
         onto block-Jacobi over shard-local dense blocks — the TPU-idiomatic
-        choice for SPD covariance (SURVEY.md §2b)."""
-        if self.mode not in self._PRECONDITIONED_MODES:
+        choice for SPD covariance (SURVEY.md §2b).  ``mode`` is the
+        RESOLVED mode of the current solve: under lazy gp2Scale the
+        committed ``self.mode`` is still None on trial evaluations, and
+        gating on it alone silently ran those solves unpreconditioned."""
+        if (mode or self.mode) not in self._PRECONDITIONED_MODES:
             return None
-        if not force_refresh and self._can_reuse_sparse_preconditioner(KV):
+        if not force_refresh and self._can_reuse_sparse_preconditioner(
+                KV, mode=mode):
             self.Preconditioner_reuse_counter += 1
             return self.Preconditioner_operator
         try:
@@ -544,12 +549,12 @@ class GPkv:
             return krylov.minres(fn, b, x0=x0, tol=mr_tol, maxiter=mr_max,
                                  operator=data)
         if mode == "sparseCGpre":
-            M = self._get_or_refresh_preconditioner(KV)
+            M = self._get_or_refresh_preconditioner(KV, mode=mode)
             m_fn, m_data = M if M is not None else (None, None)
             return krylov.cg(fn, b, x0=x0, M=m_fn, tol=cg_tol,
                              maxiter=cg_max, operator=data, m_operator=m_data)
         if mode == "sparseMINRESpre":
-            M = self._get_or_refresh_preconditioner(KV)
+            M = self._get_or_refresh_preconditioner(KV, mode=mode)
             m_fn, m_data = M if M is not None else (None, None)
             return krylov.minres(fn, b, x0=x0, M=m_fn, tol=mr_tol,
                                  maxiter=mr_max, operator=data,
@@ -626,6 +631,8 @@ class GPkv:
 
     def solve(self, b, x0=None):
         """Solve against the committed factorization (ref gp_kv.py:671-700)."""
+        if self.mode is None and self.gp2Scale:
+            _ = self.KV            # lazy materialization resolves the mode
         mode = self.mode
         if not isinstance(mode, str):
             return jnp.asarray(mode[1](self.custom_obj, b))
@@ -639,6 +646,8 @@ class GPkv:
 
     def logdet(self):
         """log|KV| in the committed mode (ref gp_kv.py:702-716)."""
+        if self.mode is None and self.gp2Scale:
+            _ = self.KV            # lazy materialization resolves the mode
         mode = self.mode
         if not isinstance(mode, str):
             return float(mode[2](self.custom_obj))

@@ -223,6 +223,13 @@ class GPMarginalLikelihood:
 
         from ..utils.logging import phase_timer
         ls, radius = support_geometry(prior, hyperparameters, args)
+        if ls is None:
+            # unknown support (warned in support_geometry): no whitening,
+            # radius stays inf, so EVERY tile is a candidate — correct but
+            # unpruned.  np.asarray(None) would be NaN and NaN gaps compare
+            # False, which silently yielded ZERO candidates (a noise-only
+            # covariance) instead of the promised dense one.
+            ls = np.ones(x.shape[1], dtype=np.float64)
         # the box-prune candidate structure costs seconds of host time at
         # N~1M and depends only on (data, B, lengthscales); it is cached
         # under the same drift policy as the liveness mask.  Candidates are
@@ -277,6 +284,9 @@ class GPMarginalLikelihood:
                 np.asarray(self.likelihood.calculate_V(self.x_data,
                                                        hyperparameters)),
                 B, dtype=dtype, row_multiple=row_mult)
+            # the compiled program's nb and the padded arrays' block count
+            # are derived independently — they must never diverge
+            assert xb.shape[0] == nb, (xb.shape, nb)
             if mesh is not None:
                 repl = NamedSharding(mesh, P())
                 row_s = NamedSharding(mesh, tile_spec(mesh))
@@ -327,8 +337,9 @@ class GPMarginalLikelihood:
             tol = float(args.get("gp2Scale_filter_drift", 0.05))
             data_token = (self.data.point_number, self.data.generation)
             cache = getattr(self, "_filter_mask_cache", None)
-            if (cache is not None
+            if (cache is not None and len(cache) == 4
                     and cache[2] == data_token
+                    and cache[3] == (nb, B, float(radius))
                     and np.all(np.abs(ls_now / cache[0] - 1.0) <= tol)):
                 # reuse: known-dead pairs stay dropped; candidates not seen
                 # at the reference lengthscales are conservatively kept
@@ -342,8 +353,12 @@ class GPMarginalLikelihood:
                 from ..native import tile_live
                 with phase_timer("sparse LML: exact tile liveness"):
                     keep = tile_live(x / ls_now, rows_f, cols_f, B, radius)
+                # keyed on (nb, B, radius) too: pair_key encodes indices as
+                # rows*(nb+1)+cols, so a block-size change would otherwise
+                # reuse dead keys under the wrong encoding
                 self._filter_mask_cache = (ls_now, np.sort(pair_key[~keep]),
-                                           data_token)
+                                           data_token,
+                                           (nb, B, float(radius)))
             rows_f = rows_f[keep]
             cols_f = cols_f[keep]
 
@@ -554,6 +569,8 @@ class GPMarginalLikelihood:
         if ctx is not None:
             from ..parallel.sharded_cov import support_geometry
             ls, _ = support_geometry(self.prior, theta, self.args)
+            if ls is None:                 # unknown support: never drifts
+                ls = np.ones_like(ctx["ls_ref"])
             tol = float(self.args.get("gp2Scale_filter_drift", 0.05))
             if (ctx["data_token"] != (self.data.point_number,
                                       self.data.generation)
@@ -564,7 +581,13 @@ class GPMarginalLikelihood:
             self._sparse_lml_eval(theta, want_grad=True)
             entry = next(iter(self._sparse_cache.values()))
             ctx = entry["chain_ctx"]
-        ckey = ("adam_chain", id(ctx["lml"]), int(n_steps), float(lr),
+        # the chain closure binds ym_m/layout_idx/ypad_mask: key on THEIR
+        # identities too, so a drift refresh that rebuilds the partition
+        # layout (same lml object, new permuted arrays) rebuilds the chain
+        # instead of permuting probes with the stale layout
+        ckey = ("adam_chain", id(ctx["lml"]), id(ctx["ym_m"]),
+                id(ctx["layout_idx"]), id(ctx["ypad_mask"]),
+                int(n_steps), float(lr),
                 float(beta1), float(beta2), float(eps), bounds is not None)
         chain = entry.get(ckey)
         if chain is None:
@@ -605,6 +628,11 @@ class GPMarginalLikelihood:
                 return theta, m, v, fvals
 
             chain = jax.jit(run)
+            # stale chains hold the old layout arrays alive — drop them
+            for old in [k for k in entry
+                        if isinstance(k, tuple) and k
+                        and k[0] == "adam_chain" and k != ckey]:
+                del entry[old]
             entry[ckey] = chain
 
         hp_dtype = config.linalg_dtype(self.args)
@@ -614,11 +642,16 @@ class GPMarginalLikelihood:
         else:
             lo = hi = jnp.zeros((len(theta),), hp_dtype)
         static = entry["chain_ctx"]["static"]
+        # fold the ABSOLUTE step index in: chunk k+1 must not replay chunk
+        # k's probe sequence (the per-step fold_in(key, i) restarts at 0
+        # every chunk), or the SLQ gradient noise becomes a fixed
+        # repeating bias over the whole run
         th, m2, v2, fvals = chain(
             jnp.asarray(theta, hp_dtype), jnp.asarray(m, hp_dtype),
             jnp.asarray(v, hp_dtype), jnp.asarray(int(t_start)),
-            jax.random.fold_in(jax.random.PRNGKey(seed),
-                               entry["counter"]),
+            jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(seed),
+                                   entry["counter"]), int(t_start)),
             lo, hi, *static)
         return (np.asarray(th, np.float64), np.asarray(m2, np.float64),
                 np.asarray(v2, np.float64), np.asarray(fvals, np.float64))
@@ -733,8 +766,33 @@ class GPMarginalLikelihood:
             if not np.isfinite(val):
                 return -np.inf, np.zeros_like(hyperparameters, dtype=float)
             return val, grad
-        val = self.log_likelihood(hyperparameters)
-        grad = -self.neg_log_likelihood_gradient(hyperparameters)
+        if self.gp2Scale:
+            # non-traceable kernel under gp2Scale: the value exists (sparse
+            # iterative), the gradient raises with the reference's guidance
+            val = self.log_likelihood(hyperparameters)
+            grad = -self.neg_log_likelihood_gradient(hyperparameters)
+            return val, np.asarray(grad)
+        # host (numpy-kernel) path: assemble and factor the trial ONCE and
+        # share it between the value and the formula gradient — previously
+        # this path paid two kernel assemblies and two O(n^3) factorizations
+        # per training step
+        K = self.prior.compute_prior_covariance_matrix(self.x_data,
+                                                       hyperparameters)
+        V = self.likelihood.calculate_V(self.x_data, hyperparameters)
+        m = self.prior.compute_mean(self.x_data, hyperparameters)
+        try:
+            KVinvY, KVlogdet = self.compute_new_KVlogdet_KVinvY(K, V, m)
+        except Exception as e:
+            raise Exception(
+                f"Linear algebra failed for hyperparameters "
+                f"{hyperparameters}: {e}") from e
+        n = len(self.y_data)
+        ym = jnp.asarray(self.y_data,
+                         dtype=config.linalg_dtype(self.args)) - m[:, None]
+        l1 = float(jnp.sum(ym * KVinvY)) / ym.shape[1]
+        val = -0.5 * (l1 + KVlogdet + n * np.log(2.0 * np.pi))
+        grad = -self._formula_gradient(hyperparameters,
+                                       trial=(K, V, KVinvY))
         return val, np.asarray(grad)
 
     def neg_log_likelihood_gradient(self, hyperparameters=None, component=0):
@@ -757,16 +815,21 @@ class GPMarginalLikelihood:
             return -config.to_numpy(grad)
         return self._formula_gradient(hyperparameters, component)
 
-    def _formula_gradient(self, hyperparameters, component=0):
+    def _formula_gradient(self, hyperparameters, component=0, trial=None):
         """Explicit-formula gradient for host callables / committed state
         (same math as ref gp_marginal_likelihood.py:243-309, including the
-        ram-economy per-direction path)."""
+        ram-economy per-direction path).  ``trial=(K, V, KVinvY)`` reuses
+        a caller's already-assembled trial state (the value+gradient path
+        computes it once for both)."""
         if hyperparameters is None:
             KVinvY = self.kv.KVinvY
             K = self.prior.K
             V = self.likelihood.V
             KV = self.kv.addKV(K, V)
             hyperparameters = self.hyperparameters
+        elif trial is not None:
+            K, V, KVinvY = trial
+            KV = self.kv.addKV(K, V)
         else:
             K = self.prior.compute_prior_covariance_matrix(self.x_data, hyperparameters)
             V = self.likelihood.calculate_V(self.x_data, hyperparameters)

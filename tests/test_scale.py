@@ -1041,3 +1041,62 @@ def test_worker_helpers_arity_sniffing_default():
     K = sc.covariance_csr(k4, x, x, hps, batch_size=25, args={"tag": 2})
     assert seen["args"] == {"tag": 2}
     np.testing.assert_allclose(K.toarray(), _whost(x, x, hps), atol=1e-12)
+
+
+def test_unknown_support_kernel_is_dense_not_empty():
+    """A traceable custom kernel with UNDECLARED support must compute every
+    tile (dense candidates, with a warning) — not silently zero candidates
+    (a noise-only covariance), which a NaN whitening division once caused."""
+    import jax.numpy as jnp
+
+    def rbf(a, b, h):
+        d2 = jnp.sum(((a[:, None, :] - b[None, :, :]) / h[1:]) ** 2, axis=-1)
+        return h[0] * jnp.exp(-0.5 * d2)
+
+    rng = np.random.default_rng(15)
+    x = rng.uniform(0, 4, (300, 2))
+    y = np.sin(x[:, 0])
+    hps = np.array([1.0, 1.0, 1.0])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        gp = GP(x, y, init_hyperparameters=hps, gp2Scale=True,
+                kernel_function=rbf, args={"gp2Scale_block_size": 64,
+                                           "sparse_cg_tol": 1e-10})
+        lml = gp.log_likelihood()
+        gpd = GP(np.asarray(gp.x_data), np.asarray(gp.y_data)[:, 0],
+                 init_hyperparameters=hps, kernel_function=rbf)
+        lml_d = gpd.log_likelihood()
+    assert abs(lml - lml_d) / abs(lml_d) < 0.02
+
+
+def test_trial_solve_engages_preconditioner_before_commit():
+    """Under lazy gp2Scale the committed mode is None until KV materializes;
+    trial evaluations through compute_new_KVlogdet_KVinvY must still build
+    and use the sparseCGpre preconditioner (they silently ran
+    unpreconditioned when the gate read the committed mode)."""
+    x, y = _sparse_dataset(n=500)
+    gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+            linalg_mode="sparseCGpre",
+            args={"gp2Scale_block_size": 64, "gp2Scale_traced_lml": False})
+    kv = gp.kv
+    assert kv.mode is None and kv.Preconditioner_operator is None
+    gp.log_likelihood(HPS * 1.05)          # trial eval, nothing committed
+    assert kv.mode is None                 # still uncommitted...
+    assert kv.Preconditioner_operator is not None   # ...but preconditioned
+
+
+def test_adam_chain_probes_differ_across_chunks():
+    """Chunk k+1 must not replay chunk k's Rademacher probe sequence: at
+    identical theta, chunks at different t_start see different SLQ noise,
+    and the same t_start reproduces exactly."""
+    x, y = _sparse_dataset(n=400)
+    gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+            args={"gp2Scale_block_size": 64})
+    ml = gp.marginal_likelihood
+    th = np.asarray(HPS, np.float64)
+    z = np.zeros_like(th)
+    _, _, _, f0 = ml.sparse_adam_steps(th, z, z, 0, 1, lr=0.0)
+    _, _, _, f0b = ml.sparse_adam_steps(th, z, z, 0, 1, lr=0.0)
+    _, _, _, f1 = ml.sparse_adam_steps(th, z, z, 7, 1, lr=0.0)
+    np.testing.assert_allclose(f0, f0b)     # deterministic per (theta, t)
+    assert not np.allclose(f0, f1)          # fresh probes per chunk
