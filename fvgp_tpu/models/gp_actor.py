@@ -22,9 +22,21 @@ class _ActorBase:
         self._done = False
 
     def start(self):
-        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread = threading.Thread(target=self._run_guarded, daemon=True)
         self._thread.start()
         return self
+
+    def _run_guarded(self):
+        """An exception in the worker thread must not strand pollers:
+        is_done() would stay False forever (e.g. stop() issued before the
+        first optimum completes makes multistart raise).  The error is
+        published in the snapshot and the actor terminates."""
+        try:
+            self._run()
+        except Exception as exc:
+            self._publish(error=f"{type(exc).__name__}: {exc}")
+        finally:
+            self._done = True
 
     def stop(self):
         self._stop.set()

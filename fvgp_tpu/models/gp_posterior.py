@@ -119,7 +119,6 @@ class GPposterior:
             chunk_size = n_pred if not self.gp2Scale else self.prior.batch_size
             KV = getattr(self.kv, "KV", None)
             if self.gp2Scale and is_block_sparse(KV):
-                from .. import config
                 itemsize = np.dtype(
                     config.linalg_dtype(self.data.args)).itemsize
                 chunk_size = min(int(chunk_size),
@@ -180,9 +179,9 @@ class GPposterior:
         elif KVinvY.shape[1] == 1 and isinstance(x_out, np.ndarray):
             return {"x": x_orig, "m(x)": pm_re,
                     "m(x)_flat": np.squeeze(posterior_mean), "x_pred": x_pred}
-        elif KVinvY.shape[1] > 1 and isinstance(x_out, np.ndarray):
-            raise Exception("multi-column y_data cannot be combined with x_out")
         else:
+            # (multi-column y_data with an ndarray x_out is rejected by
+            # _perform_input_checks before KVinvY is touched)
             return {"x": x_orig, "m(x)": pm_re,
                     "m(x)_flat": posterior_mean, "x_pred": x_pred}
 
@@ -543,8 +542,6 @@ class GPposterior:
             # structured (scipy.sparse / BlockSparseMatrix) noise densifies
             # at prediction size — n_pred is small by contract here
             from scipy.sparse import issparse
-
-            from ..parallel.block_sparse import is_block_sparse
             if issparse(noise):
                 noise = noise.toarray()
             elif is_block_sparse(noise):

@@ -20,9 +20,6 @@ from .gp_actor import (AsyncOptimizer, _AdamActor, _BOActor, _MCMCActor,
 from .gp_bo import bayesian_optimize
 from .gp_mcmc import gpMCMC
 
-warnings.simplefilter("once", UserWarning)
-
-
 class GPtraining:
     def __init__(self, data, hyperparameters):
         self.mcmc_info = None
@@ -60,7 +57,7 @@ class GPtraining:
             hyperparameters = self._differential_evolution(
                 objective_function, hyperparameter_bounds, init_hyperparameters,
                 pop_size=pop_size, tol=tolerance, max_iter=max_iter, info=info,
-                batched_objective=batched_objective)
+                batched_objective=batched_objective, constraints=constraints)
         elif method == "local":
             progress = None
             if info:
@@ -88,7 +85,8 @@ class GPtraining:
                 n_starts=max(pop_size, 4), epochs=max_iter,
                 tolerance=tolerance, local_optimizer=local_optimizer,
                 fused_value_and_grad=fused_value_and_grad, info=info,
-                batched_value_and_grad=batched_value_and_grad)
+                batched_value_and_grad=batched_value_and_grad,
+                constraints=constraints)
             hyperparameters = optima[0]["x"]
         elif method == "mcmc":
             n_chains = int(mcmc_args.get("n_chains", 1))
@@ -136,7 +134,9 @@ class GPtraining:
                 bounds = np.asarray(hyperparameter_bounds, np.float64)
                 t = 0
                 # full chunks only: a ragged final chunk would compile a
-                # second program for a handful of steps
+                # second program for a handful of steps — but never MORE
+                # steps than the user's budget
+                chain_steps = min(chain_steps, max(int(max_iter), 1))
                 n_chunks = max(1, int(max_iter) // chain_steps)
                 for _ in range(n_chunks):
                     k = chain_steps
@@ -220,13 +220,41 @@ class GPtraining:
         return fun, jac
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _constraint_violation(constraints, x):
+        """Total violation of scipy-style constraints at x: 0 when feasible.
+        Accepts NonlinearConstraint/LinearConstraint objects and the
+        dict convention ({'type': 'ineq'|'eq', 'fun': ...}) — the same
+        objects the reference forwarded to scipy/HGDL
+        (ref gp_training.py:66-77, :131-138)."""
+        total = 0.0
+        for c in (constraints or ()):
+            if isinstance(c, dict):
+                val = np.atleast_1d(np.asarray(c["fun"](x), dtype=np.float64))
+                if c.get("type", "ineq") == "eq":
+                    total += float(np.sum(np.abs(val)))
+                else:                      # ineq convention: fun(x) >= 0
+                    total += float(np.sum(np.maximum(-val, 0.0)))
+                continue
+            val = np.atleast_1d(np.asarray(
+                c.fun(x) if callable(getattr(c, "fun", None)) else c.A @ x,
+                dtype=np.float64))
+            lb = np.broadcast_to(np.atleast_1d(c.lb), val.shape)
+            ub = np.broadcast_to(np.atleast_1d(c.ub), val.shape)
+            total += float(np.sum(np.maximum(lb - val, 0.0))
+                           + np.sum(np.maximum(val - ub, 0.0)))
+        return total
+
     def _differential_evolution(self, objective, bounds, x0, pop_size=20,
                                 tol=1e-4, max_iter=120, info=False,
-                                batched_objective=None):
+                                batched_objective=None, constraints=()):
         """best/1/bin differential evolution.  With a batched objective the
         whole population is one vmapped device call per generation — the MXU
         evaluates pop_size·H Choleskys in a single batched program
-        (replaces scipy differential_evolution, ref gp_training.py:60-80)."""
+        (replaces scipy differential_evolution, ref gp_training.py:60-80).
+        Constraints are honored by Deb's feasibility rules, matching scipy
+        differential_evolution's behavior: feasible beats infeasible,
+        infeasible candidates compete on total violation."""
         bounds = np.asarray(bounds, dtype=np.float64)
         H = len(bounds)
         NP = max(4, int(pop_size) * H)
@@ -239,11 +267,19 @@ class GPtraining:
                 return np.asarray(batched_objective(P), dtype=np.float64)
             return np.array([objective(p) for p in P], dtype=np.float64)
 
+        def viol_pop(P):
+            if not constraints:
+                return np.zeros(len(P))
+            return np.array([self._constraint_violation(constraints, p)
+                             for p in P])
+
         fit = eval_pop(pop)
         fit = np.where(np.isfinite(fit), fit, np.inf)
+        viol = viol_pop(pop)
         F, CR = 0.8, 0.9
         for gen in range(int(max_iter)):
-            best = pop[np.argmin(fit)]
+            best_i = np.lexsort((fit, viol))[0]     # feasibility-first best
+            best = pop[best_i]
             idx = np.arange(NP)
             r1 = rng.permutation(NP)
             r2 = rng.permutation(NP)
@@ -254,24 +290,30 @@ class GPtraining:
             trial = np.clip(trial, bounds[:, 0], bounds[:, 1])
             f_trial = eval_pop(trial)
             f_trial = np.where(np.isfinite(f_trial), f_trial, np.inf)
-            improved = f_trial < fit
+            v_trial = viol_pop(trial)
+            # Deb's rules: less violation wins; ties compete on fitness
+            improved = (v_trial < viol) | ((v_trial == viol) & (f_trial < fit))
             pop[improved] = trial[improved]
             fit[improved] = f_trial[improved]
+            viol[improved] = v_trial[improved]
             if info:
                 print(f"fvgp_tpu DE generation {gen}: best f(x)= {fit.min()}")
             finite = fit[np.isfinite(fit)]
             if len(finite) == NP and np.std(finite) <= tol * (abs(np.mean(finite)) + 1e-12):
                 break
-        return pop[np.argmin(fit)]
+        return pop[np.lexsort((fit, viol))[0]]
 
     # ------------------------------------------------------------------
-    @staticmethod
-    def _device_multistart_phase(bvg_device, bounds, starts, epochs, lr=0.05):
+    def _device_multistart_phase(self, bvg_device, bounds, starts, epochs,
+                                 lr=0.05):
         """Advance ALL restarts in lockstep on the device: a jitted
         lax.scan of (vmapped value_and_grad -> Adam -> bound projection).
         This is the TPU expression of HGDL's parallel local-optimizer
         epochs (SURVEY.md §2c item 4): one batched program instead of
-        pop_size sequential optimizers."""
+        pop_size sequential optimizers.  The compiled runner is cached per
+        (objective identity, epochs, lr, shapes) — bounds travel as
+        arguments — so repeated train('hgdl') calls in an active-learning
+        loop do not recompile the whole scan."""
         import jax
         import jax.numpy as jnp
         import optax
@@ -280,26 +322,35 @@ class GPtraining:
         lo = _config.asarray(bounds[:, 0])
         hi = _config.asarray(bounds[:, 1])
         X0 = _config.asarray(starts)
-        opt = optax.adam(lr)
+        key = (id(bvg_device), int(epochs), float(lr), X0.shape, X0.dtype)
+        cache = getattr(self, "_multistart_runner_cache", None)
+        if cache is None:
+            cache = self._multistart_runner_cache = {}
+        run = cache.get(key)
+        if run is None:
+            opt = optax.adam(lr)
 
-        @jax.jit
-        def run(X0):
-            state = opt.init(X0)
+            @jax.jit
+            def run(X0, lo, hi):
+                state = opt.init(X0)
 
-            def step(carry, _):
-                X, state = carry
-                vals, grads = bvg_device(X)
-                grads = jnp.where(jnp.isfinite(grads), grads, 0.0)
-                updates, state = opt.update(grads, state)
-                X = jnp.clip(optax.apply_updates(X, updates), lo, hi)
-                return (X, state), vals
+                def step(carry, _):
+                    X, state = carry
+                    vals, grads = bvg_device(X)
+                    grads = jnp.where(jnp.isfinite(grads), grads, 0.0)
+                    updates, state = opt.update(grads, state)
+                    X = jnp.clip(optax.apply_updates(X, updates), lo, hi)
+                    return (X, state), vals
 
-            (X, _), vals = jax.lax.scan(step, (X0, state), None,
-                                        length=int(epochs))
-            final_vals, _ = bvg_device(X)
-            return X, final_vals
+                (X, _), vals = jax.lax.scan(step, (X0, state), None,
+                                            length=int(epochs))
+                final_vals, _ = bvg_device(X)
+                return X, final_vals
 
-        X, vals = run(X0)
+            cache.clear()            # one live runner: chains hold arrays
+            cache[key] = run
+
+        X, vals = run(X0, lo, hi)
         return np.asarray(X, dtype=np.float64), np.asarray(vals, np.float64)
 
     def multistart_optimize(self, objective, gradient, bounds, x0,
@@ -307,7 +358,7 @@ class GPtraining:
                             local_optimizer="L-BFGS-B",
                             fused_value_and_grad=None, info=False,
                             publish=None, stop_requested=None,
-                            batched_value_and_grad=None):
+                            batched_value_and_grad=None, constraints=()):
         """HGDL replacement (ref gp_training.py:126-144 + external hgdl):
         multi-start local optimization.
 
@@ -323,16 +374,36 @@ class GPtraining:
         starts[0] = np.clip(np.asarray(x0, dtype=np.float64),
                             bounds[:, 0], bounds[:, 1])
         if batched_value_and_grad is not None and len(starts) > 1:
+            dev_epochs = int(self.args.get("multistart_device_epochs",
+                                           min(int(epochs), 200)))
+            if info and dev_epochs < int(epochs):
+                print(f"fvgp_tpu multistart device phase capped at "
+                      f"{dev_epochs} lockstep epochs (of {int(epochs)}; "
+                      "override with args['multistart_device_epochs']); "
+                      "the polish phase gets the full budget")
             X, vals = self._device_multistart_phase(
-                batched_value_and_grad, bounds, starts,
-                epochs=min(int(epochs), 200))
-            order = np.argsort(np.where(np.isfinite(vals), vals, np.inf))
+                batched_value_and_grad, bounds, starts, epochs=dev_epochs)
+            rank = np.where(np.isfinite(vals), vals, np.inf)
+            if constraints:
+                # feasibility-first ranking for the polish selection
+                v = np.array([self._constraint_violation(constraints, xx)
+                              for xx in X])
+                order = np.lexsort((rank, v))
+            else:
+                order = np.argsort(rank)
             n_polish = min(3, len(starts))
             starts = X[order[:n_polish]]
             if info:
                 print(f"fvgp_tpu multistart device phase: best f(x)= "
                       f"{vals[order[0]]}, polishing top {n_polish}")
         fun, jac = self._fun_and_jac(objective, gradient, fused_value_and_grad)
+        # L-BFGS-B cannot take constraints; scipy's SLSQP honors both
+        # bounds and scipy-style constraint objects (the reference handed
+        # constraints to scipy/HGDL, ref gp_training.py:131-138)
+        polish_method = local_optimizer
+        if constraints and str(local_optimizer).upper() in ("L-BFGS-B",
+                                                            "LBFGSB"):
+            polish_method = "SLSQP"
         optima = []
         for s_i, s in enumerate(starts):
             if stop_requested is not None and stop_requested():
@@ -340,8 +411,9 @@ class GPtraining:
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")
                 try:
-                    res = minimize(fun, s, method=local_optimizer, jac=jac,
+                    res = minimize(fun, s, method=polish_method, jac=jac,
                                    bounds=bounds, tol=tolerance,
+                                   constraints=constraints,
                                    options={"maxiter": int(epochs)})
                 except Exception:
                     continue
@@ -401,7 +473,8 @@ class GPtraining:
                     n_starts=max(pop_size, 4), epochs=max_iter,
                     tolerance=tolerance, local_optimizer=local_optimizer,
                     fused_value_and_grad=fused_value_and_grad, info=info,
-                    publish=publish, stop_requested=stop_requested)
+                    publish=publish, stop_requested=stop_requested,
+                    constraints=constraints)
             actor = _MultistartActor(run_fn)
         actor.start()
         return AsyncOptimizer(actor)

@@ -186,3 +186,59 @@ def test_out_of_bounds_init_redrawn(gp):
                  init_hyperparameters=np.array([100.0, 100.0, 100.0]),
                  max_iter=5)
     assert any("out of bounds" in str(w.message) for w in rec)
+
+
+def test_constraints_honored_global_and_hgdl(gp):
+    """The reference forwards scipy-style constraints to DE and HGDL
+    (ref gp_training.py:66-77, :131-138); here DE applies Deb's
+    feasibility rules and the hgdl polish switches to SLSQP."""
+    from scipy.optimize import NonlinearConstraint
+    # constrain the signal variance below 0.5 — the unconstrained optimum
+    # violates this on the fixture
+    con = NonlinearConstraint(lambda h: h[0], 0.01, 0.5)
+    hps_g = gp.train(method="global", hyperparameter_bounds=BOUNDS,
+                     constraints=(con,), max_iter=15, pop_size=4)
+    assert hps_g[0] <= 0.5 + 1e-8
+    hps_h = gp.train(method="hgdl", hyperparameter_bounds=BOUNDS,
+                     constraints=(con,), max_iter=30, pop_size=4)
+    assert hps_h[0] <= 0.5 + 1e-6
+    # dict-style constraints work too (ineq convention: fun >= 0)
+    dcon = {"type": "ineq", "fun": lambda h: 0.5 - h[0]}
+    hps_d = gp.train(method="global", hyperparameter_bounds=BOUNDS,
+                     constraints=(dcon,), max_iter=10, pop_size=4)
+    assert hps_d[0] <= 0.5 + 1e-8
+
+
+def test_async_stop_before_first_optimum_terminates(gp):
+    """stop() issued immediately must not strand the poller: the actor
+    publishes the failure and is_done() flips (a raise in the daemon
+    thread previously left is_done() False forever)."""
+    opt = gp.train(method="hgdl", hyperparameter_bounds=BOUNDS,
+                   max_iter=200, pop_size=4, asynchronous=True)
+    gp.stop_training(opt)
+    for _ in range(100):
+        if opt.actor.is_done():
+            break
+        time.sleep(0.1)
+    assert opt.actor.is_done()
+
+
+def test_adam_chain_respects_small_max_iter(small_data):
+    """max_iter < adam_chain_steps must not overshoot the step budget."""
+    from fvgp_tpu.models.gp_training import GPtraining
+    x, y = small_data
+    gp2 = GP(x, y, init_hyperparameters=np.array([1.0, 1.0, 1.0]),
+             args={"adam_chain_steps": 8})
+    seen = []
+
+    def fake_chain(theta, m, v, t, k, bounds):
+        seen.append(k)
+        return theta + 1e-6, m, v, np.zeros(k)
+
+    gp2.trainer.train(
+        objective_function=lambda h: 0.0,
+        objective_function_gradient=lambda h: np.zeros(3),
+        hyperparameter_bounds=BOUNDS,
+        init_hyperparameters=np.array([1.0, 1.0, 1.0]),
+        method="adam", max_iter=3, adam_chain_runner=fake_chain)
+    assert sum(seen) <= 3
