@@ -153,34 +153,32 @@ class fvGP(GP):
             raise AssertionError("x_data and y_data have different lengths")
         if noise_variances is not None and len(noise_variances) != len(y_data):
             raise AssertionError("noise_variances and y_data have different lengths")
-        new_x_data, new_y_data = [], []
-        new_variances = [] if noise_variances is not None else None
-        output_indices = np.arange(0, self.output_num)
-        for i in range(self.output_num):
-            for j in range(len(x_data)):
-                if len(y_data[j]) != self.output_num:
-                    raise AssertionError(
-                        f"y_data row {j} length must equal output_num="
-                        f"{self.output_num}")
-                if noise_variances is not None and \
-                        len(noise_variances[j]) != self.output_num:
-                    raise AssertionError(
-                        f"noise_variances row {j} length must equal output_num="
-                        f"{self.output_num}")
-                if np.isnan(y_data[j, i]):
-                    continue
-                if isinstance(x_data, np.ndarray):
-                    new_x_data.append(np.append(x_data[j], output_indices[i]))
-                else:
-                    new_x_data.append([x_data[j], output_indices[i]])
-                new_y_data.append(y_data[j, i])
-                if new_variances is not None:
-                    new_variances.append(noise_variances[j, i])
+        if not (y_data.ndim == 2 and y_data.shape[1] == self.output_num):
+            raise AssertionError(
+                f"y_data must be (V, {self.output_num}) for output_num="
+                f"{self.output_num}; got shape {y_data.shape}")
+        if noise_variances is not None and not (
+                noise_variances.ndim == 2
+                and noise_variances.shape[1] == self.output_num):
+            raise AssertionError(
+                f"noise_variances must be (V, {self.output_num}); got shape "
+                f"{np.shape(noise_variances)}")
+        # NaN marks a missing task.  Task-major flattening order (all
+        # surviving points of task 0, then task 1, ...) — the loop order of
+        # ref fvgp.py:589-623.  nonzero on the transposed mask yields
+        # exactly that order, so the ndarray ingest is three vectorized
+        # gathers instead of a V*No python loop (minutes at N~1M).
+        task_i, point_j = np.nonzero(~np.isnan(y_data).T)
+        new_y_data = y_data[point_j, task_i]
+        new_variances = (None if noise_variances is None
+                         else np.asarray(noise_variances)[point_j, task_i])
         if isinstance(x_data, np.ndarray):
-            new_x_data = np.asarray(new_x_data)
-        new_y_data = np.asarray(new_y_data)
-        if new_variances is not None:
-            new_variances = np.asarray(new_variances)
+            new_x_data = np.column_stack(
+                [x_data[point_j], task_i.astype(np.result_type(
+                    x_data.dtype, np.float64), copy=False)])
+        else:           # non-Euclidean points: [object, task] pairs
+            new_x_data = [[x_data[j], int(i)]
+                          for i, j in zip(task_i, point_j)]
         return new_x_data, new_y_data, new_variances
 
     def __getstate__(self):

@@ -384,6 +384,19 @@ class GP:
             raise AssertionError("wrong format in noise_variances_new")
         if len(x_new) != len(y_new):
             raise AssertionError("updated x and y do not have the same lengths.")
+        if (isinstance(noise_variances_new, np.ndarray)
+                and len(noise_variances_new) != len(y_new)):
+            raise AssertionError(
+                "noise_variances_new and y_new do not have the same lengths.")
+        # reject a column-count mismatch BEFORE delegating: GPdata vstacks x
+        # first, so a failure inside the y vstack would leave the dataset
+        # half-mutated (x extended, y not)
+        y_cols_new = 1 if y_new.ndim == 1 else y_new.shape[1]
+        y_cols_old = np.asarray(self.data.y_data).shape[1]
+        if append and y_cols_new != y_cols_old:
+            raise AssertionError(
+                f"y_new has {y_cols_new} column(s) but the stored y_data has "
+                f"{y_cols_old}; appended outputs must match.")
         if rank_n_update is None:
             rank_n_update = append
         if not append and rank_n_update:
@@ -462,8 +475,11 @@ class GP:
             * ``'bo'`` — Bayesian optimization of the LML for the
               expensive/noisy regime (SLQ logdet noise is fed to the
               surrogate automatically); fills :attr:`bo_info`.
-            * a ``Callable(objective, bounds, init, *)`` — bring your own
-              optimizer.
+            * a ``Callable(trainer)`` — bring your own optimizer: it
+              receives the live ``GPtraining`` instance (objective,
+              bounds, and start live on it) and returns the
+              hyperparameter vector, exactly like the reference
+              (ref gp_training.py:192).
         pop_size : int
             Population (``'global'``) / restarts (``'hgdl'``).
         tolerance, max_iter : float, int
@@ -546,6 +562,9 @@ class GP:
             if user_provided_obj:
                 warnings.warn("MCMC always optimizes the log marginal likelihood; "
                               "the user-defined objective_function is ignored.")
+                # the run samples the default LML, so the batched/fused
+                # device programs (vectorized multi-chain path) apply
+                user_provided_obj = False
             objective_function = self.marginal_likelihood.log_likelihood
         elif objective_function is None:
             objective_function = self.marginal_likelihood.neg_log_likelihood
@@ -626,13 +645,17 @@ class GP:
                     adam_chain_runner=adam_chain_runner, **common)
                 self.set_hyperparameters(hyperparameters)
                 return hyperparameters
-        with sequential_linalg_state(self.args, method):
-            common.pop("constraints")
-            common.pop("global_optimizer")
-            return self.trainer.train_async(
-                dask_client=dask_client, fused_value_and_grad=fused_vg,
-                global_optimizer=global_optimizer, constraints=constraints,
-                **common)
+        # the sequential-state gate must live as long as the BACKGROUND run:
+        # entering it here and restoring on return would re-enable warm
+        # starts microseconds into the async training (the actor wraps its
+        # whole thread in this context instead)
+        common.pop("constraints")
+        common.pop("global_optimizer")
+        return self.trainer.train_async(
+            dask_client=dask_client, fused_value_and_grad=fused_vg,
+            global_optimizer=global_optimizer, constraints=constraints,
+            run_context=lambda: sequential_linalg_state(self.args, method),
+            **common)
 
     @staticmethod
     def _warn_about_bo_suitability(hyperparameter_bounds, max_iter, bo_args):
@@ -901,6 +924,11 @@ class GP:
     def picp(self, x_test, y_true, interval=0.95):
         """Prediction-interval coverage probability (ref gp.py:1781)."""
         mu = self.posterior_mean(x_test)["m(x)"]
+        y_true = np.asarray(y_true)
+        assert y_true.shape == np.asarray(mu).shape, (
+            f"y shape {y_true.shape} does not match posterior mean shape "
+            f"{np.asarray(mu).shape}")   # a (M,1)-vs-(M,) broadcast would
+        # silently average M^2 cross-pair comparisons
         sigma = np.sqrt(self.posterior_covariance(x_test, add_noise=True)["v(x)"])
         z = norm.ppf(1 - (1 - interval) / 2)
         lower, upper = mu - z * sigma, mu + z * sigma

@@ -20,6 +20,10 @@ class _ActorBase:
         self._thread = None
         self._latest = {}
         self._done = False
+        # optional zero-arg context-manager factory wrapping the whole run
+        # (e.g. the linalg sequential-state gate, whose lifetime must match
+        # the background thread, not the submitting call)
+        self._run_context = None
 
     def start(self):
         self._thread = threading.Thread(target=self._run_guarded, daemon=True)
@@ -32,7 +36,11 @@ class _ActorBase:
         first optimum completes makes multistart raise).  The error is
         published in the snapshot and the actor terminates."""
         try:
-            self._run()
+            if self._run_context is not None:
+                with self._run_context():
+                    self._run()
+            else:
+                self._run()
         except Exception as exc:
             self._publish(error=f"{type(exc).__name__}: {exc}")
         finally:

@@ -437,10 +437,14 @@ class GPtraining:
                     tolerance=0.0001, max_iter=120, local_optimizer="L-BFGS-B",
                     global_optimizer="genetic", constraints=(), mcmc_prior=None,
                     mcmc_prop_distrs="normal", mcmc_args=None, bo_args=None,
-                    info=False, fused_value_and_grad=None):
+                    info=False, fused_value_and_grad=None,
+                    run_context=None):
         """Submit an asynchronous run; returns an AsyncOptimizer proxy
         (ref gp_training.py:198-271).  `dask_client` is accepted for API
-        compatibility and ignored — actors are controller threads."""
+        compatibility and ignored — actors are controller threads.
+        ``run_context`` (a zero-arg context-manager factory) wraps the
+        WHOLE background run — the linalg sequential-state gate must live
+        as long as the actor thread, not the submitting call."""
         if mcmc_args is None:
             mcmc_args = {}
         if method not in ("hgdl", "mcmc", "adam", "bo"):
@@ -476,6 +480,7 @@ class GPtraining:
                     publish=publish, stop_requested=stop_requested,
                     constraints=constraints)
             actor = _MultistartActor(run_fn)
+        actor._run_context = run_context
         actor.start()
         return AsyncOptimizer(actor)
 

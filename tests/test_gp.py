@@ -269,3 +269,55 @@ def test_hessian_exact_on_traced_path_matches_fd():
         H_fd[i] = (ml.neg_log_likelihood_gradient(hyperparameters=hp) - g0) / eps
     H_fd = (H_fd + H_fd.T) / 2
     np.testing.assert_allclose(H, H_fd, rtol=2e-3, atol=2e-3)
+
+
+def test_update_gp_data_rejects_mismatched_shapes(small_data):
+    """Mismatched noise lengths / y column counts must be rejected BEFORE
+    any mutation — GPdata vstacks x first, so a later y failure would
+    leave the dataset half-updated."""
+    x, y = small_data
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 1.0, 1.0]),
+            noise_variances=np.full(len(y), 1e-2))
+    rng = np.random.default_rng(0)
+    x_new = rng.uniform(0, 10, (5, x.shape[1]))
+    n_before = gp.data.point_number
+    with pytest.raises(AssertionError, match="same lengths"):
+        gp.update_gp_data(x_new, np.zeros(5), np.full(3, 1e-2))
+    with pytest.raises(AssertionError, match="column"):
+        gp.update_gp_data(x_new, np.zeros((5, 2)), np.full(5, 1e-2))
+    assert gp.data.point_number == n_before
+    assert len(np.asarray(gp.x_data)) == n_before
+
+
+def test_picp_rejects_column_vector_y(small_data):
+    """(M,1) y_true would broadcast to an (M,M) comparison and silently
+    average M^2 cross pairs."""
+    x, y = small_data
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 1.0, 1.0]))
+    xt = x[:8]
+    with pytest.raises(AssertionError, match="shape"):
+        gp.picp(xt, np.sin(xt[:, 0])[:, None])
+    cov = gp.picp(xt, np.sin(xt[:, 0]))
+    assert 0.0 <= cov <= 1.0
+
+
+def test_async_linalg_gate_lives_with_the_run(small_data):
+    """The sequential-state gate must stay applied for the WHOLE async run
+    and restore only when the actor finishes — not when train() returns."""
+    import time as _time
+    x, y = small_data
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 1.0, 1.0]),
+            args={"sparse_krylov_warm_start": True})
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        opt = gp.train(method="adam", asynchronous=True, max_iter=300,
+                       hyperparameter_bounds=np.array([[0.1, 10.0]] * 3))
+        # while the background run is alive the unsafe setting is disabled
+        assert gp.args["sparse_krylov_warm_start"] is False
+        gp.stop_training(opt)
+        for _ in range(200):
+            if opt.actor.is_done():
+                break
+            _time.sleep(0.05)
+        opt.actor.join(5)
+    assert gp.args["sparse_krylov_warm_start"] is True
