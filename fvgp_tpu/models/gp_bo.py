@@ -62,6 +62,7 @@ class _SearchSpace:
     log_mask: np.ndarray     # (D,) bool — searched logarithmically
     origin: np.ndarray       # (D,) warped lower bound
     width: np.ndarray        # (D,) warped span (>= tiny)
+    pinned: np.ndarray = None  # (D,) bool — lower == upper (fixed hp)
 
     @staticmethod
     def create(bounds, log_scale=None):
@@ -82,8 +83,12 @@ class _SearchSpace:
         safe = np.where(loggable[:, None], box, 1.0)
         warped = np.where(use_log[:, None], np.log(safe), box)
         width = warped[:, 1] - warped[:, 0]
+        # pinned dimensions (lower == upper): encode needs a nonzero width
+        # to divide by, but decode must return the ORIGIN — substituting a
+        # width of 1 alone pushed decoded points outside the user's box
         return _SearchSpace(use_log, warped[:, 0],
-                            np.where(width > 0.0, width, 1.0))
+                            np.where(width > 0.0, width, 1.0),
+                            pinned=width <= 0.0)
 
     @property
     def dim(self):
@@ -98,6 +103,8 @@ class _SearchSpace:
     def decode(self, u):
         """Unit cube → hyperparameters, rows of a 2-d array."""
         w = self.origin + np.clip(np.atleast_2d(u), 0.0, 1.0) * self.width
+        if self.pinned is not None:
+            w = np.where(self.pinned, self.origin, w)
         return np.where(self.log_mask, np.exp(w), w)
 
 
@@ -365,7 +372,9 @@ class _BayesOpt:
         self.callback = callback
         self.early_stop = early_stop
         self.rng = np.random.default_rng(settings["seed"])
-        self.log = _EvalLog(self.max_iter, self.space.dim)
+        # capacity covers the forced minimum design size even when the
+        # user's budget is smaller (max_iter=1 would overflow the log)
+        self.log = _EvalLog(max(self.max_iter, 2), self.space.dim)
         self.x0 = np.asarray(x0, dtype=float)
         self.surrogate = None
         self.post_mean_fn = None
@@ -396,8 +405,16 @@ class _BayesOpt:
         value = float(self.objective(theta))
         if not np.isfinite(value):
             # a failed factorization / diverged solve must not poison the
-            # surrogate: stand in a large-but-finite penalty
-            value = np.finfo(float).max / 1e6
+            # surrogate: stand in a penalty RELATIVE to the observed values
+            # (an absolute ~1e302 penalty overflowed np.var in the
+            # surrogate fit, killing every subsequent refit)
+            seen = self.log.y[:self.log.count]
+            finite = seen[np.isfinite(seen)]
+            if len(finite):
+                spread = float(np.ptp(finite)) or abs(float(finite[0])) or 1.0
+                value = float(finite.max()) + 3.0 * spread
+            else:
+                value = 1e6
         self.log.record(np.asarray(u_row, dtype=float), theta, value,
                         self._known_variance(theta))
         if callable(self.callback):
@@ -424,6 +441,7 @@ class _BayesOpt:
         for i, row in enumerate(design):
             if self._stop_requested():
                 self.stopped_early = True
+                self.stopping_reason = "stopped"
                 return
             self._evaluate(row, i)
         if self.info and self.log.count:
@@ -444,6 +462,7 @@ class _BayesOpt:
         except Exception as ex:
             warnings.warn(f"Inner BO surrogate fit failed ({ex}); "
                           f"stopping BO early.")
+            self.stopping_reason = "surrogate_fit_failed"
             return False
 
     def _incumbent_samples(self):

@@ -130,7 +130,9 @@ class ProposalDistribution:
             return
         lo = max(step - self.K + 1, 0)
         rate = float(np.mean(self.jump_trace[lo:step]))
-        window = np.asarray(sampler.trace["x"])[lo:step][:, self.indices]
+        # slice the python list BEFORE converting: converting the whole
+        # trace each adaptation is O(n^2) over the run
+        window = np.asarray(sampler.trace["x"][lo:step])[:, self.indices]
         pa = self.prop_args
         pa["sigma_m"], pa["prop_Sigma"] = shaby_update(
             pa["sigma_m"], pa["prop_Sigma"], rate, window, step, self.K,
@@ -196,7 +198,9 @@ def run_mcmc_vectorized(log_likelihood_batch, bounds, x0s, *, n_updates=10000,
         like_cand = np.asarray(log_likelihood_batch(cand), dtype=float)
         expo = np.where(ok, like_cand - like, -np.inf)
         metr = np.where(expo < 50, np.exp(np.minimum(expo, 50)), 1.1)
-        metr = np.where(np.isnan(metr), 0.0, metr)
+        # a NaN exponent (failed likelihood, -inf minus -inf) lands in the
+        # 1.1 branch above (NaN < 50 is False) — reject it explicitly
+        metr = np.where(np.isnan(expo), 0.0, metr)
         accept = metr > rng.uniform(size=C)
         X = np.where(accept[:, None], cand, X)
         like = np.where(accept, like_cand, like)
@@ -285,13 +289,18 @@ class gpMCMC:
             self.trace["x"].append(x)
             self.trace["f(x)"].append(f)
             self.trace["time stamp"].append(time.time() - t0)
+            # summarizing the FULL trace every step is O(n^2) in the run
+            # length; refresh periodically for hooks/async pollers and
+            # exactly once after the loop
+            if (i % 25) == 0 or i == 1:
+                self._refresh_info()
             hook(self)
             if info and (i % 10) == 0:
                 print("Finished ", i, " out of ", n_updates,
                       " iterations. f(x)= ", f)
-            self._refresh_info()
             if stop(self):
                 break
+        self._refresh_info()
         return self.mcmc_info
 
     def _resolve_break(self, break_condition):
@@ -317,10 +326,13 @@ class gpMCMC:
     def _default_break_condition(sampler):
         """Stop once the mean likelihood of the last 100 samples matches the
         100 before it to 1e-3 (contract: ref gp_mcmc.py:183-193)."""
-        f = np.asarray(sampler.trace["f(x)"])
-        if f.size < 1000:
+        f = sampler.trace["f(x)"]
+        if len(f) < 1000:
             return False
-        return abs(f[-100:].mean() - f[-200:-100].mean()) < 1e-3
+        # only the 200-sample tail is needed — converting the whole trace
+        # every iteration made the run quadratic in its own length
+        return abs(float(np.mean(f[-100:]))
+                   - float(np.mean(f[-200:-100]))) < 1e-3
 
     def _metropolis_block(self, state, block, step):
         """One Metropolis step over ``block``'s index subset."""
@@ -335,9 +347,12 @@ class gpMCMC:
             if np.isnan(ll_new):
                 raise Exception("Likelihood evaluation = NaN in gpMCMC")
             log_ratio = (lp_new + ll_new) - (lp + ll)
-            ratio = np.exp(log_ratio) if log_ratio < 50 else 1.1
-            if np.isnan(ratio):
-                ratio = 0.0
+            if np.isnan(log_ratio):     # -inf minus -inf: reject, never
+                ratio = 0.0             # auto-accept via the 1.1 branch
+            elif log_ratio < 50:
+                ratio = np.exp(log_ratio)
+            else:
+                ratio = 1.1
             accepted = block.auto_accept or ratio > np.random.uniform()
             if accepted:
                 x, lp, ll = proposal, lp_new, ll_new

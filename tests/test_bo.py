@@ -189,3 +189,65 @@ def test_default_initial_design_size_clips_to_budget():
     assert default_initial_design_size(8, 100) == 18
     assert default_initial_design_size(8, 4) == 4         # budget-clipped
     assert default_initial_design_size(8, 1) == 2         # hard minimum
+
+
+def test_bo_survives_nonfinite_objective_values():
+    """One inf objective value must not kill the surrogate: the penalty is
+    RELATIVE to observed values (an absolute ~1e302 stand-in overflowed
+    np.var in the fit and stopped BO after the initial design)."""
+    from fvgp_tpu.models.gp_bo import bayesian_optimize
+    calls = {"n": 0}
+
+    def obj(theta):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            return np.inf
+        return float((theta[0] - 1.3) ** 2)
+
+    x, info = bayesian_optimize(obj, np.array([[0.5, 3.0]]),
+                                np.array([2.0]), max_iter=10)
+    assert info["n_evaluations"] >= 8          # ran past the design phase
+    assert info["stopping reason"] != "surrogate_fit_failed"
+    assert np.isfinite(info["f(x)"])
+
+
+def test_bo_pinned_bound_stays_pinned():
+    """A degenerate (lower == upper) dimension must decode to exactly the
+    pinned value — not escape the box via the width-1 substitution."""
+    from fvgp_tpu.models.gp_bo import bayesian_optimize
+    seen = []
+
+    def obj(theta):
+        seen.append(theta.copy())
+        return float((theta[0] - 1.0) ** 2)
+
+    x, info = bayesian_optimize(obj, np.array([[0.5, 3.0], [0.7, 0.7]]),
+                                np.array([1.0, 0.7]), max_iter=8)
+    assert np.allclose([t[1] for t in seen], 0.7)
+    assert np.isclose(x[1], 0.7)
+
+
+def test_bo_tiny_budget_does_not_overflow_log():
+    from fvgp_tpu.models.gp_bo import bayesian_optimize
+    x, info = bayesian_optimize(lambda t: float(t[0] ** 2),
+                                np.array([[-1.0, 1.0]]),
+                                np.array([0.5]), max_iter=1)
+    assert np.isfinite(info["f(x)"])
+
+
+def test_mcmc_rejects_nan_likelihood_proposals():
+    """A NaN acceptance exponent must REJECT (the 1.1 overflow branch used
+    to auto-accept it, poisoning MAP/mean with NaN)."""
+    from fvgp_tpu import gpMCMC
+    rng = np.random.default_rng(0)
+
+    def ll(x, args):
+        if x[0] > 1.0:
+            return -np.inf          # forbidden half-space
+        return -float(np.sum(x ** 2))
+
+    s = gpMCMC(ll, bounds=np.array([[-2.0, 2.0]]))
+    # start AT the forbidden edge so -inf minus -inf NaNs appear
+    out = s.run_mcmc(x0=np.array([1.5]), n_updates=300, break_condition=None)
+    assert np.isfinite(out["max f(x)"])
+    assert np.all(np.isfinite(out["median(x)"]))
