@@ -60,15 +60,15 @@ def large_n_metric(log):
     y = np.sin(0.2 * x[:, 0]) + 0.05 * rng.standard_normal(N)
 
     t0 = time.time()
-    # sparse_cg_maxiter=24: the preconditioned CG converges well inside
-    # this count at this conditioning — LML matches a 48-iteration run to
-    # ~7e-7 relative, the gradient to ~2e-5 (measured at N=1M)
+    # sparse_cg_maxiter=32 is a MAX: the solve early-exits at the bf16
+    # freeze floor (sparse_lml._freeze_tol_sq), where the LML already
+    # matches a 48-iteration run to ~1e-6 relative (measured at N=1M)
     gp = GP(x, y, init_hyperparameters=hps,
             noise_variances=np.full(N, 1e-2), gp2Scale=True,
             args={"gp2Scale_block_size": 128,
                   "gp2Scale_solver_dtype": "bfloat16",
                   "gp2Scale_storage_dtype": "bfloat16",
-                  "sparse_cg_maxiter": 24,
+                  "sparse_cg_maxiter": 32,
                   "random_logdet_fixed_probes": 16})
     log(f"GP construction (lazy prior): {time.time() - t0:.1f}s")
 
@@ -226,16 +226,17 @@ def main():
     Z = Z * ypad_mask[:, None]
 
     # bf16 tile streaming + the fused mBCG solver: one preconditioned CG
-    # over [y-m | probes] yields the solve AND a degree-48 preconditioned
-    # SLQ logdet, with a backward that reuses the probe solves
-    # (ops/sparse_lml._mbcg_factory) — 2-3x the separate CG+SLQ path
-    # cg_iters=24: the block-Jacobi-preconditioned CG converges in <~12
-    # iterations at this conditioning — 24 carries a 2x margin, and the
-    # result matches a 128-iteration f32 reference to dlml ~1e-6,
-    # dgrad ~6e-5 (measured; far below the SLQ probe noise)
+    # over [y-m | probes] yields the solve AND a preconditioned SLQ logdet,
+    # with a backward that reuses the probe solves
+    # (ops/sparse_lml._mbcg_factory) — 2-3x the separate CG+SLQ path.
+    # cg_iters=32 is a MAX: the solve early-exits at the bf16 freeze floor
+    # (rz/rz0 < 4e-4, ~iter 12 at this conditioning), where the result
+    # already matches a 128-iteration f32 reference to dlml ~4e-6,
+    # dgrad ~6e-5 (measured; far below the SLQ probe noise) — the margin
+    # iterations cost nothing
     solver_dtype = jnp.bfloat16 if on_tpu else None
     lml = make_sparse_lml(wendland_anisotropic, nb, B,
-                          cg_iters=24, slq_degree=16,
+                          cg_iters=32, slq_degree=16,
                           solver_dtype=solver_dtype, solver="mbcg")
     vg = jax.jit(jax.value_and_grad(lml))
 

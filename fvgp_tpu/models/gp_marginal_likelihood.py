@@ -258,6 +258,11 @@ class GPMarginalLikelihood:
 
         cg_iters = int(args.get("sparse_cg_maxiter",
                                 args.get("sparse_krylov_maxiter", 64)) or 64)
+        # early-exit tolerance (relative preconditioned residual); None =
+        # dtype-matched default (ops/sparse_lml._freeze_tol_sq) — maxiter is
+        # then a safety bound, not the iteration count actually paid
+        ctol = args.get("sparse_cg_tol", None)
+        ctol = float(ctol) if ctol is not None else None
         sdt = args.get("gp2Scale_solver_dtype", None)
         if isinstance(sdt, str):
             sdt = jnp.dtype(sdt)
@@ -273,7 +278,7 @@ class GPMarginalLikelihood:
 
         if not hasattr(self, "_sparse_cache"):
             self._sparse_cache = {}
-        key = (n, B, nb, cg_iters, probes, degree, str(dtype), str(sdt),
+        key = (n, B, nb, cg_iters, ctol, probes, degree, str(dtype), str(sdt),
                solver, pwidth, self.data.point_number, mesh)
         entry = self._sparse_cache.get(key)
         if entry is None:
@@ -298,7 +303,7 @@ class GPMarginalLikelihood:
             lml = make_sparse_lml(kern_fn, nb, B, cg_iters=cg_iters,
                                   slq_degree=degree, with_variance=True,
                                   solver_dtype=sdt, solver=solver, mesh=mesh,
-                                  precond_width=pwidth)
+                                  precond_width=pwidth, cg_tol=ctol)
             # one jitted fn across occupancy buckets: jit's own shape cache
             # keeps every bucket's program warm as the hp moves change T_pad
             entry = {"fn": jax.jit(lml), "vg": None, "lml": lml,
@@ -493,7 +498,8 @@ class GPMarginalLikelihood:
                 lml_alt = make_sparse_lml(
                     kern_fn, nb_eff, B, cg_iters=cg_iters, slq_degree=degree,
                     with_variance=True, solver_dtype=sdt, solver=solver,
-                    mesh=mesh, precond_width=pwidth, halo_S=halo_S)
+                    mesh=mesh, precond_width=pwidth, halo_S=halo_S,
+                    cg_tol=ctol)
                 alt = {"lml": lml_alt, "fn": jax.jit(lml_alt), "vg": None}
                 entry["alt_fns"][akey] = alt
             if want_grad and alt["vg"] is None:

@@ -237,9 +237,50 @@ def _spmv_for(nb, B, mesh, mv_dtype=None, halo_S=None):
     return spmv
 
 
-def _cg_fixed(matvec, Bmat, iters, M=None):
-    """(Preconditioned) CG with a static trip count — reverse-differentiable
-    via scan."""
+def _freeze_tol_sq(tol, mv_dtype, res_dtype):
+    """Squared relative freeze tolerance on rz = Rᵀ M⁻¹ R.
+
+    ``tol`` is the user's relative preconditioned-residual tolerance
+    (``sparse_cg_tol``); when None the floor is matched to where extra
+    iterations stop improving the LML (measured at the N=50k bench,
+    block-Jacobi + Wendland, vs a 128-iteration f32 reference):
+
+    * bf16 tile streaming: beyond rz/rz0 ~ 4e-4 (hit at ~iter 12) the
+      value+gradient error is pinned at the bf16 assembly noise floor
+      (dlml ~3e-6, dgrad ~5e-5) — iterations 13..24 of the old static
+      trip count bought nothing measurable;
+    * f32: rz/rz0 = 1e-8 (relative residual 1e-4) puts the quadratic-term
+      error orders below the 16-probe SLQ noise;
+    * f64 keeps the near-machine floor (this path feeds oracle tests).
+    """
+    if tol is not None:
+        return float(tol) ** 2
+    if mv_dtype is not None and jnp.dtype(mv_dtype).itemsize < 4:
+        return 4e-4                      # bf16/f16 matvec
+    if jnp.dtype(res_dtype) == jnp.float64:
+        return 1e-14
+    return 1e-8
+
+
+def _tight_floor_sq(res_dtype):
+    """Per-column FREEZE floor (numerical safety only: keeps 1/rz finite
+    once a column has fully collapsed).  Distinct from the loop-EXIT
+    tolerance: freezing a probe column truncates its Lanczos quadrature
+    degree, so individual columns must NOT freeze at the loose exit
+    tolerance — measured at the N=50k bench, per-column freezing at the
+    bf16 exit floor cost 50x in logdet accuracy (dlml 2.8e-6 -> 1.2e-4)
+    because the earliest probes froze at degree ~5."""
+    return 1e-14 if jnp.dtype(res_dtype) == jnp.float64 else 1e-10
+
+
+def _cg_fixed(matvec, Bmat, iters, M=None, tol=None, mv_dtype=None):
+    """(Preconditioned) CG, at most ``iters`` trips with EARLY EXIT.
+
+    Only ever called inside a ``custom_vjp`` forward/backward (reverse
+    never traces through it), so the loop is a ``lax.while_loop``: it stops
+    as soon as every column's preconditioned residual has collapsed below
+    the freeze floor, instead of idling through the static safety margin
+    (callers size ``iters`` ~2x the observed convergence count)."""
     if M is None:
         M = lambda X: X                       # noqa: E731
     X = jnp.zeros_like(Bmat)
@@ -247,15 +288,19 @@ def _cg_fixed(matvec, Bmat, iters, M=None):
     Zp = M(R)
     P = Zp
     rz = jnp.sum(R * Zp, axis=0)
-    # once the residual has collapsed (preconditioned CG converges well
-    # inside the static trip count) further updates must be EXACT no-ops in
-    # forward AND backward: an unguarded 1/rz overflows the reverse pass
+    # once the residual has collapsed, further updates must be EXACT no-ops:
+    # an unguarded 1/rz overflows, and frozen columns must stay frozen
     rz0 = jnp.maximum(rz, jnp.finfo(Bmat.dtype).tiny)
-    floor = rz0 * jnp.asarray(1e-14 if Bmat.dtype == jnp.float64 else 1e-10,
-                              Bmat.dtype)
+    floor = rz0 * jnp.asarray(_tight_floor_sq(Bmat.dtype), Bmat.dtype)
+    exit_floor = rz0 * jnp.asarray(
+        _freeze_tol_sq(tol, mv_dtype, Bmat.dtype), Bmat.dtype)
 
-    def step(carry, _):
-        X, R, P, rz = carry
+    def cond(carry):
+        _, _, _, rz, i = carry
+        return jnp.logical_and(i < iters, jnp.any(rz > exit_floor))
+
+    def body(carry):
+        X, R, P, rz, i = carry
         active = rz > floor
         Ap = matvec(P)
         pAp = jnp.sum(P * Ap, axis=0)
@@ -266,9 +311,10 @@ def _cg_fixed(matvec, Bmat, iters, M=None):
         rz_new = jnp.sum(R * Zn, axis=0)
         beta = jnp.where(active, rz_new / jnp.where(active, rz, 1.0), 0.0)
         P = jnp.where(active[None, :], Zn + beta[None, :] * P, P)
-        return (X, R, P, rz_new), None
+        return (X, R, P, rz_new, i + 1)
 
-    (X, _, _, _), _ = jax.lax.scan(step, (X, R, P, rz), None, length=iters)
+    X, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (X, R, P, rz, jnp.int32(0)))
     return X
 
 
@@ -321,7 +367,8 @@ def _slq_fixed(matvec, Z, degree):
 
 
 @functools.lru_cache(maxsize=32)
-def _mbcg_factory(nb, B, iters, mv_dtype=None, mesh=None, halo_S=None):
+def _mbcg_factory(nb, B, iters, mv_dtype=None, mesh=None, halo_S=None,
+                  tol=None):
     """Fused quadratic-term + logdet solver (the BBMM/mBCG recipe,
     Gardner et al. 2018 — the reference has no equivalent: its sparse path
     runs scipy CG and imate SLQ as separate, non-differentiable passes).
@@ -360,15 +407,40 @@ def _mbcg_factory(nb, B, iters, mv_dtype=None, mesh=None, halo_S=None):
     lm_apply = _block_apply
 
     def _pcg_coeffs(od, Minv, RHS):
+        """PCG over all RHS columns, recording the CG coefficients.
+
+        EARLY EXIT: this only ever runs inside the custom_vjp forward
+        (reverse never traces through it), so the loop is a while_loop that
+        stops once EVERY column's preconditioned residual is below the exit
+        tolerance — callers size ``iters`` with a ~2x safety margin, and
+        the margin iterations cost nothing.  Two distinct thresholds:
+        the global EXIT floor (loose, quality-matched to the matvec dtype)
+        and the per-column FREEZE floor (tight, numerical safety only) —
+        columns must keep iterating until the global exit so their
+        Lanczos quadrature degree equals the exit iteration, exactly as in
+        a static-length run of that many trips (see ``_tight_floor_sq``).
+        The coefficient buffers are pre-filled with the frozen-identity
+        values (alpha=1, beta=0: a disconnected identity block appended to
+        T, zero e1 weight), so an early exit yields bit-identical
+        quadrature inputs to a static run of the same length."""
         X = jnp.zeros_like(RHS)
         R = RHS
         Zp = minv_apply(Minv, R)
         D = Zp
         rz = jnp.sum(R * Zp, axis=0)
-        floor = rz * (1e-14 if RHS.dtype == jnp.float64 else 1e-10)
+        floor = rz * jnp.asarray(_tight_floor_sq(RHS.dtype), RHS.dtype)
+        exit_floor = rz * jnp.asarray(
+            _freeze_tol_sq(tol, mv_dtype, RHS.dtype), RHS.dtype)
+        P_cols = RHS.shape[1]
+        alphas0 = jnp.ones((iters, P_cols), RHS.dtype)
+        betas0 = jnp.zeros((iters, P_cols), RHS.dtype)
 
-        def step(carry, _):
-            X, R, D, rz = carry
+        def cond(carry):
+            _, _, _, rz, _, _, i = carry
+            return jnp.logical_and(i < iters, jnp.any(rz > exit_floor))
+
+        def body(carry):
+            X, R, D, rz, A, Bb, i = carry
             active = rz > floor
             AD = mv(od, D)
             dAd = jnp.sum(D * AD, axis=0)
@@ -379,14 +451,14 @@ def _mbcg_factory(nb, B, iters, mv_dtype=None, mesh=None, halo_S=None):
             rz2 = jnp.sum(R2 * Z2, axis=0)
             beta = jnp.where(active, rz2 / jnp.where(active, rz, 1.0), 0.0)
             D2 = Z2 + D * beta
-            # converged columns freeze: alpha->1, beta->0 appends an
-            # identity block to T, disconnected (zero off-diagonal) from
-            # the active part, so its Ritz pairs carry no e1 weight
-            return (X2, R2, D2, rz2), (jnp.where(active, alpha, 1.0),
-                                       jnp.where(active, beta, 0.0))
+            A = jax.lax.dynamic_update_index_in_dim(
+                A, jnp.where(active, alpha, 1.0), i, 0)
+            Bb = jax.lax.dynamic_update_index_in_dim(
+                Bb, jnp.where(active, beta, 0.0), i, 0)
+            return (X2, R2, D2, rz2, A, Bb, i + 1)
 
-        (X, _, _, _), (alphas, betas) = jax.lax.scan(
-            step, (X, R, D, rz), None, length=iters)
+        X, _, _, _, alphas, betas, _ = jax.lax.while_loop(
+            cond, body, (X, R, D, rz, alphas0, betas0, jnp.int32(0)))
         return X, alphas, betas
 
     def _t_quadrature(alphas, betas, u_norm2):
@@ -448,7 +520,7 @@ def _mbcg_factory(nb, B, iters, mv_dtype=None, mesh=None, halo_S=None):
 
 @functools.lru_cache(maxsize=32)
 def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None, mesh=None,
-                         halo_S=None):
+                         halo_S=None, tol=None):
     """CG solve with IMPLICIT differentiation (custom VJP).
 
     Differentiating through the CG scan stores and replays all ``iters``
@@ -485,7 +557,8 @@ def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None, mesh=None,
     @jax.custom_vjp
     def solve(op_data, Bv):
         return _cg_fixed(lambda X: mv(op_data, X), Bv, iters,
-                         M=lambda X: m_apply(op_data, X))
+                         M=lambda X: m_apply(op_data, X), tol=tol,
+                         mv_dtype=mv_dtype)
 
     def solve_fwd(op_data, Bv):
         X = solve(op_data, Bv)
@@ -494,7 +567,8 @@ def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None, mesh=None,
     def solve_bwd(res, Xbar):
         op_data, X = res
         W = _cg_fixed(lambda V: mv(op_data, V), Xbar, iters,
-                      M=lambda V: m_apply(op_data, V))
+                      M=lambda V: m_apply(op_data, V), tol=tol,
+                      mv_dtype=mv_dtype)
         _, vjp_fn = jax.vjp(lambda od: mv(od, X), op_data)
         od_bar = vjp_fn(W)[0]
         od_bar = jax.tree_util.tree_map(
@@ -508,7 +582,7 @@ def _implicit_cg_factory(nb, B, iters, precond, mv_dtype=None, mesh=None,
 def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
                     with_variance=False, mean_mode="data", prior_mean_fn=None,
                     precondition=True, solver_dtype=None, solver="mbcg",
-                    mesh=None, precond_width=1, halo_S=None):
+                    mesh=None, precond_width=1, halo_S=None, cg_tol=None):
     """Build the sparse LML as a pure jittable, differentiable function
 
         lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z
@@ -529,6 +603,15 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
     y/noise arrive padded to nb*B with a validity mask; padded noise is 1.0
     so K+V stays PD on padded rows, and Rademacher probes are zeroed there,
     so padding contributes log(1) = 0 to the quadrature.
+
+    ``cg_iters`` is a MAXIMUM: the solves run inside custom-VJP bodies, so
+    they use ``lax.while_loop`` and EXIT as soon as every column's relative
+    preconditioned residual drops below ``cg_tol`` (defaults per dtype in
+    ``_freeze_tol_sq``: 1e-4 f32, 1e-7 f64, 2e-2 for bf16 tile streaming —
+    each measured to leave LML error at that dtype's own noise floor).
+    Size ``cg_iters`` as a safety margin; the margin iterations cost
+    nothing.  The mBCG quadrature degree follows the exit point, which ties
+    the logdet accuracy to the spectrum's actual difficulty.
     """
     if solver not in ("slq", "mbcg"):
         raise ValueError(f"unknown sparse-LML solver {solver!r}; "
@@ -689,7 +772,7 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
             # fused quadratic + logdet: one PCG over [ym | L_M·probes],
             # backward reuses the probe solves (see _mbcg_factory)
             ql = _mbcg_factory(nb, B, cg_iters, mv_dtype=solver_dtype,
-                               mesh=mesh, halo_S=halo_S)
+                               mesh=mesh, halo_S=halo_S, tol=cg_tol)
             od = (rows_c, mv_cols, tiles, noise_diag_pad) + halo
             quad, logdet, logdet_var = ql(od, Minv, Lb, ym, Z)
             value = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
@@ -701,7 +784,7 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
         # + one matvec-VJP instead of 2·cg_iters tile passes
         solve = _implicit_cg_factory(nb, B, cg_iters, precondition,
                                      mv_dtype=solver_dtype, mesh=mesh,
-                                     halo_S=halo_S)
+                                     halo_S=halo_S, tol=cg_tol)
         if precondition:
             op_data = (rows_c, mv_cols, tiles, noise_diag_pad, Minv) + halo
         else:

@@ -285,3 +285,46 @@ def test_precond_width_engages_on_indivisible_block_counts():
     # estimates must agree to probe-noise level
     assert abs(v2 - v1) / abs(v1) < 5e-3
     assert abs(v3 - v1) / abs(v1) < 5e-3
+
+
+def test_early_exit_matches_full_run():
+    """cg_iters is a MAX: the while_loop exits at the cg_tol floor, and the
+    result must match a tight-tolerance (full-length) run to well within
+    the estimator's own accuracy.  The per-column freeze floor stays TIGHT
+    even when the exit tolerance is loose — probe columns must keep
+    iterating to the global exit so their Lanczos quadrature degree equals
+    the exit iteration (per-column freezing at the loose floor measurably
+    biased the logdet: dlml 2.8e-6 -> 1.2e-4 at the N=50k bench)."""
+    x, y, hps, nb, B, args = _setup(N=500)
+    h = jnp.asarray(hps)
+    tight = SL.make_sparse_lml(wendland_anisotropic, nb, B, cg_iters=200,
+                               slq_degree=20, solver="mbcg", cg_tol=1e-8)
+    loose = SL.make_sparse_lml(wendland_anisotropic, nb, B, cg_iters=200,
+                               slq_degree=20, solver="mbcg", cg_tol=1e-3)
+    v_t, g_t = jax.jit(jax.value_and_grad(tight, has_aux=False))(h, *args)
+    v_l, g_l = jax.jit(jax.value_and_grad(loose, has_aux=False))(h, *args)
+    assert abs(float(v_l) - float(v_t)) / abs(float(v_t)) < 1e-4
+    np.testing.assert_allclose(np.asarray(g_l), np.asarray(g_t), rtol=2e-2)
+
+
+def test_sparse_cg_tol_threads_through_facade():
+    """The public args key sparse_cg_tol reaches the traced sparse LML."""
+    from fvgp_tpu import GP
+    rng = np.random.default_rng(5)
+    N = 500
+    x = rng.uniform(0, 10, (N, 2))
+    y = np.sin(x[:, 0])
+    hps = np.array([1.0, 1.5, 1.5])
+
+    def value(tol_args):
+        gp = GP(x, y, init_hyperparameters=hps.copy(),
+                noise_variances=np.full(N, 1e-2), gp2Scale=True,
+                args={"gp2Scale_block_size": 64, "sparse_cg_maxiter": 200,
+                      "random_logdet_fixed_probes": 32, **tol_args})
+        v, g = gp.marginal_likelihood.log_likelihood_value_and_gradient(hps)
+        return float(v), np.asarray(g)
+
+    v_def, g_def = value({})
+    v_loose, g_loose = value({"sparse_cg_tol": 1e-3})
+    assert np.isfinite(v_loose) and np.all(np.isfinite(g_loose))
+    assert abs(v_loose - v_def) / abs(v_def) < 1e-4
