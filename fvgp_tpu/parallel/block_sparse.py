@@ -90,14 +90,44 @@ def _bsm_matmat(rows, cols, tiles, X, nb, block_size):
     return out.reshape(n_pad, k)[:X.shape[0]]
 
 
+@jax.jit
+def _fro2_one(t):
+    """Fused convert+square+reduce of one tile slice — never materializes
+    the f32 copy of sub-f32 tile storage."""
+    return jnp.sum(jnp.square(t.astype(jnp.float32)))
+
+
+def _fro2_chunked(tiles, chunk=16384):
+    """Σ tiles² in f32, jitted per chunk so peak memory is one chunk
+    (16384 B=128 bf16 tiles = 0.5 GB read per pass)."""
+    T = int(tiles.shape[0])
+    total = jnp.zeros((), jnp.float32)
+    for s in range(0, T, chunk):
+        total = total + _fro2_one(tiles[s:s + chunk])
+    return total
+
+
 @functools.partial(jax.jit, static_argnames=("nb", "block_size", "n"))
-def _bsm_diagonal(rows, cols, tiles, nb, block_size, n):
-    diag_mask = rows == cols
+def _bsm_diagonal_sel(rows_sel, tiles_sel, nb, block_size, n):
+    """Diagonal from the PRE-SELECTED diagonal-block tiles only."""
     idx = jnp.arange(block_size)
-    tile_diags = tiles[:, idx, idx]                       # (nnzb, B)
-    contrib = jnp.where(diag_mask[:, None], tile_diags, 0.0)
-    out = jax.ops.segment_sum(contrib, rows, num_segments=nb)
+    tile_diags = tiles_sel[:, idx, idx]                   # (n_sel, B)
+    out = jax.ops.segment_sum(tile_diags, rows_sel, num_segments=nb)
     return out.reshape(nb * block_size)[:n]
+
+
+def _bsm_diagonal(rows, cols, tiles, nb, block_size, n):
+    """diag(A) for tile storage.  The diagonal-block tiles are selected by
+    HOST-side index before anything touches the tile array: the old jitted
+    ``tiles[:, idx, idx]`` gather over all T tiles forced XLA to copy the
+    ENTIRE array into a transposed layout (7×1 GB HLO temps at N=1M —
+    the committed-state OOM, seen in the allocator report as
+    ``jit(_bsm_diagonal)/gather``)."""
+    sel = np.nonzero((np.asarray(rows) == np.asarray(cols))
+                     & (np.asarray(rows) < nb))[0]
+    sel = jnp.asarray(sel)
+    return _bsm_diagonal_sel(jnp.asarray(rows)[sel],
+                             jnp.asarray(tiles)[sel], nb, block_size, n)
 
 
 class BlockSparseMatrix:
@@ -253,20 +283,32 @@ class BlockSparseMatrix:
         drift fingerprint (ref gp_kv.py:216-239).  The extra diagonal is
         folded in exactly: ||K+D||_F^2 = ||K||_F^2 + 2<diag K, d> + ||d||^2.
 
-        Called eagerly (the fingerprint floats immediately).  merge()
-        produces duplicate (row, col) tiles whose sum is the represented
-        matrix; they are coalesced here before squaring so the Frobenius
-        norm keeps the cross terms."""
+        Called eagerly (the fingerprint floats immediately), so the
+        reduction runs as jitted chunks: an eager ``tiles.astype(f32)``
+        MATERIALIZES a full-precision copy of the tile array — 15 GB at
+        N=1M bf16 storage, which OOM'd every committed-state solve's
+        drift check on one chip (the preconditioner-build path caught its
+        own failure and fell back; the warm-start check then hit the same
+        allocation uncaught).  The chunked jit fuses convert+square+reduce
+        per slice, so peak memory is one chunk.
+
+        merge() produces duplicate (row, col) tiles whose sum is the
+        represented matrix: ||Σ_g t_g||² = Σ||t||² + 2Σ_{i<j in g}<t_i,t_j>
+        — the cross terms are added from the (few) duplicate groups only,
+        never by coalescing the whole array."""
         tr = jnp.sum(self.diagonal())
-        acc = jnp.promote_types(self.tiles.dtype, jnp.float32)
-        tiles = self.tiles.astype(acc)
+        fro2 = _fro2_chunked(self.tiles)
         key = (np.asarray(self.rows).astype(np.int64) * self.nb_cols
                + np.asarray(self.cols))
-        uniq, inv = np.unique(key, return_inverse=True)
+        uniq, inv, counts = np.unique(key, return_inverse=True,
+                                      return_counts=True)
         if len(uniq) != len(key):
-            tiles = jax.ops.segment_sum(tiles, jnp.asarray(inv),
-                                        num_segments=len(uniq))
-        fro2 = jnp.sum(tiles ** 2)
+            dup_groups = np.nonzero(counts > 1)[0]
+            for g in dup_groups:
+                idx = np.nonzero(inv == g)[0]
+                tg = self.tiles[jnp.asarray(idx)].astype(jnp.float32)
+                s = jnp.sum(tg, axis=0)
+                fro2 = fro2 + (jnp.sum(s * s) - jnp.sum(tg * tg))
         if self.diag is not None:
             base = _bsm_diagonal(self.rows, self.cols, self.tiles,
                                  self.nb, self.block_size, self.n)
@@ -325,10 +367,18 @@ class BlockSparseMatrix:
 
     def diagonal_tiles(self):
         """(nb, B, B) stack of the diagonal tiles (block-Jacobi input).
-        Missing diagonal tiles come back as zero blocks."""
-        diag_mask = (self.rows == self.cols) & (self.rows < self.nb)
-        contrib = jnp.where(diag_mask[:, None, None], self.tiles, 0.0)
-        out = jax.ops.segment_sum(contrib, self.rows, num_segments=self.nb)
+        Missing diagonal tiles come back as zero blocks.
+
+        The selection happens by host-side index, NOT an in-place
+        ``jnp.where`` over the tile array: the eager where materialized a
+        full zeroed copy of the tiles (7.5 GB at N=1M) before the
+        segment_sum dropped all but ~nb of them — the committed-state
+        preconditioner build OOM'd on exactly that at the bench scale."""
+        sel = np.nonzero((np.asarray(self.rows) == np.asarray(self.cols))
+                         & (np.asarray(self.rows) < self.nb))[0]
+        out = jax.ops.segment_sum(self.tiles[jnp.asarray(sel)],
+                                  self.rows[jnp.asarray(sel)],
+                                  num_segments=self.nb)
         if self.diag is not None:
             out = out.astype(jnp.promote_types(out.dtype, self.diag.dtype))
             dp = jnp.zeros((self.nb * self.block_size,), self.diag.dtype)
@@ -341,11 +391,15 @@ class BlockSparseMatrix:
     def off_diagonal_tiles(self, offset=1):
         """(nb, B, B) stack of the k-th block superdiagonal tiles
         (rows + offset == cols); missing tiles are zero blocks.  Input to
-        the overlapping-Schwarz preconditioner's coupled windows."""
-        m = ((self.rows + offset == self.cols) & (self.rows < self.nb)
-             & (self.cols < self.nb_cols))
-        contrib = jnp.where(m[:, None, None], self.tiles, 0.0)
-        return jax.ops.segment_sum(contrib, self.rows, num_segments=self.nb)
+        the overlapping-Schwarz preconditioner's coupled windows.  Selected
+        by host-side index for the same reason as ``diagonal_tiles``."""
+        r = np.asarray(self.rows)
+        c = np.asarray(self.cols)
+        sel = np.nonzero((r + offset == c) & (r < self.nb)
+                         & (c < self.nb_cols))[0]
+        return jax.ops.segment_sum(self.tiles[jnp.asarray(sel)],
+                                   self.rows[jnp.asarray(sel)],
+                                   num_segments=self.nb)
 
     def coarse_matrix(self):
         """(nb, nb) Galerkin coarse operator PᵀAP for the block-constant
