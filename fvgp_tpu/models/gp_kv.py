@@ -24,6 +24,7 @@ the ``sequential_linalg_state`` gate restricting that reuse to MCMC
 import contextlib
 import warnings
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,6 +117,7 @@ class GPkv:
             self.data.args = resolved
 
         self.linalg_mode = linalg_mode
+        self._fast_solver_ctx = None
         self._KV = None
         self._KV_dirty = False
         self.KVinv = None
@@ -203,6 +205,9 @@ class GPkv:
         ``linalg_mode="sparseMINRES"``."""
         n = len(self.x_data)
         nnz = KV.nnz if is_block_sparse(KV) else int(np.prod(KV.shape))
+        return self._auto_mode(n, nnz)
+
+    def _auto_mode(self, n, nnz):
         sparsity = float(nnz) / float(n ** 2)
         if self.linalg_mode is not None:
             return self.linalg_mode
@@ -348,6 +353,7 @@ class GPkv:
 
     def _refresh(self, rank_n_update):
         from ..utils.logging import phase_timer
+        self._fast_solver_ctx = None        # data/hyperparameters moved
         if self.gp2Scale:
             # defer everything: KV materializes on first access, KVinvY /
             # logdet on first use (the traced LML recomputes per step)
@@ -379,7 +385,15 @@ class GPkv:
     @property
     def KVinvY(self):
         if self._KVinvY is None:
-            _ = self.KV        # materialize (also sets self._m_vec)
+            if self._m_vec is None and self.gp2Scale \
+                    and self._fast_sparse_solver() is not None:
+                # fast committed path: the mean is computable without the
+                # stored K+V (prior.m would assemble K as a side effect)
+                self._m_vec = jnp.asarray(self.prior.compute_mean(
+                    self.x_data, self.prior.hyperparameters),
+                    dtype=config.linalg_dtype(self.args))
+            if self._m_vec is None:
+                _ = self.KV    # materialize (also sets self._m_vec)
             y_mean = jnp.asarray(
                 self.y_data, dtype=config.linalg_dtype(self.args)) \
                 - self._m_vec[:, None]
@@ -516,8 +530,11 @@ class GPkv:
         return krylov.dense_matvec, jnp.asarray(KV)
 
     def _direct_dense_ok(self, KV):
+        return self._direct_dense_ok_n(KV.shape[0])
+
+    def _direct_dense_ok_n(self, n):
         cutoff = int(self.args.get("sparse_direct_dense_cutoff", 20000))
-        return KV.shape[0] <= cutoff
+        return n <= cutoff
 
     def _tols(self):
         cg_tol = float(self.args.get("sparse_cg_tol", 1e-5))
@@ -596,6 +613,187 @@ class GPkv:
         return result
 
     # ------------------------------------------------------------------
+    # committed-state fast sparse solver (in-trace tiles; no stored KV)
+    # ------------------------------------------------------------------
+    _FAST_MODES = {"sparseCG", "sparseCGpre", "sparseLU", "sparseSolve"}
+
+    def _fast_sparse_solver(self):
+        """Context for committed-state solves that assemble the covariance
+        tiles IN-TRACE at the committed hyperparameters instead of touching
+        the stored K+V (ops.sparse_lml.make_committed_solver) — the
+        prediction-path analogue of the traced training step.  None when
+        the fast path does not apply (host kernel, matrix noise, active
+        multi-device mesh, dense/direct-below-cutoff modes).
+
+        Semantics note: ``sparseCG`` solves run PRECONDITIONED here (the
+        preconditioner changes the iteration path, never the solution);
+        ``sparseLU``/``sparseSolve`` above the dense cutoff keep their
+        direct semantics via full-precision tiles and the tight tolerance
+        floor.  ``sparseMINRES*`` keeps the stored-operator path.
+        """
+        if not (self.gp2Scale and self.data.Euclidean
+                and self.prior.kernel_traceable):
+            return None
+        from ..parallel.mesh import current_mesh, tile_device_count
+        mesh = current_mesh()
+        if mesh is not None and tile_device_count(mesh) > 1:
+            return None
+        from scipy.sparse import issparse
+        V = self.V
+        if issparse(V) or is_block_sparse(V):
+            return None
+        V = np.asarray(V)
+        if V.ndim != 1:
+            return None
+        hps = np.asarray(self.prior.hyperparameters, np.float64)
+        args = self.args
+        B = int(args.get("gp2Scale_block_size",
+                         min(self.prior.batch_size, 256)))
+        pwidth = max(1, int(args.get("gp2Scale_precond_width", 1)))
+        key = (self.data.point_number, self.data.generation, B, pwidth,
+               hps.tobytes(), self.linalg_mode,
+               args.get("gp2Scale_posterior_solver_dtype"),
+               args.get("gp2Scale_solver_dtype"),
+               args.get("gp2Scale_posterior_cg_tol"),
+               args.get("gp2Scale_posterior_maxiter"))
+        ctx = self._fast_solver_ctx
+        if ctx is not None and ctx["key"] == key:
+            return ctx if ctx.get("fn") is not None else None
+
+        from ..parallel.sharded_cov import (_bucket, _candidate_pairs,
+                                            _stable_kernel_closure,
+                                            support_geometry)
+        x = np.asarray(self.x_data, np.float64)
+        n = len(x)
+        ls, radius = support_geometry(self.prior, hps, args)
+        if not np.isfinite(radius) and n > 4 * B:
+            # unpruned structure: nb² candidate tiles — no better than the
+            # stored path, so don't claim the fast path
+            self._fast_solver_ctx = {"key": key, "fn": None}
+            return None
+        if ls is None:
+            ls = np.ones(x.shape[1], dtype=np.float64)
+        ls = np.asarray(ls, np.float64)
+        from ..utils.logging import phase_timer
+        with phase_timer("committed solver: tile structure"):
+            rows, cols = _candidate_pairs(x, None, ls, radius, B,
+                                          symmetric=True)
+            off = rows < cols
+            rows_f = np.concatenate([rows, cols[off]]).astype(np.int32)
+            cols_f = np.concatenate([cols, rows[off]]).astype(np.int32)
+            if (bool(args.get("gp2Scale_tile_filter", True))
+                    and np.isfinite(radius) and len(rows_f)):
+                from ..native import tile_live
+                keep = tile_live(x / ls, rows_f, cols_f, B, radius)
+                rows_f, cols_f = rows_f[keep], cols_f[keep]
+
+        mode = self._auto_mode(n, len(rows_f) * B * B)
+        supported = mode in ("sparseCG", "sparseCGpre") or (
+            mode in ("sparseLU", "sparseSolve")
+            and not self._direct_dense_ok_n(n))
+        if not supported:
+            self._fast_solver_ctx = {"key": key, "fn": None, "mode": mode}
+            return None
+
+        from ..ops.sparse_lml import make_committed_solver, make_padded_inputs
+        dtype = config.linalg_dtype(args)
+        xb, mask, _, _, noise_pad = make_padded_inputs(
+            x, np.zeros(n), V, B, dtype=dtype, row_multiple=pwidth)
+        nb = int(xb.shape[0])
+        T_pad = _bucket(max(len(rows_f), 1))
+        rows_p = np.full(T_pad, nb, np.int32)
+        cols_p = np.full(T_pad, nb, np.int32)
+        rows_p[:len(rows_f)] = rows_f
+        cols_p[:len(cols_f)] = cols_f
+
+        if mode in ("sparseLU", "sparseSolve"):
+            sdt = None                       # direct semantics: full precision
+            tol = args.get("gp2Scale_posterior_cg_tol", None)
+        else:
+            sdt = args.get("gp2Scale_posterior_solver_dtype",
+                           args.get("gp2Scale_solver_dtype", None))
+            if isinstance(sdt, str):
+                sdt = jnp.dtype(sdt)
+            tol = args.get("gp2Scale_posterior_cg_tol", None)
+            if tol is None and sdt is not None \
+                    and jnp.dtype(sdt).itemsize < 4:
+                # posterior default is TIGHTER than the training exit (2e-2
+                # relative residual): user-facing variances deserve the
+                # bf16 matvec's attainable floor, not the SLQ-noise floor
+                tol = 1e-3
+        tol = float(tol) if tol is not None else None
+        maxiter = int(args.get(
+            "gp2Scale_posterior_maxiter",
+            max(96, 3 * int(args.get("sparse_cg_maxiter",
+                                     args.get("sparse_krylov_maxiter", 0))
+                            or 0))))
+        kern_fn = _stable_kernel_closure(self.prior)
+        solver = make_committed_solver(kern_fn, nb, B, cg_iters=maxiter,
+                                       solver_dtype=sdt,
+                                       precond_width=pwidth, cg_tol=tol)
+        # CG state is ~6 live (n_pad, c) buffers plus the matvec's cast
+        # copy: bound the columns per program so wide posterior solves
+        # never OOM (they chunk instead)
+        n_pad = nb * B
+        budget = int(args.get("gp2Scale_posterior_budget", 5 << 30))
+        bytes_per_col = n_pad * (6 * np.dtype(dtype).itemsize
+                                 + (np.dtype(sdt).itemsize if sdt else 0))
+        col_budget = max(1, budget // max(bytes_per_col, 1))
+        ctx = {"key": key, "fn": jax.jit(solver), "mode": mode,
+               "rows": jnp.asarray(rows_p), "cols": jnp.asarray(cols_p),
+               "xb": xb, "mask": mask, "noise_pad": noise_pad,
+               "hps": jnp.asarray(hps, dtype), "n": n, "n_pad": n_pad,
+               "col_budget": int(col_budget)}
+        self._fast_solver_ctx = ctx
+        return ctx
+
+    def fast_solve_col_budget(self):
+        """Columns per committed-state fast solve, or None (no fast path).
+        Callers chunk wide right-hand sides to this."""
+        ctx = self._fast_sparse_solver()
+        return None if ctx is None else ctx["col_budget"]
+
+    def _fast_solve(self, ctx, b):
+        dtype = config.linalg_dtype(self.args)
+        b = jnp.asarray(b, dtype=dtype)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        n, n_pad = ctx["n"], ctx["n_pad"]
+        cb = max(1, int(ctx["col_budget"]))
+        outs = []
+        for s in range(0, b.shape[1], cb):
+            rhs = b[:, s:s + cb]
+            # bucket the column count (powers of two, capped at the
+            # budget) so repeated posterior calls share few compiled
+            # programs instead of one per ragged chunk width
+            c = rhs.shape[1]
+            c_eff = min(max(8, 1 << (c - 1).bit_length()), cb) if c < cb \
+                else cb
+            rhs_pad = jnp.zeros((n_pad, c_eff), dtype).at[:n, :c].set(rhs)
+            X = ctx["fn"](ctx["hps"], ctx["rows"], ctx["cols"], ctx["xb"],
+                          ctx["mask"], ctx["noise_pad"], rhs_pad)
+            outs.append(X[:n, :c])
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        return out[:, 0] if squeeze else out
+
+    def _fast_solve_or_none(self, b):
+        """Serve a committed-state solve through the fast path, or None."""
+        if not self.gp2Scale:
+            return None
+        mode = self.mode
+        if mode is not None and (not isinstance(mode, str)
+                                 or mode not in self._FAST_MODES):
+            return None
+        ctx = self._fast_sparse_solver()
+        if ctx is None:
+            return None
+        if mode is None:
+            # lazy gp2Scale: commit the auto mode WITHOUT materializing KV
+            self.mode = ctx["mode"]
+        return self._fast_solve(ctx, b)
+
+    # ------------------------------------------------------------------
     def compute_new_KVinvY(self, KV, m, x0=None):
         """KVinvY for a trial (KV, m) without committing state
         (ref gp_kv.py:510-557)."""
@@ -630,7 +828,15 @@ class GPkv:
         return jnp.reshape(KVinvY, y_mean.shape), KVlogdet
 
     def solve(self, b, x0=None):
-        """Solve against the committed factorization (ref gp_kv.py:671-700)."""
+        """Solve against the committed factorization (ref gp_kv.py:671-700).
+
+        Under gp2Scale with a traceable kernel this routes through the
+        committed-state fast solver (in-trace tiles, wide preconditioned
+        CG) and never materializes the stored K+V; ``x0`` is ignored there
+        (the early-exit CG converges from zero in the same few passes)."""
+        fast = self._fast_solve_or_none(b)
+        if fast is not None:
+            return fast
         if self.mode is None and self.gp2Scale:
             _ = self.KV            # lazy materialization resolves the mode
         mode = self.mode
@@ -670,10 +876,12 @@ class GPkv:
             if val is not None and not is_block_sparse(val):
                 state[key] = np.asarray(val)
         state["Preconditioner_operator"] = None
+        state["_fast_solver_ctx"] = None     # jitted closures + device arrays
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        self.__dict__.setdefault("_fast_solver_ctx", None)
         for key in ("_KV", "KVinv", "Chol_factor", "_KVinvY", "_m_vec"):
             val = self.__dict__.get(key)
             if isinstance(val, np.ndarray):

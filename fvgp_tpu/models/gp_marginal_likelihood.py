@@ -709,6 +709,15 @@ class GPMarginalLikelihood:
     def log_likelihood(self, hyperparameters=None):
         """Marginal log-likelihood (ref gp_marginal_likelihood.py:137)."""
         if hyperparameters is None:
+            if self._sparse_traced_ready() \
+                    and self.kv._fast_sparse_solver() is not None:
+                # committed state through the traced sparse program: same
+                # estimator as training evaluations, and the stored K+V
+                # (~10 GB at N=1M) never materializes.  Gated on the kv
+                # fast path so small-N dense modes (Chol/dense-cutoff LU)
+                # keep their EXACT deterministic logdet
+                val = self._sparse_lml_eval(np.asarray(self.hyperparameters))
+                return val if np.isfinite(val) else -np.inf
             K, V, m = self.prior.K, self.likelihood.V, self.prior.m
             KVinvY = self.kv.KVinvY
             KVlogdet = self.kv.logdet_KV

@@ -181,18 +181,33 @@ def run_mcmc_vectorized(log_likelihood_batch, bounds, x0s, *, n_updates=10000,
     def in_box(P):
         return np.all((P >= bounds[:, 0]) & (P <= bounds[:, 1]), axis=1)
 
+    def chain_chols(Sigma, sigma_m):
+        """One batched (C, H, H) Cholesky of the scaled proposal
+        covariances — recomputed only when the adaptation moves them,
+        so the per-step proposal is a single batched matmul instead of
+        C host multivariate_normal draws (O(C·H³) each)."""
+        A = Sigma * sigma_m[:, None, None]
+        try:
+            return np.linalg.cholesky(A)
+        except np.linalg.LinAlgError:
+            jit = 1e-12 * np.maximum(
+                np.trace(A, axis1=1, axis2=2), 1e-30)
+            return np.linalg.cholesky(A + jit[:, None, None] * np.eye(H))
+
     like = np.asarray(log_likelihood_batch(X), dtype=float)
     trace_x = [X.copy()]
     trace_f = [like.copy()]
-    accept_hist = []
-    start = time.time()
+    pooled_hist = [float(like.mean())]     # running per-step chain means:
+    accept_hist = []                       # the break test is O(window),
+    start = time.time()                    # never a full-trace conversion
     stamps = []
+    L = chain_chols(Sigma, sigma_m)
 
     n_updates = max(int(n_updates), 2)
     for i in range(1, n_updates):
-        # per-chain multivariate-normal proposals (host; tiny)
-        prop = np.stack([rng.multivariate_normal(X[c], sigma_m[c] * Sigma[c])
-                         for c in range(C)])
+        # batched per-chain Gaussian step: X + L·z in one einsum
+        z = rng.standard_normal((C, H))
+        prop = X + np.einsum("chk,ck->ch", L, z)
         ok = in_box(prop)
         cand = np.where(ok[:, None], prop, X)
         like_cand = np.asarray(log_likelihood_batch(cand), dtype=float)
@@ -206,6 +221,7 @@ def run_mcmc_vectorized(log_likelihood_batch, bounds, x0s, *, n_updates=10000,
         like = np.where(accept, like_cand, like)
         trace_x.append(X.copy())
         trace_f.append(like.copy())
+        pooled_hist.append(float(like.mean()))
         stamps.append(time.time() - start)
         accept_hist.append(accept.astype(float))
 
@@ -216,14 +232,15 @@ def run_mcmc_vectorized(log_likelihood_batch, bounds, x0s, *, n_updates=10000,
                 sigma_m[c], Sigma[c] = shaby_update(
                     sigma_m[c], Sigma[c], rates[c], recent[:, c, :], i, K,
                     r_opt=r_opt, c_0=c_0, c_1=c_1)
+            L = chain_chols(Sigma, sigma_m)
 
         if info and (i % 10) == 0:
             print(f"mcmc chains step {i}/{n_updates}: best f(x)= "
                   f"{np.max(trace_f[-1]):.4f}")
         if break_condition == "default" and i >= 1000:
-            F = np.asarray(trace_f)
-            pooled = F.mean(axis=1)
-            if abs(pooled[-100:].mean() - pooled[-200:-100].mean()) < 1e-3:
+            # O(window): the running pooled means, never the full trace
+            if abs(float(np.mean(pooled_hist[-100:]))
+                   - float(np.mean(pooled_hist[-200:-100]))) < 1e-3:
                 break
 
     Xs = np.asarray(trace_x)            # (steps, C, H)

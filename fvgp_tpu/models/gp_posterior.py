@@ -116,13 +116,22 @@ class GPposterior:
         the solve loops more, but never OOMs)."""
         n_pred = k.shape[1]
         if chunk_size is None:
-            chunk_size = n_pred if not self.gp2Scale else self.prior.batch_size
-            KV = getattr(self.kv, "KV", None)
-            if self.gp2Scale and is_block_sparse(KV):
-                itemsize = np.dtype(
-                    config.linalg_dtype(self.data.args)).itemsize
-                chunk_size = min(int(chunk_size),
-                                 KV._col_chunk(n_pred, itemsize))
+            fast_cb = (self.kv.fast_solve_col_budget()
+                       if self.gp2Scale else None)
+            if fast_cb is not None:
+                # committed-state fast solver: the memory bound is its CG
+                # state, and the stored KV must NOT be touched (accessing
+                # the property materializes ~10 GB of tiles at N=1M)
+                chunk_size = fast_cb
+            else:
+                chunk_size = (n_pred if not self.gp2Scale
+                              else self.prior.batch_size)
+                KV = getattr(self.kv, "KV", None)
+                if self.gp2Scale and is_block_sparse(KV):
+                    itemsize = np.dtype(
+                        config.linalg_dtype(self.data.args)).itemsize
+                    chunk_size = min(int(chunk_size),
+                                     KV._col_chunk(n_pred, itemsize))
         chunk_size = max(1, min(int(chunk_size), n_pred))
         parts = []
         kd = None if is_block_sparse(k) else jnp.asarray(k)
@@ -205,12 +214,11 @@ class GPposterior:
         if isinstance(x_out, np.ndarray):
             x_pred = self.cartesian_product(x_pred, x_out)
 
-        f = np.asarray(self.prior.compute_mean(x_pred, hyperparameters))
-        eps = 1e-6
+        # mean derivative: exact (autodiff / analytic zero) on the traced
+        # path, finite differences only for host-callable means (prior.dm_dx)
         if direction is not None:
-            x1 = np.array(x_pred)
-            x1[:, direction] += eps
-            mean_der = (np.asarray(self.prior.compute_mean(x1, hyperparameters)) - f) / eps
+            mean_der = np.asarray(self.prior.dm_dx(x_pred, hyperparameters,
+                                                   direction))
             k_g = self.prior.d_kernel_dx(x_pred, x_data, direction, hyperparameters)
             grad = mean_der + np.asarray(k_g @ KVinvY)
             if isinstance(x_out, np.ndarray):
@@ -218,9 +226,7 @@ class GPposterior:
             return {"x": x_orig, "direction": direction, "dm/dx": grad}
         grad = np.zeros((len(x_pred), x_orig.shape[1]))
         for d in range(len(x_orig[0])):
-            x1 = np.array(x_pred)
-            x1[:, d] += eps
-            mean_der = (np.asarray(self.prior.compute_mean(x1, hyperparameters)) - f) / eps
+            mean_der = np.asarray(self.prior.dm_dx(x_pred, hyperparameters, d))
             k_g = self.prior.d_kernel_dx(x_pred, x_data, d, hyperparameters)
             grad[:, d] = mean_der + np.asarray(k_g @ KVinvY)
         if isinstance(x_out, np.ndarray):

@@ -17,6 +17,7 @@ TPU-first redesign:
   scatter lifetime management exists at all.
 """
 
+import functools
 import inspect
 import warnings
 
@@ -32,6 +33,19 @@ warnings.simplefilter("once", UserWarning)
 
 def _n_params(fn):
     return len(inspect.signature(fn).parameters)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_fn",))
+def _dense_cross_scan(kernel_fn, xc, xp, hps):
+    """k(x_chunk, x_pred) row-chunk sweep: the (n, n_pred) dense cross
+    covariance without any (n, n_pred)-sized kernel intermediates beyond
+    the output itself."""
+    def body(carry, xrow):
+        return carry, kernel_fn(xrow, xp, hps)
+
+    _, out = jax.lax.scan(body, 0, xc)
+    nch, R = xc.shape[0], xc.shape[1]
+    return out.reshape(nch * R, -1)
 
 
 def _is_traceable(fn, *example_args):
@@ -287,10 +301,44 @@ class GPprior:
         return self.compute_covariances(x, x, hyperparameters)
 
     def compute_data_cross_covariance(self, x_pred, hyperparameters):
-        """k(x_data, x_pred) (ref gp_prior.py:199-211)."""
+        """k(x_data, x_pred) (ref gp_prior.py:199-211).
+
+        Under gp2Scale with few prediction points the cross covariance is
+        evaluated DENSE in row chunks (the committed-state analogue of the
+        reference's einsum fast path, ref gp_posterior.py:238-244): a few
+        hundred columns against millions of rows is a bandwidth-trivial
+        kernel sweep, while the rectangular tile-structure machinery costs
+        a box prune + liveness pass + chunked assembly per call."""
         if self.gp2Scale and len(self.x_data) > self.batch_size:
+            k = self._dense_cross_or_none(x_pred, hyperparameters)
+            if k is not None:
+                return k
             return self._gp2Scale_covariance(self.x_data, x_pred, hyperparameters)
         return self.compute_covariances(self.x_data, x_pred, hyperparameters)
+
+    def _dense_cross_or_none(self, x_pred, hyperparameters):
+        """Chunked dense k(x_data, x_pred) for small prediction sets, or
+        None when the dense array would not fit the memory budget / the
+        kernel is a host callable."""
+        if not (self.kernel_traceable and self.Euclidean
+                and isinstance(x_pred, np.ndarray)):
+            return None
+        n = len(self.x_data)
+        n_pred = len(x_pred)
+        dtype = config.linalg_dtype(self.args)
+        budget = int(self.args.get("gp2Scale_dense_cross_budget", 4 << 30))
+        if n * max(n_pred, 1) * jnp.dtype(dtype).itemsize > budget:
+            return None
+        from ..parallel.sharded_cov import _stable_kernel_closure
+        kern_fn = _stable_kernel_closure(self)
+        R = 8192
+        n_pad = -(-n // R) * R
+        xd = jnp.pad(self._x_dev, ((0, n_pad - n), (0, 0)))
+        xc = xd.reshape(n_pad // R, R, -1)
+        xp = config.asarray(np.asarray(x_pred, dtype=np.float64), self.args)
+        hps = config.asarray(np.asarray(hyperparameters), self.args)
+        out = _dense_cross_scan(kern_fn, xc, xp, hps)
+        return out[:n]
 
     def _compute_prior(self, x_data, hyperparameters):
         m = self.compute_mean(x_data, hyperparameters)
@@ -354,6 +402,30 @@ class GPprior:
         A = self.compute_covariances(x1s, x2, hyperparameters)
         Bm = self.compute_covariances(x1, x2, hyperparameters)
         return (A - Bm) / eps
+
+    def dm_dx(self, x, hyperparameters, direction):
+        """∂m(x)/∂x[direction]: exactly zero for the default constant mean,
+        exact via jacfwd for traceable user means, forward-difference for
+        host callables (the reference finite-differences unconditionally,
+        ref gp_posterior.py:199-205)."""
+        if self._default_mean:
+            return jnp.zeros((len(x),), dtype=config.linalg_dtype(self.args))
+        if self.mean_traceable:
+            hps = config.asarray(hyperparameters)
+            a = self._as_kernel_input(x)
+
+            def m_of_shift(s):
+                xs = a.at[:, direction].add(s)
+                if self.m_n_params == 2:
+                    return self.mean_function(xs, hps)
+                return self.mean_function(xs, hps, self.args)
+            return jax.jacfwd(m_of_shift)(jnp.zeros((), a.dtype))
+        eps = 1e-6
+        x1 = np.array(x, dtype=np.float64)
+        x1[:, direction] += eps
+        return (jnp.asarray(np.asarray(self.compute_mean(x1, hyperparameters)))
+                - jnp.asarray(np.asarray(self.compute_mean(x, hyperparameters)))
+                ) / eps
 
     def _apply_kernel_dev(self, a, b, hps):
         if self.k_n_params == 3:

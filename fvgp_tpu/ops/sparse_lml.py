@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-__all__ = ["make_sparse_lml", "assemble_tiles", "tile_maxabs"]
+__all__ = ["make_sparse_lml", "make_committed_solver", "assemble_tiles",
+           "tile_maxabs"]
 
 
 def _assembly_chunk(T_pad, target=2048):
@@ -203,6 +204,39 @@ def _halo_spmv_factory(nb, B, mesh, halo_S, mv_dtype=None):
                          out_specs=tile_spec(mesh, 1))
 
 
+def _spmv_scan(rows, cols, tiles, X, nb, B, mv_dtype=None):
+    """Tile-CHUNKED SpMM for wide right-hand sides (lax.scan over tile
+    slices).  The flat ``_spmv`` materializes a (T, B, c) per-tile product —
+    ~34 GB at N=1M with c=500 — so wide committed-state solves (posterior
+    cross-covariances) stream the tiles in chunks instead: peak extra memory
+    is one (chunk, B, c) slice plus the (nb, B, c) accumulator, which XLA
+    updates in place through the scan carry.  Sentinel contract matches
+    ``_spmv``: rows/cols may arrive clamped with zeroed sentinel tiles, or
+    unclamped (row == nb) — the ``mode='drop'`` scatter ignores those."""
+    acc_dt = X.dtype if X.dtype == jnp.float64 else jnp.float32
+    Xc = X.astype(mv_dtype) if mv_dtype is not None else X
+    c = X.shape[1]
+    Xb = Xc.reshape(nb, B, c)
+    T = int(tiles.shape[0])
+    # chunk sized so the per-slice product stays ~256 MB
+    target = max(64, (256 << 20) // max(B * c * jnp.dtype(acc_dt).itemsize, 1))
+    chunk = _assembly_chunk(T, target=min(target, 8192))
+
+    def body(acc, rct):
+        r, cc, t = rct
+        if mv_dtype is not None:
+            t = t.astype(mv_dtype)
+        prod = jnp.einsum("tij,tjk->tik", t, Xb[jnp.minimum(cc, nb - 1)],
+                          preferred_element_type=acc_dt)
+        return acc.at[r].add(prod, mode="drop"), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((nb, B, c), acc_dt),
+        (rows.reshape(-1, chunk), cols.reshape(-1, chunk),
+         tiles.reshape(-1, chunk, B, B)))
+    return acc.reshape(nb * B, c).astype(X.dtype)
+
+
 def _spmv_for(nb, B, mesh, mv_dtype=None, halo_S=None):
     """The SpMM for this mesh: row-partitioned shard_map when a (>1 device)
     mesh is given (with halo exchange when a ``halo_S`` plan is supplied);
@@ -235,6 +269,87 @@ def _spmv_for(nb, B, mesh, mv_dtype=None, halo_S=None):
         return _spmv(rows, cols, tiles, X, nb, B, mv_dtype=mv_dtype)
 
     return spmv
+
+
+def _assemble_chunked_tiles(kernel_fn, B, solver_dtype, hps, rows_c, cols_c,
+                            live, xb, mask):
+    """Chunked, remat'd in-trace tile assembly (shared by the traced LML and
+    the committed-state solver).  Chunking bounds the assembly-VJP's
+    temporaries to one chunk (an unchunked vjp materializes a full f32
+    (T, B, B) reduce temp — 12.5 GB at N=500k); remat keeps the per-tile
+    kernel intermediates out of the residuals.  The sentinel mask (`live`)
+    is folded into the per-tile computation so no full-size elementwise
+    pass exists outside the chunks."""
+    T = rows_c.shape[0]
+    chunk = _assembly_chunk(T)
+    Rc = rows_c.reshape(-1, chunk)
+    Cc = cols_c.reshape(-1, chunk)
+    Lv = live.reshape(-1, chunk)
+
+    @jax.checkpoint
+    def one_chunk(carry, rcl):
+        r, c, lv = rcl
+
+        def one(i, j, alive):
+            Kt = kernel_fn(xb[i], xb[j], hps)
+            Kt = Kt * (mask[i][:, None] * mask[j][None, :])
+            Kt = jnp.where(alive, Kt, 0.0)
+            return Kt if solver_dtype is None else Kt.astype(solver_dtype)
+
+        return carry, jax.vmap(one)(r, c, lv)
+
+    _, tiles = jax.lax.scan(one_chunk, 0, (Rc, Cc, Lv))
+    return tiles.reshape(T, B, B)
+
+
+def _diag_precond_blocks(kernel_fn, B, precond_width, hps, xb, mask,
+                         noise_local, i0):
+    """Block-diagonal preconditioner from exact kernel blocks of
+    ``precond_width`` point blocks each: one batched Cholesky + an
+    explicit block inverse so every CG iteration is one batched matmul
+    — all MXU work (no gradient through the preconditioner: it only
+    changes the iteration path, not the solution, so stop_gradient
+    keeps the backward pass lean).
+
+    ``precond_width`` > 1 groups ADJACENT point blocks (a pure reshape
+    — blocks are index-consecutive, and Morton ordering makes adjacent
+    blocks spatial neighbors), capturing the inter-block coupling that
+    stalls plain block-Jacobi on long length scales, while M stays
+    block-diagonal so the mBCG quadrature's exact log|M| correction
+    still holds.  ``i0``/``noise_local`` let the same code run
+    per-device under shard_map."""
+    nb_loc = noise_local.shape[0] // B
+    if nb_loc % precond_width == 0:
+        w = precond_width
+    else:
+        # under a mesh nb_loc is the PER-DEVICE block count, so the same
+        # args can be viable single-device yet indivisible on the mesh —
+        # falling back silently would change convergence without a trace
+        import warnings
+        warnings.warn(
+            f"gp2Scale_precond_width={precond_width} does not divide the "
+            f"local block count {nb_loc}; falling back to width-1 "
+            "block-Jacobi (choose a width dividing n_blocks/n_devices)",
+            stacklevel=2)
+        w = 1
+    P = w * B
+    ng = nb_loc // w
+    idxB = i0 + jnp.arange(nb_loc)
+    xg = xb[idxB].reshape(ng, P, xb.shape[-1])
+    mg = mask[idxB].reshape(ng, P)
+    diag_blocks = jax.vmap(
+        lambda xx, mm: kernel_fn(xx, xx, hps)
+        * (mm[:, None] * mm[None, :]))(xg, mg)
+    nvb = noise_local.reshape(ng, P)
+    eye = jnp.arange(P)
+    diag_blocks = diag_blocks.at[:, eye, eye].add(nvb)
+    Lb = jnp.linalg.cholesky(jax.lax.stop_gradient(diag_blocks))
+    eyeP = jnp.eye(P, dtype=Lb.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(
+        Lb, jnp.broadcast_to(eyeP, Lb.shape), lower=True)
+    Minv = jnp.einsum("rji,rjk->rik", Linv, Linv,
+                      preferred_element_type=Lb.dtype)
+    return Minv, Lb
 
 
 def _freeze_tol_sq(tol, mv_dtype, res_dtype):
@@ -634,80 +749,14 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
     spmv = _spmv_for(nb, B, mesh, mv_dtype=solver_dtype, halo_S=halo_S)
 
     def _assemble_chunked(hps, rows_c, cols_c, live, xb, mask):
-        """Chunked, remat'd assembly.  Chunking bounds the assembly-VJP's
-        temporaries to one chunk (an unchunked vjp materializes a full
-        f32 (T, B, B) reduce temp — 12.5 GB at N=500k); remat keeps the
-        per-tile kernel intermediates out of the residuals.  The sentinel
-        mask (`live`) is folded into the per-tile computation so no
-        full-size elementwise pass exists outside the chunks."""
-        T = rows_c.shape[0]
-        chunk = _assembly_chunk(T)
-        Rc = rows_c.reshape(-1, chunk)
-        Cc = cols_c.reshape(-1, chunk)
-        Lv = live.reshape(-1, chunk)
-
-        @jax.checkpoint
-        def one_chunk(carry, rcl):
-            r, c, lv = rcl
-
-            def one(i, j, alive):
-                Kt = kernel_fn(xb[i], xb[j], hps)
-                Kt = Kt * (mask[i][:, None] * mask[j][None, :])
-                Kt = jnp.where(alive, Kt, 0.0)
-                return Kt if solver_dtype is None else Kt.astype(solver_dtype)
-
-            return carry, jax.vmap(one)(r, c, lv)
-
-        _, tiles = jax.lax.scan(one_chunk, 0, (Rc, Cc, Lv))
-        return tiles.reshape(T, B, B)
+        """Chunked, remat'd assembly (see _assemble_chunked_tiles)."""
+        return _assemble_chunked_tiles(kernel_fn, B, solver_dtype, hps,
+                                       rows_c, cols_c, live, xb, mask)
 
     def _diag_precond(hps, xb, mask, noise_local, i0):
-        """Block-diagonal preconditioner from exact kernel blocks of
-        ``precond_width`` point blocks each: one batched Cholesky + an
-        explicit block inverse so every CG iteration is one batched matmul
-        — all MXU work (no gradient through the preconditioner: it only
-        changes the iteration path, not the solution, so stop_gradient
-        keeps the backward pass lean).
-
-        ``precond_width`` > 1 groups ADJACENT point blocks (a pure reshape
-        — blocks are index-consecutive, and Morton ordering makes adjacent
-        blocks spatial neighbors), capturing the inter-block coupling that
-        stalls plain block-Jacobi on long length scales, while M stays
-        block-diagonal so the mBCG quadrature's exact log|M| correction
-        still holds.  ``i0``/``noise_local`` let the same code run
-        per-device under shard_map."""
-        nb_loc = noise_local.shape[0] // B
-        if nb_loc % precond_width == 0:
-            w = precond_width
-        else:
-            # under a mesh nb_loc is the PER-DEVICE block count, so the same
-            # args can be viable single-device yet indivisible on the mesh —
-            # falling back silently would change convergence without a trace
-            import warnings
-            warnings.warn(
-                f"gp2Scale_precond_width={precond_width} does not divide the "
-                f"local block count {nb_loc}; falling back to width-1 "
-                "block-Jacobi (choose a width dividing n_blocks/n_devices)",
-                stacklevel=2)
-            w = 1
-        P = w * B
-        ng = nb_loc // w
-        idxB = i0 + jnp.arange(nb_loc)
-        xg = xb[idxB].reshape(ng, P, xb.shape[-1])
-        mg = mask[idxB].reshape(ng, P)
-        diag_blocks = jax.vmap(
-            lambda xx, mm: kernel_fn(xx, xx, hps)
-            * (mm[:, None] * mm[None, :]))(xg, mg)
-        nvb = noise_local.reshape(ng, P)
-        eye = jnp.arange(P)
-        diag_blocks = diag_blocks.at[:, eye, eye].add(nvb)
-        Lb = jnp.linalg.cholesky(jax.lax.stop_gradient(diag_blocks))
-        eyeP = jnp.eye(P, dtype=Lb.dtype)
-        Linv = jax.scipy.linalg.solve_triangular(
-            Lb, jnp.broadcast_to(eyeP, Lb.shape), lower=True)
-        Minv = jnp.einsum("rji,rjk->rik", Linv, Linv,
-                          preferred_element_type=Lb.dtype)
-        return Minv, Lb
+        """Block-diagonal preconditioner (see _diag_precond_blocks)."""
+        return _diag_precond_blocks(kernel_fn, B, precond_width, hps, xb,
+                                    mask, noise_local, i0)
 
     if mesh is not None:
         from ..parallel.mesh import flat_tile_index, tile_spec
@@ -798,6 +847,63 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
         return value
 
     return lml
+
+
+def make_committed_solver(kernel_fn, nb, B, *, cg_iters=96, solver_dtype=None,
+                          precond_width=1, cg_tol=None):
+    """Committed-state WIDE solve (K+V)⁻¹ RHS as one jittable program
+
+        solve(hps, rows, cols, xb, mask, noise_diag_pad, RHS) -> X (nb*B, c)
+
+    This is the prediction-path analogue of the traced training step: the
+    covariance tiles are assembled IN-TRACE from the (static) block
+    structure at the committed hyperparameters, the preconditioner is the
+    same batched block-Jacobi/width-grouped factorization, and the solve is
+    the early-exit preconditioned CG — so posterior solves never
+    materialize a stored K+V (the reference keeps a CSR copy and runs
+    scipy CG per right-hand side, ref gp_posterior.py:120-136 /
+    gp_lin_alg.py:1184-1291; at N=1M the stored-tile path here cost
+    ~80 s of setup plus minutes of per-chunk solves).
+
+    ``rows``/``cols`` arrive UNCLAMPED (sentinel == nb, bucket padding);
+    the assembler clamps and zeroes sentinel tiles, so any SpMM formulation
+    is safe.  Right-hand sides with many columns stream the tiles through
+    ``_spmv_scan`` (the flat per-tile product would be tens of GB); narrow
+    ones keep the flat/Pallas path.  Padded rows carry unit noise and zero
+    RHS, so their solution is exactly zero.
+    """
+
+    flat_spmv = _spmv_for(nb, B, None, mv_dtype=solver_dtype)
+
+    def solve(hps, rows, cols, xb, mask, noise_diag_pad, RHS):
+        rows_c = jnp.minimum(rows, nb - 1)
+        cols_c = jnp.minimum(cols, nb - 1)
+        tiles = _assemble_chunked_tiles(kernel_fn, B, solver_dtype, hps,
+                                        rows_c, cols_c, rows < nb, xb, mask)
+        c = RHS.shape[1]
+        T = int(rows.shape[0])
+        acc_bytes = 8 if RHS.dtype == jnp.float64 else 4
+        wide = T * B * c * acc_bytes * 2 > _SPMV_FLAT_BUDGET
+
+        def matvec(X):
+            if wide:
+                out = _spmv_scan(rows_c, cols_c, tiles, X, nb, B,
+                                 mv_dtype=solver_dtype)
+            else:
+                out = flat_spmv(rows_c, cols_c, tiles, X)
+            return out + noise_diag_pad[:, None] * X
+
+        Minv, _ = _diag_precond_blocks(kernel_fn, B, precond_width, hps,
+                                       xb, mask, noise_diag_pad, 0)
+        return _cg_fixed(matvec, RHS, cg_iters,
+                         M=lambda X: _block_apply(Minv, X),
+                         tol=cg_tol, mv_dtype=solver_dtype)
+
+    return solve
+
+
+# flat-SpMM budget for the committed solver's per-tile product (bytes)
+_SPMV_FLAT_BUDGET = 2 << 30
 
 
 def make_padded_inputs(x, y, noise_diag, block_size, dtype=jnp.float32,

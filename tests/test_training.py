@@ -144,6 +144,55 @@ def test_gpmcmc_standalone():
     assert len(info["f(x)"]) > 100
 
 
+def test_run_mcmc_vectorized_samples_gaussian_and_breaks():
+    """The batched-proposal vectorized sampler (one Cholesky-based (C, H)
+    draw per step, no per-chain host loop) still samples a known Gaussian,
+    and the O(window) default break fires instead of running all steps."""
+    from fvgp_tpu.models.gp_mcmc import run_mcmc_vectorized
+    target = np.array([1.0, -2.0])
+
+    def batch_loglik(X):
+        return -0.5 * np.sum((X - target) ** 2 / 0.25, axis=1)
+
+    bounds = np.array([[-5.0, 5.0], [-5.0, 5.0]])
+    x0s = np.zeros((8, 2))
+    info = run_mcmc_vectorized(batch_loglik, bounds, x0s, n_updates=4000,
+                               break_condition="default", seed=3)
+    assert info["n_chains"] == 8
+    np.testing.assert_allclose(info["max x"], target, atol=0.5)
+    np.testing.assert_allclose(info["mean(x)"], target, atol=0.6)
+    # the stationarity break must fire well before the step budget
+    assert info["x_chains"].shape[0] < 4000
+
+
+def test_run_mcmc_vectorized_step_cost_flat_in_run_length():
+    """Per-step host cost may not grow with the trace length (the old
+    default break converted the full trace every step past 1000 — the
+    run was quadratic in its own length)."""
+    import time as _time
+    from fvgp_tpu.models.gp_mcmc import run_mcmc_vectorized
+    bounds = np.array([[-5.0, 5.0]] * 2)
+    x0s = np.zeros((4, 2))
+    rngs = {"calls": 0}
+
+    def batch_loglik(X):
+        rngs["calls"] += 1
+        # noisy likelihood: the stationarity break never fires
+        return np.random.standard_normal(len(X)) * 10.0
+
+    t0 = _time.time()
+    run_mcmc_vectorized(batch_loglik, bounds, x0s, n_updates=1500,
+                        break_condition="default", seed=0)
+    t_short = (_time.time() - t0) / 1500
+    t0 = _time.time()
+    run_mcmc_vectorized(batch_loglik, bounds, x0s, n_updates=6000,
+                        break_condition="default", seed=0)
+    t_long = (_time.time() - t0) / 6000
+    # quadratic behavior made the 4x-longer run ~3-4x more expensive per
+    # step; allow generous CI noise
+    assert t_long < 3.0 * t_short + 1e-4
+
+
 def test_gpmcmc_custom_proposal_blocks():
     """Per-block proposal distributions update disjoint index sets."""
     np.random.seed(123)   # the sampler draws from global numpy randomness
