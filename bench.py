@@ -17,8 +17,9 @@ construction + steady-state LML+gradient.  Its ``vs_baseline`` is the
 BASELINE.json north-star target (N=1M step < 10 s on a v5p-32 pod) divided
 by the measured single-chip step time: > 1 beats the pod target on one chip.
 
-The LAST stdout line stays the headline N=50k JSON metric (the driver's
-parse contract); the large-N metric is its own earlier JSON line.
+The LAST stdout line is the north-star large-N metric when that phase runs
+(drivers that record only the final JSON line then keep the headline
+number); the N=50k metric prints first so it survives a large-N failure.
 """
 
 import json
@@ -52,6 +53,17 @@ def large_n_metric(log):
     log(f"large-N phase: N={N}")
 
     from fvgp_tpu import GP
+
+    # enable the package phase timers for this phase: if construction is
+    # slow on the driver's machine the record says WHERE (native g++
+    # build, Morton ordering, structure pass, compile), not just how much
+    from fvgp_tpu.utils import logging as fvlog
+    fvlog.enable()
+    t0 = time.time()
+    from fvgp_tpu.native import get_lib
+    get_lib()
+    log(f"native host runtime ready (g++ on-demand build): "
+        f"{time.time() - t0:.1f}s")
 
     rng = np.random.default_rng(1)
     hps = np.array([1.0, 2.0, 2.0, 2.0])
@@ -372,14 +384,6 @@ def main():
         import sys
         print(f"baseline failed: {exc}", file=sys.stderr)
 
-    # the north-star large-N line first; the headline line stays LAST
-    try:
-        big = large_n_metric(log)
-        if big is not None:
-            print(json.dumps(big), flush=True)
-    except Exception as exc:       # the headline metric must never sink
-        log(f"large-N phase failed: {exc}")
-
     result = {
         "metric": f"sparse LML+grad evals/sec at N={N} (gp2Scale path, "
                   f"{backend})",
@@ -387,7 +391,17 @@ def main():
         "unit": "evals/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+    # the north-star large-N metric prints LAST so a driver that records
+    # only the final JSON line keeps the headline number; the N=50k line
+    # above still goes out first even if the large-N phase dies
+    try:
+        big = large_n_metric(log)
+        if big is not None:
+            print(json.dumps(big), flush=True)
+    except Exception as exc:       # the N=50k metric must never sink
+        log(f"large-N phase failed: {exc}")
 
 
 if __name__ == "__main__":

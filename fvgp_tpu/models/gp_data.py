@@ -51,11 +51,13 @@ class GPdata:
         # Opt out with args['gp2Scale_reorder']=False.
         if gp2Scale and self.Euclidean and self.args.get("gp2Scale_reorder", True):
             from ..parallel.ordering import morton_order
-            perm = morton_order(x_data)
-            x_data = x_data[perm]
-            y_data = y_data[perm]
-            if noise_variances is not None:
-                noise_variances = noise_variances[perm]
+            from ..utils.logging import phase_timer
+            with phase_timer("GPdata: Morton reordering"):
+                perm = morton_order(x_data)
+                x_data = x_data[perm]
+                y_data = y_data[perm]
+                if noise_variances is not None:
+                    noise_variances = noise_variances[perm]
         self.x_data = x_data
         self.y_data = y_data
         self.noise_variances = noise_variances
