@@ -284,11 +284,13 @@ class GPMarginalLikelihood:
         if entry is None:
             from ..parallel.sharded_cov import _stable_kernel_closure
             kern_fn = _stable_kernel_closure(prior)
-            xb, mask, y_pad, ypad_mask, noise_pad = make_padded_inputs(
-                x, np.asarray(self.y_data)[:, 0],
-                np.asarray(self.likelihood.calculate_V(self.x_data,
-                                                       hyperparameters)),
-                B, dtype=dtype, row_multiple=row_mult)
+            with phase_timer("sparse LML: padded inputs (host pad + "
+                             "device transfer)"):
+                xb, mask, y_pad, ypad_mask, noise_pad = make_padded_inputs(
+                    x, np.asarray(self.y_data)[:, 0],
+                    np.asarray(self.likelihood.calculate_V(self.x_data,
+                                                           hyperparameters)),
+                    B, dtype=dtype, row_multiple=row_mult)
             # the compiled program's nb and the padded arrays' block count
             # are derived independently — they must never diverge
             assert xb.shape[0] == nb, (xb.shape, nb)
