@@ -116,9 +116,14 @@ def large_n_metric(log):
             t_mean = time.time() - t0
             t0 = time.time()
             pv = gp.posterior_covariance(xp, variance_only=True)["v(x)"]
+            t_var_cold = time.time() - t0
+            t0 = time.time()
+            pv = gp.posterior_covariance(xp * (1 + 1e-6),
+                                         variance_only=True)["v(x)"]
             t_var = time.time() - t0
-            log(f"posterior at N={N} (warm): mean(500) {t_mean:.1f}s, "
-                f"variance(500) {t_var:.1f}s, "
+            log(f"posterior at N={N}: mean(500) {t_mean:.1f}s, "
+                f"variance(500) {t_var_cold:.1f}s cold (incl. wide-solve "
+                f"compile) / {t_var:.1f}s warm, "
                 f"finite={bool(np.all(np.isfinite(pm)) and np.all(np.isfinite(pv)))}")
         except Exception as exc:
             log(f"posterior phase failed: {exc}")

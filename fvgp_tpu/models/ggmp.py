@@ -456,12 +456,17 @@ def train_component_gps_mcmc(model, hps_obj, *, n_updates_gp=500,
                              **_compat):
     """Train each component GP independently by MCMC (ref ggmp.py:2159);
     returns the list of K trained hyperparameter vectors (the caller
-    commits them to ``hps_obj``).  Thread/device partitioning arguments are
-    accepted for compatibility and ignored — JAX owns the devices, and the
-    K likelihood programs already share one compiled step."""
+    commits them to ``hps_obj``).
+
+    ``gp_parallel=True`` drives the K samplers from a thread pool of
+    ``gp_workers`` threads (the reference's multi-GPU round-robin,
+    ref ggmp.py:469-503): MCMC's host-side proposal/adaptation work for
+    different components overlaps while their jitted likelihood calls
+    interleave on the device queue.  ``blas_threads_per_gp`` is accepted
+    and ignored (JAX owns the device; there is no BLAS pool to split)."""
     K = int(model.likelihood_terms)
-    trained = []
-    for k in range(K):
+
+    def _train_one(k):
         gp = model.gps[k]
         bounds = np.asarray(hps_obj.hps_bounds[k], dtype=float)
         if mcmc_until_converged:
@@ -473,8 +478,14 @@ def train_component_gps_mcmc(model, hps_obj, *, n_updates_gp=500,
         else:
             hps_k = gp.train(method="mcmc", hyperparameter_bounds=bounds,
                              max_iter=int(n_updates_gp))
-        trained.append(np.asarray(hps_k, dtype=float))
-    return trained
+        return np.asarray(hps_k, dtype=float)
+
+    if gp_parallel and K > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        workers = int(gp_workers) if gp_workers else min(K, 8)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(_train_one, range(K)))
+    return [_train_one(k) for k in range(K)]
 
 
 def prepare_station_terms_density(model, hps_list):
@@ -821,10 +832,7 @@ class GGMP:
                     raise ValueError("y_samples must be provided when "
                                      "weight_method='samples'.")
                 x = np.asarray(self.x_data, dtype=float)
-                gp_means = np.stack([gp.posterior_mean(x)["m(x)"]
-                                     for gp in self.gps])
-                gp_vars = np.stack([gp.posterior_covariance(
-                    x, variance_only=True)["v(x)"] for gp in self.gps])
+                gp_means, gp_vars = self._component_posteriors(x)
                 means_list, vars_list = [], []
                 mean_noise = np.array([float(np.mean(lk.variance))
                                        for lk in self.likelihoods])
@@ -849,9 +857,7 @@ class GGMP:
         """Per-station (component densities on the grid, grid mass) for the
         density EM objective (ref ggmp.py:2301)."""
         x = np.asarray(self.x_data, dtype=float)
-        gp_means = np.stack([gp.posterior_mean(x)["m(x)"] for gp in self.gps])
-        gp_vars = np.stack([gp.posterior_covariance(x, variance_only=True)["v(x)"]
-                            for gp in self.gps])
+        gp_means, gp_vars = self._component_posteriors(x)
         mean_noise = np.array([float(np.mean(lk.variance))
                                for lk in self.likelihoods])
         terms = []
@@ -879,13 +885,121 @@ class GGMP:
         return terms
 
     # ------------------------------------------------------------------
+    # component-parallel evaluation (ref ggmp.py:469-503 runs the K GPs in
+    # a thread pool / round-robined over GPUs; here the K posteriors are
+    # ONE vmapped device program — SURVEY §2c item 7)
+    def _component_posteriors(self, x_pred, need_var=True):
+        """(means, variances) stacked over the K components.  With
+        ``gp_eval_parallel=True`` and an eligible model (single-task,
+        one shared traceable kernel/mean, vector noises, identical data)
+        all K component posteriors run as ONE batched device program;
+        otherwise (or on any ineligibility) the per-GP path runs."""
+        if self.gp_eval_parallel and not self.multi_task:
+            out = self._batched_component_posteriors(x_pred)
+            if out is not None:
+                return out
+        means = np.stack([gp.posterior_mean(x_pred)["m(x)"]
+                          for gp in self.gps])
+        gp_vars = np.stack([gp.posterior_covariance(
+            x_pred, variance_only=True)["v(x)"]
+            for gp in self.gps]) if need_var else None
+        return means, gp_vars
+
+    def _batched_component_posteriors(self, x_pred):
+        """One vmapped (mean, variance) program over the K components, or
+        None when the components don't share a common traceable program."""
+        import jax
+
+        gps = self.gps
+        p0 = gps[0].prior
+        if not (p0.kernel_traceable and p0.k_n_params == 3):
+            return None
+        kern = p0.kernel
+        if any(g.prior.kernel is not kern for g in gps):
+            return None
+        default_mean = all(g.prior._default_mean for g in gps)
+        mean_fn = p0.mean_function
+        if not default_mean:
+            if not p0.mean_traceable or p0.m_n_params != 2:
+                return None
+            if any(g.prior.mean_function is not mean_fn for g in gps):
+                return None
+        H = len(np.asarray(gps[0].hyperparameters))
+        if any(len(np.asarray(g.hyperparameters)) != H for g in gps):
+            return None
+        x0 = np.asarray(gps[0].data.x_data, dtype=float)
+        noises, ys = [], []
+        for g in gps:
+            if not np.array_equal(np.asarray(g.data.x_data, dtype=float), x0):
+                return None
+            V = np.asarray(g.likelihood.V)
+            if V.ndim != 1:
+                return None
+            noises.append(V)
+            ys.append(np.asarray(g.data.y_data, dtype=float).ravel())
+
+        cache_key = (id(kern), default_mean, None if default_mean
+                     else id(mean_fn), H, x0.shape)
+        cache = getattr(self, "_batched_eval_cache", None)
+        if cache is None or cache[0] != cache_key:
+            from .. import config
+
+            def one(hps, y, noise, x, xp):
+                import jax.numpy as jnp
+                Km = kern(x, x, hps) + jnp.diag(noise)
+                L = jnp.linalg.cholesky(Km)
+                if default_mean:
+                    m_tr = jnp.full(x.shape[0], jnp.mean(y), dtype=Km.dtype)
+                    m_pr = jnp.full(xp.shape[0], jnp.mean(y), dtype=Km.dtype)
+                else:
+                    m_tr = mean_fn(x, hps)
+                    m_pr = mean_fn(xp, hps)
+                alpha = jax.scipy.linalg.cho_solve((L, True), y - m_tr)
+                ks = kern(x, xp, hps)
+                mp = m_pr + ks.T @ alpha
+                sol = jax.scipy.linalg.cho_solve((L, True), ks)
+                kdiag = jax.vmap(
+                    lambda r: kern(r[None, :], r[None, :], hps)[0, 0])(xp)
+                v = jnp.clip(kdiag - jnp.sum(ks * sol, axis=0), 0.0, None)
+                return mp, v
+
+            fn = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None, None)))
+            cache = (cache_key, fn, config.linalg_dtype(None))
+            self._batched_eval_cache = cache
+        _, fn, dtype = cache
+
+        import jax.numpy as jnp
+        xp = np.atleast_2d(np.asarray(x_pred, dtype=float))
+        # pad the prediction rows to a power-of-two bucket so repeated
+        # calls share few compiled programs (padded rows slice away)
+        npred = xp.shape[0]
+        n_pad = max(8, 1 << (npred - 1).bit_length())
+        xp_pad = np.repeat(xp[-1:], n_pad, axis=0)
+        xp_pad[:npred] = xp
+        from ..utils.logging import logger, phase_timer
+        with phase_timer(f"GGMP: batched component posterior eval "
+                         f"(K={len(gps)}, n_pred={npred})"):
+            means, variances = fn(
+                jnp.asarray(np.stack([np.asarray(g.hyperparameters,
+                                                 dtype=float)
+                                      for g in gps]), dtype),
+                jnp.asarray(np.stack(ys), dtype),
+                jnp.asarray(np.stack(noises), dtype),
+                jnp.asarray(x0, dtype), jnp.asarray(xp_pad, dtype))
+        self._batched_eval_count = getattr(self, "_batched_eval_count", 0) + 1
+        logger.debug("GGMP: batched path served call %d",
+                     self._batched_eval_count)
+        return (np.asarray(means)[:, :npred],
+                np.asarray(variances)[:, :npred])
+
+    # ------------------------------------------------------------------
     def posterior_mean(self, x_pred):
         """Weight-averaged component posterior means (ref ggmp.py:695)."""
         if not getattr(self, "gps", None):
             raise ValueError("Call initGPs() before evaluating the posterior.")
         w = np.asarray([lk.weight for lk in self.likelihoods], dtype=float)
         w = w / w.sum()
-        means = np.stack([gp.posterior_mean(x_pred)["m(x)"] for gp in self.gps])
+        means, _ = self._component_posteriors(x_pred, need_var=False)
         return np.einsum("k,k...->...", w, means)
 
     def posterior_variance(self, x_pred):
@@ -897,9 +1011,7 @@ class GGMP:
         w = w / w.sum()
         mean_noise = np.array([float(np.mean(lk.variance))
                                for lk in self.likelihoods])
-        means = np.stack([gp.posterior_mean(x_pred)["m(x)"] for gp in self.gps])
-        gp_vars = np.stack([gp.posterior_covariance(x_pred, variance_only=True)["v(x)"]
-                            for gp in self.gps])
+        means, gp_vars = self._component_posteriors(x_pred)
         variances = gp_vars + mean_noise.reshape((-1,) + (1,) * (gp_vars.ndim - 1))
         mean_total = np.einsum("k,k...->...", w, means)
         expected_var = np.einsum("k,k...->...", w, variances)
@@ -912,9 +1024,7 @@ class GGMP:
         w = w / w.sum()
         mean_noise = np.array([float(np.mean(lk.variance))
                                for lk in self.likelihoods])
-        means = np.stack([gp.posterior_mean(x_pred)["m(x)"] for gp in self.gps])
-        gp_vars = np.stack([gp.posterior_covariance(x_pred, variance_only=True)["v(x)"]
-                            for gp in self.gps])
+        means, gp_vars = self._component_posteriors(x_pred)
         domain = np.asarray(domain, dtype=float)
         n_pred = np.atleast_2d(x_pred).shape[0]
         if self.multi_task:

@@ -638,11 +638,16 @@ class GPkv:
         mesh = current_mesh()
         if mesh is not None and tile_device_count(mesh) > 1:
             return None
-        from scipy.sparse import issparse
-        V = self.V
-        if issparse(V) or is_block_sparse(V):
-            return None
-        V = np.asarray(V)
+        # noise on the HOST: np.asarray(self.V) would pull an N-sized
+        # device vector back — minutes through a relayed TPU backend
+        V = self.likelihood.calculate_V_host(self.x_data,
+                                             self.prior.hyperparameters)
+        if V is None:
+            from scipy.sparse import issparse
+            V_dev = self.V
+            if issparse(V_dev) or is_block_sparse(V_dev):
+                return None
+            V = np.asarray(V_dev)
         if V.ndim != 1:
             return None
         hps = np.asarray(self.prior.hyperparameters, np.float64)
@@ -731,14 +736,38 @@ class GPkv:
         solver = make_committed_solver(kern_fn, nb, B, cg_iters=maxiter,
                                        solver_dtype=sdt,
                                        precond_width=pwidth, cg_tol=tol)
-        # CG state is ~6 live (n_pad, c) buffers plus the matvec's cast
-        # copy: bound the columns per program so wide posterior solves
-        # never OOM (they chunk instead)
+        # Column budget: bound the columns per program so wide posterior
+        # solves never OOM (they chunk instead).  The program's fixed
+        # residents — the in-trace tile assembly and the batched
+        # preconditioner — come OFF the budget first; what remains divides
+        # by the per-column cost (~6 live CG-state buffers + the matvec's
+        # cast copy + the scan-SpMM accumulator).  The default budget is
+        # 60% of the device's HBM when the backend reports it (the r03
+        # driver OOM'd at N=1M: a 5 GB budget that ignored 4+ GB of tiles).
         n_pad = nb * B
-        budget = int(args.get("gp2Scale_posterior_budget", 5 << 30))
+        budget = args.get("gp2Scale_posterior_budget", None)
+        if budget is None:
+            limit = 0
+            try:
+                stats = jax.local_devices()[0].memory_stats()
+                limit = int((stats or {}).get("bytes_limit", 0))
+            except Exception:
+                pass
+            if not limit and jax.default_backend() != "cpu":
+                limit = 16 << 30        # relayed backends hide memory_stats;
+                #                         16 GB = the smallest current TPU HBM
+            budget = int(0.6 * limit) if limit else (5 << 30)
+        budget = int(budget)
+        tile_itemsize = np.dtype(sdt).itemsize if sdt else \
+            np.dtype(dtype).itemsize
+        fixed = (T_pad * B * B * tile_itemsize          # assembled tiles
+                 + nb * B * B * 4                        # preconditioner
+                 + (512 << 20))                          # scan workspace
         bytes_per_col = n_pad * (6 * np.dtype(dtype).itemsize
-                                 + (np.dtype(sdt).itemsize if sdt else 0))
-        col_budget = max(1, budget // max(bytes_per_col, 1))
+                                 + (np.dtype(sdt).itemsize if sdt else 0)
+                                 + 4)                    # scan accumulator
+        col_budget = max(1, max(budget - fixed, budget // 8)
+                         // max(bytes_per_col, 1))
         ctx = {"key": key, "fn": jax.jit(solver), "mode": mode,
                "rows": jnp.asarray(rows_p), "cols": jnp.asarray(cols_p),
                "xb": xb, "mask": mask, "noise_pad": noise_pad,
@@ -761,19 +790,26 @@ class GPkv:
             b = b[:, None]
         n, n_pad = ctx["n"], ctx["n_pad"]
         cb = max(1, int(ctx["col_budget"]))
-        outs = []
-        for s in range(0, b.shape[1], cb):
-            rhs = b[:, s:s + cb]
+        c_total = b.shape[1]
+        if c_total <= cb:
             # bucket the column count (powers of two, capped at the
             # budget) so repeated posterior calls share few compiled
-            # programs instead of one per ragged chunk width
-            c = rhs.shape[1]
-            c_eff = min(max(8, 1 << (c - 1).bit_length()), cb) if c < cb \
-                else cb
-            rhs_pad = jnp.zeros((n_pad, c_eff), dtype).at[:n, :c].set(rhs)
+            # programs instead of one per ragged width
+            widths = [min(max(8, 1 << (c_total - 1).bit_length()), cb)]
+        else:
+            # UNIFORM chunk width for multi-chunk solves: every chunk
+            # (including the ragged tail, zero-padded) runs the same
+            # compiled program — one compile, not one per tail width
+            widths = [cb] * (-(-c_total // cb))
+        outs, s = [], 0
+        for c_eff in widths:
+            c = min(c_total - s, c_eff)
+            rhs_pad = jnp.zeros((n_pad, c_eff), dtype).at[:n, :c].set(
+                b[:, s:s + c])
             X = ctx["fn"](ctx["hps"], ctx["rows"], ctx["cols"], ctx["xb"],
                           ctx["mask"], ctx["noise_pad"], rhs_pad)
             outs.append(X[:n, :c])
+            s += c
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
         return out[:, 0] if squeeze else out
 

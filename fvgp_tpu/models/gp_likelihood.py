@@ -178,6 +178,34 @@ class GPlikelihood:
             V1, V2 = _densify(V1), _densify(V2)
         return (V1 - V2) / 2e-6
 
+    def calculate_V_host(self, x_data, hyperparameters):
+        """Host (numpy) noise diagonal, or None when one is not available
+        without a device round-trip.  The scale paths consume the noise on
+        the HOST (padding/blocking before one bulk H2D transfer); pulling
+        ``calculate_V``'s device vector back with ``np.asarray`` costs a
+        device->host transfer of an N-sized array — minutes through a
+        relayed TPU backend (measured: a 4 MB pull > 240 s)."""
+        if self._mode == "measured":
+            nv = np.asarray(self.noise_variances, dtype=np.float64)
+            if len(x_data) == len(nv):
+                return nv
+            return np.full((len(x_data),), float(np.mean(nv)))
+        if self._mode == "default":
+            return np.asarray(
+                self._default_noise_function(x_data, hyperparameters),
+                dtype=np.float64)
+        if not self.noise_traceable:
+            # host callable: evaluates in numpy already
+            noise = self.noise_function(
+                x_data if isinstance(x_data, list) else np.asarray(x_data),
+                np.asarray(hyperparameters),
+                *(() if self.v_n_params == 2 else (self.args,)))
+            if _is_structured(noise):
+                return None
+            noise = np.asarray(noise)
+            return noise if noise.ndim == 1 else None
+        return None       # traceable device callable: no host shortcut
+
     # ------------------------------------------------------------------
     def _default_noise_function(self, x, hyperparameters):
         """(0.01 mean|y|)² per point (ref gp_likelihood.py:102)."""

@@ -286,10 +286,16 @@ class GPMarginalLikelihood:
             kern_fn = _stable_kernel_closure(prior)
             with phase_timer("sparse LML: padded inputs (host pad + "
                              "device transfer)"):
+                # noise on the HOST: np.asarray(calculate_V(...)) pulls an
+                # N-sized device vector back — 240+ s through a relayed
+                # backend (the round-3 driver's entire cold-start gap)
+                noise_h = self.likelihood.calculate_V_host(self.x_data,
+                                                           hyperparameters)
+                if noise_h is None:
+                    noise_h = np.asarray(self.likelihood.calculate_V(
+                        self.x_data, hyperparameters))
                 xb, mask, y_pad, ypad_mask, noise_pad = make_padded_inputs(
-                    x, np.asarray(self.y_data)[:, 0],
-                    np.asarray(self.likelihood.calculate_V(self.x_data,
-                                                           hyperparameters)),
+                    x, np.asarray(self.y_data)[:, 0], noise_h,
                     B, dtype=dtype, row_multiple=row_mult)
             # the compiled program's nb and the padded arrays' block count
             # are derived independently — they must never diverge

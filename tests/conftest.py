@@ -29,6 +29,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# optional line-coverage measurement (the image has no coverage.py):
+#   FVGP_COV=1 python -m pytest tests -q     (or `make coverage`)
+if os.environ.get("FVGP_COV") == "1":
+    import sys
+    _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if _root not in sys.path:
+        sys.path.insert(0, _root)
+    from tools.stdlib_cov import install as _cov_install
+    _cov_install()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -432,3 +432,104 @@ def test_reference_name_helper_parity(tmp_path):
     p_obs, dx, log_pdf = terms[0]
     assert log_pdf.shape == (len(p_obs), K)
     assert np.all(np.isfinite(log_pdf))
+
+
+# ---------------------------------------------------------------------------
+# component parallelism (SURVEY §2c item 7; ref ggmp.py:469-503): the K
+# component posteriors run as ONE vmapped device program
+
+def test_ggmp_batched_component_eval_matches_sequential():
+    K = 3
+    x, y_data = _make_distributional_data(n=14, K=K)
+    seq = GGMP(x, y_data, hps_obj=_hps_obj(K), likelihood_terms=K)
+    seq.initLikelihoods()
+    seq.initGPs()
+    par = GGMP(x, y_data, hps_obj=_hps_obj(K), likelihood_terms=K,
+               gp_eval_parallel=True)
+    par.initLikelihoods()
+    par.initGPs()
+
+    xp = np.linspace(-1, 11, 9).reshape(-1, 1)
+    m_seq, v_seq = seq._component_posteriors(xp)
+    m_par, v_par = par._component_posteriors(xp)
+    # the batched path actually engaged (parity alone would also pass if
+    # it silently fell back)
+    assert getattr(par, "_batched_eval_count", 0) == 1
+    assert getattr(seq, "_batched_eval_count", 0) == 0
+    np.testing.assert_allclose(m_par, m_seq, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(v_par, v_seq, rtol=1e-8, atol=1e-10)
+
+    # the public mixture surface agrees too, and keeps engaging the
+    # batched program (prediction-shape bucketing: same compiled fn)
+    np.testing.assert_allclose(par.posterior_mean(xp),
+                               seq.posterior_mean(xp), rtol=1e-8)
+    np.testing.assert_allclose(par.posterior_variance(xp),
+                               seq.posterior_variance(xp), rtol=1e-8)
+    assert par._batched_eval_count >= 3
+
+
+def test_ggmp_batched_eval_after_training_and_em():
+    """The batched path serves the EM weight terms and stays consistent
+    with per-GP evaluation after hyperparameters move."""
+    K = 2
+    x, y_data = _make_distributional_data(n=12, K=K)
+    g = GGMP(x, y_data, hps_obj=_hps_obj(K), likelihood_terms=K,
+             gp_eval_parallel=True)
+    g.initLikelihoods()
+    g.initGPs()
+    g.train(method="local", max_iter=30)
+    assert g._batched_eval_count >= 1          # _station_terms_density
+    xp = x[:5]
+    m_b, v_b = g._component_posteriors(xp)
+    m_s = np.stack([gp.posterior_mean(xp)["m(x)"] for gp in g.gps])
+    v_s = np.stack([gp.posterior_covariance(xp, variance_only=True)["v(x)"]
+                    for gp in g.gps])
+    np.testing.assert_allclose(m_b, m_s, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(v_b, v_s, rtol=1e-8, atol=1e-10)
+
+
+def test_ggmp_batched_eval_falls_back_on_mixed_kernels():
+    """Components with different kernel callables cannot share one vmapped
+    program — the sequential path must serve them (correctness first)."""
+    import jax.numpy as jnp
+
+    def k1(x1, x2, hps):
+        d = jnp.sum((x1[:, None, :] - x2[None, :, :]) ** 2, axis=-1)
+        return hps[0] * jnp.exp(-0.5 * d / hps[1] ** 2)
+
+    def k2(x1, x2, hps):
+        d = jnp.sqrt(jnp.sum((x1[:, None, :] - x2[None, :, :]) ** 2,
+                             axis=-1) + 1e-12)
+        return hps[0] * jnp.exp(-d / hps[1])
+
+    K = 2
+    x, y_data = _make_distributional_data(n=10, K=K)
+    g = GGMP(x, y_data, hps_obj=_hps_obj(K), likelihood_terms=K,
+             gp_eval_parallel=True, gp_kernel_functions=[k1, k2])
+    g.initLikelihoods()
+    g.initGPs()
+    xp = x[:4]
+    m, v = g._component_posteriors(xp)
+    assert getattr(g, "_batched_eval_count", 0) == 0   # fell back
+    m_s = np.stack([gp.posterior_mean(xp)["m(x)"] for gp in g.gps])
+    np.testing.assert_allclose(m, m_s, rtol=1e-12)
+
+
+def test_ggmp_gp_parallel_mcmc_threads_match_serial_surface():
+    """train_component_gps_mcmc(gp_parallel=True) trains every component
+    (thread pool over the K samplers) and returns in-bounds vectors."""
+    from fvgp_tpu.models.ggmp import train_component_gps_mcmc
+
+    K = 2
+    x, y_data = _make_distributional_data(n=10, K=K)
+    hps = _hps_obj(K)
+    g = GGMP(x, y_data, hps_obj=hps, likelihood_terms=K)
+    g.initLikelihoods()
+    g.initGPs()
+    trained = train_component_gps_mcmc(g, hps, n_updates_gp=40,
+                                       gp_parallel=True, gp_workers=2)
+    assert len(trained) == K
+    for k, hk in enumerate(trained):
+        b = np.asarray(hps.hps_bounds[k], dtype=float)
+        assert hk.shape == (3,)
+        assert np.all(hk >= b[:, 0]) and np.all(hk <= b[:, 1])
