@@ -1,13 +1,20 @@
 # Convenience targets (tests force the CPU backend; bench uses the default
 # accelerator).
 
-.PHONY: test test-fast bench entry native clean
+.PHONY: test test-fast coverage bench entry native clean
 
 test:
 	python -m pytest tests/ -x -q
 
+# the red/green loop: every module, minus the @pytest.mark.slow
+# end-to-end runs (those stay in `make test`)
 test-fast:
-	python -m pytest tests/test_kernels.py tests/test_linalg.py -q
+	python -m pytest tests/ -q -m "not slow"
+
+# line coverage via the stdlib measurer (tools/stdlib_cov.py — the image
+# has no coverage.py); writes coverage_report.txt
+coverage:
+	FVGP_COV=1 python -m pytest tests/ -q
 
 bench:
 	python bench.py

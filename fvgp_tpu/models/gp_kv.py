@@ -127,6 +127,7 @@ class GPkv:
         self._x0_hint = None
         self._m_vec = None
         self.custom_obj = None
+        self.last_solve_info = None
         self._reset_sparse_preconditioner()
 
         if self.gp2Scale:
@@ -544,6 +545,17 @@ class GPkv:
         mr_max = self.args.get("sparse_minres_maxiter", maxiter)
         return cg_tol, mr_tol, cg_max, mr_max
 
+    def _cg_logged(self, *args, **kwargs):
+        """CG with the iteration count recorded as ``last_solve_info`` —
+        the measurable payoff of the warm-start/preconditioner-reuse policy
+        (the reference's claims at gp_kv.py:30-60: warm starts near-by cut
+        the residual budget; reused preconditioners keep their benefit to
+        ~15% drift)."""
+        x, info = krylov.cg(*args, with_info=True, **kwargs)
+        self.last_solve_info = dict(info,
+                                    warm_start=kwargs.get("x0") is not None)
+        return x
+
     def _solve_with(self, mode, KV, b, x0=None, chol=None):
         cg_tol, mr_tol, cg_max, mr_max = self._tols()
         if mode in ("Chol", "CholInv"):
@@ -557,19 +569,20 @@ class GPkv:
                 L = chol if chol is not None else dops.cholesky_factor(self._densify(KV))
                 return dops.cholesky_solve(L, b)
             m_fn, m_data = build_preconditioner_op(KV, args=self.args)
-            return krylov.cg(fn, b, x0=x0, M=m_fn, tol=1e-10,
-                             operator=data, m_operator=m_data)
+            return self._cg_logged(fn, b, x0=x0, M=m_fn, tol=1e-10,
+                                   operator=data, m_operator=m_data)
         if mode == "sparseCG":
-            return krylov.cg(fn, b, x0=x0, tol=cg_tol, maxiter=cg_max,
-                             operator=data)
+            return self._cg_logged(fn, b, x0=x0, tol=cg_tol, maxiter=cg_max,
+                                   operator=data)
         if mode == "sparseMINRES":
             return krylov.minres(fn, b, x0=x0, tol=mr_tol, maxiter=mr_max,
                                  operator=data)
         if mode == "sparseCGpre":
             M = self._get_or_refresh_preconditioner(KV, mode=mode)
             m_fn, m_data = M if M is not None else (None, None)
-            return krylov.cg(fn, b, x0=x0, M=m_fn, tol=cg_tol,
-                             maxiter=cg_max, operator=data, m_operator=m_data)
+            return self._cg_logged(fn, b, x0=x0, M=m_fn, tol=cg_tol,
+                                   maxiter=cg_max, operator=data,
+                                   m_operator=m_data)
         if mode == "sparseMINRESpre":
             M = self._get_or_refresh_preconditioner(KV, mode=mode)
             m_fn, m_data = M if M is not None else (None, None)

@@ -486,6 +486,15 @@ class GPMarginalLikelihood:
                     logger.debug("sparse LML schedule: %s",
                                  schedule_stats(rows_p, cols_p, nb_eff,
                                                 n_dev, B, n_rhs=probes + 1))
+                    from ..parallel.mesh import SLICE_AXIS, TILE_AXIS
+                    if (SLICE_AXIS in mesh.shape
+                            and halo_mode not in (False, "off")):
+                        from ..parallel.partition import dcn_split
+                        logger.debug(
+                            "sparse LML 2-D mesh comm split: %s",
+                            dcn_split(hstats, n_dev,
+                                      int(mesh.shape[TILE_AXIS]),
+                                      send_mask=send_mask))
         else:
             halo = None
             T_pad = _bucket(max(len(rows_f), 1))

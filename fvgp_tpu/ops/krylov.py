@@ -117,8 +117,8 @@ def _cg_impl(matvec_fn, m_fn, data, m_data, B, X0, tol, maxiter):
         P = Z + beta[None, :] * P
         return i + 1, X, R, Z, P, rz_new
 
-    _, X, R, _, _, _ = jax.lax.while_loop(cond, body, (0, X, R, Z, P, rz))
-    return X
+    i, X, R, _, _, _ = jax.lax.while_loop(cond, body, (0, X, R, Z, P, rz))
+    return X, i
 
 
 def _prep_rhs(b, x0):
@@ -141,7 +141,7 @@ def _prep_rhs(b, x0):
 
 
 def cg(matvec, b, x0=None, M=None, tol=1e-5, maxiter=None, operator=None,
-       m_operator=None):
+       m_operator=None, with_info=False):
     """Conjugate gradients for SPD systems (ref gp_lin_alg.py:1213).
 
     Parameters
@@ -150,14 +150,19 @@ def cg(matvec, b, x0=None, M=None, tol=1e-5, maxiter=None, operator=None,
     b : (n,) or (n, k) right-hand side(s)
     x0 : warm start (ref warm-start contract, gp_lin_alg.py:973-1003)
     M : preconditioner — closure or stable fn(data, X) with ``m_operator``
+    with_info : also return ``{"iterations": n}`` (the measurable payoff of
+        the warm-start/preconditioner-reuse policy, ref gp_kv.py:30-60)
     """
     B, X0, squeeze = _prep_rhs(b, x0)
     if maxiter is None:
         maxiter = 10 * B.shape[0]
     fn, data, m_fn, m_data = _normalize(matvec, operator, M, m_operator)
-    X = _cg_impl(fn, m_fn, data, m_data, B, X0, jnp.asarray(tol, B.dtype),
-                 int(maxiter))
-    return X[:, 0] if squeeze else X
+    X, iters = _cg_impl(fn, m_fn, data, m_data, B, X0,
+                        jnp.asarray(tol, B.dtype), int(maxiter))
+    X = X[:, 0] if squeeze else X
+    if with_info:
+        return X, {"iterations": int(iters)}
+    return X
 
 
 @functools.partial(jax.jit, static_argnames=("matvec_fn", "m_fn", "maxiter"))

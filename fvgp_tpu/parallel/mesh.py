@@ -26,12 +26,62 @@ TILE_AXIS = "tiles"
 SLICE_AXIS = "slice"
 
 
-def make_mesh(n_devices=None, devices=None):
-    """A 1-D mesh over ``n_devices`` (default: all local devices)."""
+def _slice_groups(devices):
+    """Partition ``devices`` into hardware slices, outer-mesh first.
+
+    TPU multi-slice (megascale) exposes ``slice_index`` per device;
+    multi-host backends fall back to ``process_index`` (one DCN domain per
+    host).  ``FVGP_TPU_ASSUME_SLICES=k`` overrides both — the documented
+    way to exercise the 2-D layout on a virtual single-process mesh."""
+    import os
+    k = int(os.environ.get("FVGP_TPU_ASSUME_SLICES", "0") or 0)
+    if k > 1:
+        if len(devices) % k:
+            raise ValueError(
+                f"FVGP_TPU_ASSUME_SLICES={k} does not divide "
+                f"{len(devices)} devices")
+        per = len(devices) // k
+        return [list(devices[i * per:(i + 1) * per]) for i in range(k)]
+
+    def key(d):
+        for attr in ("slice_index", "process_index"):
+            v = getattr(d, attr, None)
+            if v is not None:
+                return int(v)
+        return 0
+
+    groups = {}
+    for d in devices:
+        groups.setdefault(key(d), []).append(d)
+    return [groups[g] for g in sorted(groups)]
+
+
+def make_mesh(n_devices=None, devices=None, layout="auto"):
+    """A mesh over ``n_devices`` (default: all local devices).
+
+    ``layout='auto'`` (default) derives the shape from the device
+    topology: when the devices span more than one hardware slice
+    (``slice_index``; ``process_index`` fallback; or the
+    ``FVGP_TPU_ASSUME_SLICES`` override for virtual meshes) of equal size,
+    the mesh comes back 2-D ``(slice, tiles)`` — inter-slice traffic rides
+    DCN on the outer axis, intra-slice ICI on the inner — and every
+    row-sharded consumer (``tile_spec``/``flat_tile_index``) handles both
+    shapes transparently.  ``layout='1d'`` forces the flat mesh;
+    ``layout='2d'`` raises when no slice structure is visible."""
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
+    if layout in ("auto", "2d"):
+        groups = _slice_groups(devices)
+        sizes = {len(g) for g in groups}
+        if len(groups) > 1 and len(sizes) == 1:
+            return Mesh(np.array(groups), (SLICE_AXIS, TILE_AXIS))
+        if layout == "2d":
+            raise ValueError(
+                "layout='2d' but the devices expose no (equal-sized) slice "
+                "structure; pass explicit groups via make_mesh_2d or set "
+                "FVGP_TPU_ASSUME_SLICES")
     return Mesh(np.array(devices), (TILE_AXIS,))
 
 

@@ -265,8 +265,39 @@ def halo_plan(rows_p, cols_p, nb, n_dev, bucket=8):
         "S": S,
         "halo_words": n_dev * (n_dev - 1) * S,
         "allgather_words": n_dev * (n_dev - 1) * W,
+        # REAL (unpadded) slot usage per ordered pair — the padded
+        # all_to_all ships S to every pair, so the uniform S drives the
+        # halo-vs-allgather choice; the real counts say how much a
+        # hierarchical (per-slice) exchange could still save
+        "real_words": int(send_mask.sum()),
     }
     return cols_remap, send_sel, send_mask, S, stats
+
+
+def dcn_split(stats, n_dev, per_slice, send_mask=None):
+    """Split the halo/allgather word counts into DCN (cross-slice) and ICI
+    (intra-slice) shares for a 2-D ``(slice, tiles)`` mesh — the comm-model
+    diagnostic logged at n_slices > 1 (docs/source/comm_model.md).  With
+    ``send_mask`` also reports the REAL cross-slice words (what a
+    hierarchical exchange would ship instead of the padded uniform S)."""
+    if per_slice <= 0 or n_dev % per_slice:
+        raise ValueError("per_slice must divide n_dev")
+    cross_pairs = n_dev * (n_dev - per_slice)
+    ici_pairs = n_dev * (per_slice - 1)
+    out = {
+        "halo_dcn_words": cross_pairs * stats["S"],
+        "halo_ici_words": ici_pairs * stats["S"],
+        "allgather_dcn_words": cross_pairs * (
+            stats["allgather_words"] // max(n_dev * (n_dev - 1), 1)),
+        "allgather_ici_words": ici_pairs * (
+            stats["allgather_words"] // max(n_dev * (n_dev - 1), 1)),
+    }
+    if send_mask is not None:
+        sm = np.asarray(send_mask)
+        slice_of = np.arange(n_dev) // per_slice
+        cross = slice_of[:, None] != slice_of[None, :]
+        out["halo_dcn_real_words"] = int(sm[cross].sum())
+    return out
 
 
 def schedule_stats(rows, cols, nb, n_dev, block_size, n_rhs=1, elt_bytes=4):

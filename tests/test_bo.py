@@ -18,6 +18,7 @@ def quad(theta):
     return float(np.sum((theta - 0.3) ** 2))
 
 
+@pytest.mark.slow
 def test_bo_respects_evaluation_budget():
     budget = 9
     calls = []
@@ -33,6 +34,7 @@ def test_bo_respects_evaluation_budget():
     assert theta.shape == (2,)
 
 
+@pytest.mark.slow
 def test_bo_non_finite_evaluations_do_not_poison_the_run():
     def obj(theta):
         # a diverged solve / failed factorization shows up as nan/inf
@@ -48,6 +50,7 @@ def test_bo_non_finite_evaluations_do_not_poison_the_run():
     assert info["f(x)"] < 1e100
 
 
+@pytest.mark.slow
 def test_bo_objective_that_is_never_finite_still_returns():
     theta, info = bayesian_optimize(lambda t: np.inf, BOUNDS2, X0,
                                     max_iter=6, bo_args={"n_init": 3})
@@ -97,6 +100,7 @@ def test_bo_warm_starts_from_the_initial_hyperparameters():
     np.testing.assert_allclose(first["theta"], X0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_bo_recovers_the_optimum_and_ranks_sensitivity():
     # tight curvature along dim 0, nearly flat along dim 1 — the
     # sensitivity ranking must notice
@@ -112,6 +116,7 @@ def test_bo_recovers_the_optimum_and_ranks_sensitivity():
     assert sens[0] > sens[1]
 
 
+@pytest.mark.slow
 def test_bo_convergence_is_scale_free():
     # the LML can sit at -1e6; the patience test must act on relative
     # improvement, not absolute deltas
@@ -126,6 +131,7 @@ def test_bo_convergence_is_scale_free():
     assert info["n_evaluations"] < 60
 
 
+@pytest.mark.slow
 def test_bo_reported_noise_is_recorded_not_learned():
     _, info = bayesian_optimize(
         quad, BOUNDS2, X0, max_iter=8,
@@ -134,6 +140,7 @@ def test_bo_reported_noise_is_recorded_not_learned():
     assert info["noise was learned"] is False
 
 
+@pytest.mark.slow
 def test_bo_noise_function_feeds_the_surrogate():
     reported = []
 
@@ -148,6 +155,7 @@ def test_bo_noise_function_feeds_the_surrogate():
     assert info["observation noise variance"] == pytest.approx(0.04)
 
 
+@pytest.mark.slow
 def test_bo_callback_sees_the_running_best():
     bests = []
     bayesian_optimize(quad, BOUNDS2, X0, max_iter=7,
@@ -157,6 +165,7 @@ def test_bo_callback_sees_the_running_best():
     assert np.all(np.diff(bests) <= 1e-12)      # monotone non-increasing
 
 
+@pytest.mark.slow
 def test_bo_info_trace_is_complete_and_consistent():
     theta, info = bayesian_optimize(quad, BOUNDS2, X0, max_iter=8,
                                     bo_args={"n_init": 4})
@@ -191,6 +200,7 @@ def test_default_initial_design_size_clips_to_budget():
     assert default_initial_design_size(8, 1) == 2         # hard minimum
 
 
+@pytest.mark.slow
 def test_bo_survives_nonfinite_objective_values():
     """One inf objective value must not kill the surrogate: the penalty is
     RELATIVE to observed values (an absolute ~1e302 stand-in overflowed
@@ -211,6 +221,7 @@ def test_bo_survives_nonfinite_objective_values():
     assert np.isfinite(info["f(x)"])
 
 
+@pytest.mark.slow
 def test_bo_pinned_bound_stays_pinned():
     """A degenerate (lower == upper) dimension must decode to exactly the
     pinned value — not escape the box via the width-1 substitution."""

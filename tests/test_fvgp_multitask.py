@@ -85,6 +85,7 @@ def test_multitask_matches_equivalent_single_task(mt_data):
         g.posterior_mean(xp_aug)["m(x)"], atol=1e-12)
 
 
+@pytest.mark.slow
 def test_multitask_update_gp_data(mt_data):
     x, y = mt_data
     f = fvGP(x[:20], y[:20], init_hyperparameters=np.ones(4))
@@ -97,6 +98,7 @@ def test_multitask_update_gp_data(mt_data):
     assert abs(f.log_likelihood() - f2.log_likelihood()) < 1e-7
 
 
+@pytest.mark.slow
 def test_multitask_training(mt_data):
     x, y = mt_data
     f = fvGP(x, y, init_hyperparameters=np.ones(4))
@@ -126,6 +128,7 @@ def test_network_forward_shapes(rng):
     assert np.all(np.abs(out2) <= 1.0)
 
 
+@pytest.mark.slow
 def test_deep_kernel_gp_trains(rng):
     """Deep-kernel GP: flattened MLP weights ride in the hp vector, trained
     by multi-start (BASELINE config 4)."""
@@ -149,6 +152,7 @@ def test_deep_kernel_gp_trains(rng):
     assert np.linalg.norm(fd - an) / np.linalg.norm(fd) < 0.02
 
 
+@pytest.mark.slow
 def test_fvgp_gp2scale_multitask():
     """Multi-task + gp2Scale: the Wendland kernel runs over the fused
     (x, task) product space with block-sparse tiles (the reference supports
@@ -191,6 +195,7 @@ def test_update_gp_data_failed_validation_keeps_state(mt_data, rng):
     assert f.data.point_number == 90 + 12
 
 
+@pytest.mark.slow
 def test_fvgp_gp2scale_multitask_under_mesh(eight_devices):
     """Multi-task gp2Scale on the 8-device mesh — the fused (x, task)
     product space rides the row-partitioned scale path; LML matches the

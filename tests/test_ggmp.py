@@ -135,6 +135,7 @@ def test_mst_alignment(rng):
     assert abs(abs(resid0.mean() - resid1.mean()) - 6.0) < 0.5
 
 
+@pytest.mark.slow
 def test_mcmc_until_converged(small_data):
     import warnings as w
     w.simplefilter("ignore")
@@ -157,6 +158,7 @@ def test_empirical_pdf():
     assert abs(mode - 3.0) < 0.5
 
 
+@pytest.mark.slow
 def test_ggmp_end_to_end():
     """The documented workflow: init -> train (both phases) -> posterior
     (ref ggmp.py:67-74)."""
@@ -342,6 +344,7 @@ def _hps_obj_mt(K, d=1):
     return hyperparameters(w, wb, hps, bounds)
 
 
+@pytest.mark.slow
 def test_ggmp_multitask_end_to_end():
     K = 2
     x, y_data = _make_multitask_distributional_data()
@@ -468,6 +471,7 @@ def test_ggmp_batched_component_eval_matches_sequential():
     assert par._batched_eval_count >= 3
 
 
+@pytest.mark.slow
 def test_ggmp_batched_eval_after_training_and_em():
     """The batched path serves the EM weight terms and stays consistent
     with per-GP evaluation after hyperparameters move."""

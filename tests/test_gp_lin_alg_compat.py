@@ -88,6 +88,7 @@ def test_sparse_krylov_solvers_accept_scipy_matrices():
     np.testing.assert_allclose(x2[:, 1], 2 * x_ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sparse_preconditioner_types_and_cg_hookup():
     S = _sparse_spd(160, seed=7)
     b = np.cos(np.arange(160, dtype=float))

@@ -1,6 +1,7 @@
 """GPLVM latent-variable model (dev/-line equivalent)."""
 
 import numpy as np
+import pytest
 
 from fvgp_tpu.models.gplvm import GPLVM
 
@@ -29,6 +30,7 @@ def test_gplvm_recovers_1d_manifold(rng):
     assert rel < 0.2
 
 
+@pytest.mark.slow
 def test_gplvm_predict_variance(rng):
     Y = rng.standard_normal((30, 4))
     m = GPLVM(Y, latent_dim=2)
@@ -102,6 +104,7 @@ def test_gplvm_posterior_matches_exact_oracle(rng):
     np.testing.assert_allclose(vn, pc["v(x)"] + noise, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_gplvm_posterior_grads_match_fd(rng):
     Y = _curve_data(rng, n=25)
     m = GPLVM(Y, latent_dim=1)

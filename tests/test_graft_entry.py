@@ -145,6 +145,7 @@ def test_healthy_cpu_mesh_runs_in_process(monkeypatch):
     assert calls == []
 
 
+@pytest.mark.slow
 def test_dryrun_body_end_to_end():
     """The real dryrun body on the conftest's virtual CPU mesh — the same
     code the driver's subprocess executes."""

@@ -4,6 +4,7 @@ diagonal)."""
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from fvgp_tpu import kernels as K
@@ -191,6 +192,7 @@ def test_sparse_wendland_kernel_names_and_values():
         K.wendland_anisotropic_gp2Scale_cpu_sparse
 
 
+@pytest.mark.slow
 def test_gp_accepts_a_sparse_returning_kernel():
     """A reference user may pass the ``_sparse`` kernel as kernel_function;
     the GP must densify its blocks and match the dense-kernel GP exactly —

@@ -3,6 +3,7 @@ disabled-at-import logger contract, ref fvgp/__init__.py:22)."""
 
 import logging
 
+import pytest
 import numpy as np
 
 from fvgp_tpu.utils import logging as flog
@@ -63,6 +64,7 @@ def test_log_time_accumulates(capsys):
         ftiming.disable()
 
 
+@pytest.mark.slow
 def test_sparse_lml_phase_timers_fire(capsys):
     """The scale path's phase timers (candidate structure, device program)
     appear on the debug stream when enabled."""
@@ -84,6 +86,7 @@ def test_sparse_lml_phase_timers_fire(capsys):
         flog.disable()
 
 
+@pytest.mark.slow
 def test_train_info_prints_progress_for_every_method(capsys):
     """info=True must narrate progress for each training method (contract:
     ref tests/test_fvgp.py test_train_info_prints_progress_for_every_method;

@@ -128,6 +128,7 @@ def test_tile_live_agrees_with_kernel_maxabs():
     np.testing.assert_array_equal(geo, mx > 0)
 
 
+@pytest.mark.slow
 def test_gp2scale_end_to_end_without_native_toolchain(monkeypatch, rng):
     """Simulated missing C++ toolchain (ref tests monkeypatch missing
     ilupp/imate/torch, tests/test_fvgp.py:1431,:1480,:4878): with

@@ -86,6 +86,7 @@ def test_non_euclidean_multitask():
     assert res["m(x)"].shape == (1, 2)
 
 
+@pytest.mark.slow
 def test_gp2Scale_with_non_euclidean_object_points():
     """Arbitrary (ragged) object points through the distributed sparse path:
     the block-sparse assembly must equal the direct dense evaluation, and

@@ -233,6 +233,7 @@ def test_gp2scale_auto_mode_large_n_is_preconditioned_cg():
     assert kv.mode in ("Chol", "sparseLU")
 
 
+@pytest.mark.slow
 def test_cross_covariance_memo_lifecycle():
     """posterior_mean→posterior_covariance at the same points assembles
     k(x_data, x_pred) ONCE; hps moves and data updates invalidate; pickles
@@ -275,3 +276,55 @@ def test_cross_covariance_memo_lifecycle():
 def _make_gp2scale(x, y, hps):
     return GP(x, y, init_hyperparameters=hps, gp2Scale=True,
               args={"gp2Scale_block_size": 64, "sparse_cg_tol": 1e-10})
+
+
+def test_warm_start_buys_cg_iterations(small_data):
+    """The measurable payoff of the warm-start gate (ref gp_kv.py:30-60:
+    warm starts from a near-by K+V cut the residual budget ~25x): a tiny
+    hyperparameter move solved with the previous KVinvY as x0 needs FEWER
+    CG iterations than the same move solved cold.  `last_solve_info`
+    records the counts."""
+    x, y = small_data
+    hps2 = HPS * 1.001
+
+    cold = GP(x, y, init_hyperparameters=HPS, linalg_mode="sparseCG",
+              args={"sparse_krylov_warm_start": False})
+    cold.log_likelihood()                       # commit the state at HPS
+    cold.marginal_likelihood.log_likelihood(hps2)
+    it_cold = cold.kv.last_solve_info["iterations"]
+    assert cold.kv.last_solve_info["warm_start"] is False
+
+    warm = GP(x, y, init_hyperparameters=HPS, linalg_mode="sparseCG",
+              args={"sparse_krylov_warm_start": True})
+    warm.log_likelihood()
+    warm.marginal_likelihood.log_likelihood(hps2)
+    it_warm = warm.kv.last_solve_info["iterations"]
+    assert warm.kv.last_solve_info["warm_start"] is True
+
+    assert it_warm < it_cold, (it_warm, it_cold)
+
+
+def test_sequential_linalg_state_gates_warm_start_by_method(small_data):
+    """The facade's training gate (ref gp_kv.py:30-85): a user-enabled warm
+    start stays live for method='mcmc' (successive evaluations are close)
+    but is forced OFF for non-sequential methods for the duration, then
+    restored."""
+    import warnings as _w
+
+    from fvgp_tpu.models.gp_kv import sequential_linalg_state
+
+    x, y = small_data
+    gp = GP(x, y, init_hyperparameters=HPS, linalg_mode="sparseCG",
+            args={"sparse_krylov_warm_start": True})
+    gp.log_likelihood()
+    with sequential_linalg_state(gp.args, "mcmc"):
+        gp.marginal_likelihood.log_likelihood(HPS * 1.001)
+        gp.marginal_likelihood.log_likelihood(HPS * 1.002)
+        assert gp.kv.last_solve_info["warm_start"] is True
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")       # the gate warns about the override
+        with sequential_linalg_state(gp.args, "global"):
+            assert gp.args["sparse_krylov_warm_start"] is False
+            gp.marginal_likelihood.log_likelihood(HPS * 1.01)
+            assert gp.kv.last_solve_info["warm_start"] is False
+    assert gp.args["sparse_krylov_warm_start"] is True

@@ -6,6 +6,7 @@ the iteration-count reductions that justify each option
 import warnings
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from fvgp_tpu import GP
@@ -58,6 +59,7 @@ def _host_cg_iters(A, b, m_fn, m_data, tol=1e-8, maxiter=4000):
     return maxiter
 
 
+@pytest.mark.slow
 def test_preconditioners_reduce_iterations():
     KV, _ = _ill_conditioned_kv()
     b = np.random.default_rng(1).standard_normal(KV.shape[0])
@@ -79,6 +81,7 @@ def test_preconditioners_reduce_iterations():
     assert it_tl < it_bj, (it_tl, it_bj)
 
 
+@pytest.mark.slow
 def test_preconditioners_are_spd():
     """M⁻¹ must be symmetric PD for CG: check the quadratic form."""
     KV, _ = _ill_conditioned_kv(n=200)
@@ -96,6 +99,7 @@ def test_preconditioners_are_spd():
         assert np.all(quad > 0)
 
 
+@pytest.mark.slow
 def test_block_sparse_schwarz_and_coarse():
     """Schwarz windows and the Galerkin coarse matrix built from a
     BlockSparseMatrix agree with the dense constructions."""
@@ -136,6 +140,7 @@ def test_block_sparse_schwarz_and_coarse():
                                np.asarray(fn_d(d_d, X)), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_alias_modes_run_end_to_end():
     """sparseCGpre_<type> aliases resolve to genuinely different operators
     and the GP LML/posterior agree with the dense oracle."""

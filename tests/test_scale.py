@@ -141,6 +141,7 @@ def test_distributed_covariance_matches_dense():
     np.testing.assert_allclose(Kd, Kref, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_tile_pruning_yields_sparsity():
     """With enough blocks relative to the support radius, the bounding-box
     prune must drop most tiles (the scale regime: nb ~ 47 here)."""
@@ -185,6 +186,7 @@ def test_gp2scale_posterior_vs_dense_gp():
                                gpd.posterior_covariance(xp)["v(x)"], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gp2scale_slq_lml_close_to_exact():
     x, y = _sparse_dataset(n=600)
     args = {"gp2Scale_block_size": 128, "sparse_cg_tol": 1e-10,
@@ -287,6 +289,7 @@ def test_sharded_covariance_spmm(eight_devices):
     np.testing.assert_allclose(out, dense @ X, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_gp_end_to_end(eight_devices):
     """Full sparse GP (CG + SLQ + posterior) over the 8-device mesh."""
     x, y = _sparse_dataset(n=700)
@@ -346,6 +349,7 @@ def test_partition_cache_rejects_changed_cols(eight_devices, monkeypatch):
         np.testing.assert_allclose(lml3, lml1, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_zero_tile_filter_reduces_tiles_exactly():
     """The bounding-box prune is loose; the exact-sparsity pass must drop
     the all-zero tiles without changing the assembled covariance."""
@@ -382,6 +386,7 @@ def test_storage_dtype_bf16():
     assert np.isfinite(gp.log_likelihood())
 
 
+@pytest.mark.slow
 def test_gp2scale_gradient_training_local():
     """Gradient-based training under gp2Scale — the reference forces MCMC
     here (ref gp.py:947-949) because its sparse path has no gradient; our
@@ -401,6 +406,7 @@ def test_gp2scale_gradient_training_local():
     assert gp.log_likelihood() > l0
 
 
+@pytest.mark.slow
 def test_gp2scale_value_and_gradient_matches_fd():
     """The public value_and_gradient under gp2Scale against central FD of
     the value path (same probe sequence is NOT guaranteed, so the SLQ noise
@@ -432,6 +438,7 @@ def test_gp2scale_value_and_gradient_matches_fd():
     np.testing.assert_allclose(g, fd, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_sharded_mbcg_lml_grad_parity(eight_devices):
     """The production training step — make_sparse_lml(solver='mbcg')
     value+gradient — with the tile arrays sharded over the 8-device mesh
@@ -650,6 +657,7 @@ def test_tile_balanced_layout_identity_when_balanced():
     "sparseCG", "sparseMINRES", "sparseCGpre", "sparseMINRESpre",
     "sparseCGpre_schwarz", "sparseCGpre_amg", "sparseMINRESpre_ichol",
     "sparseLU", "sparseSolve", None])
+@pytest.mark.slow
 def test_gp2scale_all_modes_under_mesh(eight_devices, mode):
     """The reference sweeps gp2Scale across every sparse linalg mode on its
     live Dask cluster fixture (ref tests/test_fvgp.py:598-700); this is the
@@ -679,6 +687,7 @@ def test_gp2scale_all_modes_under_mesh(eight_devices, mode):
     np.testing.assert_allclose(pm, pm_oracle, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_2d_slice_mesh_matches_meshless(eight_devices):
     """The same gp2Scale program on a 2-D (slice=2, tiles=4) mesh — the
     multi-slice layout of docs/source/comm_model.md — matches the meshless
@@ -698,6 +707,7 @@ def test_2d_slice_mesh_matches_meshless(eight_devices):
     np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_2d_slice_mesh_halo_forced(eight_devices):
     """Halo exchange on the 2-D mesh (all-to-all over the flattened
     (slice, tiles) axes) matches the meshless result."""
@@ -718,6 +728,7 @@ def test_2d_slice_mesh_halo_forced(eight_devices):
     np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sparse_adam_device_chain_trains():
     """method='adam' on the sparse traced path runs K steps per device
     program (adam_chain_steps) and reaches a comparable optimum to the
@@ -850,6 +861,7 @@ def test_gp_forced_halo_matches_meshless(eight_devices):
     np.testing.assert_allclose(g8, g1, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mesh_lml_parity_with_clustered_data(eight_devices):
     """Clustered (layout-rebalanced) data: the mesh-path LML+grad matches
     the meshless evaluation — the permuted block layout is a similarity
@@ -875,6 +887,7 @@ def test_mesh_lml_parity_with_clustered_data(eight_devices):
     np.testing.assert_allclose(g2, g1, rtol=5e-2, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_rowpart_gp_api_parity(eight_devices):
     """The public-API gp2Scale LML and gradient under an active 8-device
     mesh (row-partitioned shard_map path) match the meshless result."""
@@ -1069,6 +1082,7 @@ def test_unknown_support_kernel_is_dense_not_empty():
     assert abs(lml - lml_d) / abs(lml_d) < 0.02
 
 
+@pytest.mark.slow
 def test_trial_solve_engages_preconditioner_before_commit():
     """Under lazy gp2Scale the committed mode is None until KV materializes;
     trial evaluations through compute_new_KVlogdet_KVinvY must still build
@@ -1100,3 +1114,58 @@ def test_adam_chain_probes_differ_across_chunks():
     _, _, _, f1 = ml.sparse_adam_steps(th, z, z, 7, 1, lr=0.0)
     np.testing.assert_allclose(f0, f0b)     # deterministic per (theta, t)
     assert not np.allclose(f0, f1)          # fresh probes per chunk
+
+
+def test_make_mesh_auto_2d_layout(eight_devices, monkeypatch):
+    """make_mesh(layout='auto') derives the (slice, tiles) shape from the
+    device topology (FVGP_TPU_ASSUME_SLICES stands in for slice_index on
+    the virtual mesh), and the GP facade matches meshless results on the
+    auto-selected 2-D mesh — no hand-built mesh required."""
+    # no slice structure visible -> 1-D
+    m1 = pmesh.make_mesh(8)
+    assert tuple(m1.shape.keys()) == (pmesh.TILE_AXIS,)
+    with pytest.raises(ValueError):
+        pmesh.make_mesh(8, layout="2d")
+
+    monkeypatch.setenv("FVGP_TPU_ASSUME_SLICES", "2")
+    m2 = pmesh.make_mesh(8)
+    assert dict(m2.shape) == {pmesh.SLICE_AXIS: 2, pmesh.TILE_AXIS: 4}
+    assert pmesh.tile_device_count(m2) == 8
+    # indivisible override is a loud error, not a silent 1-D fallback
+    monkeypatch.setenv("FVGP_TPU_ASSUME_SLICES", "3")
+    with pytest.raises(ValueError):
+        pmesh.make_mesh(8)
+    monkeypatch.setenv("FVGP_TPU_ASSUME_SLICES", "2")
+
+    x, y = _sparse_dataset(n=900)
+    perm = morton_order(x)
+    x, y = x[perm], y[perm]
+    a = {"gp2Scale_block_size": 64}
+    gp1 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True, args=dict(a))
+    v1, g1 = gp1.marginal_likelihood.log_likelihood_value_and_gradient(HPS)
+    with pmesh.use_mesh(pmesh.make_mesh(8)):       # auto -> 2-D
+        gp2 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True, args=dict(a))
+        v2, g2 = gp2.marginal_likelihood.log_likelihood_value_and_gradient(HPS)
+    np.testing.assert_allclose(v2, v1, rtol=1e-5)
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)
+
+
+def test_dcn_split_diagnostic():
+    """dcn_split partitions the halo/all-gather words into DCN vs ICI
+    shares and reports the real (unpadded) cross-slice words."""
+    from fvgp_tpu.parallel.partition import dcn_split
+
+    n_dev, per_slice, S, W = 8, 4, 16, 100
+    stats = {"S": S, "halo_words": n_dev * (n_dev - 1) * S,
+             "allgather_words": n_dev * (n_dev - 1) * W}
+    send_mask = np.zeros((n_dev, n_dev, S), np.float32)
+    send_mask[0, 5, :3] = 1.0          # 3 real cross-slice slots
+    send_mask[0, 1, :7] = 1.0          # intra-slice: not DCN
+    out = dcn_split(stats, n_dev, per_slice, send_mask=send_mask)
+    assert out["halo_dcn_words"] == n_dev * (n_dev - per_slice) * S
+    assert out["halo_ici_words"] == n_dev * (per_slice - 1) * S
+    assert out["halo_dcn_real_words"] == 3
+    assert (out["allgather_dcn_words"] + out["allgather_ici_words"]
+            == stats["allgather_words"])
+    with pytest.raises(ValueError):
+        dcn_split(stats, 8, 3)

@@ -3,6 +3,7 @@ finite differences, bf16 solver option, sentinel handling."""
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from fvgp_tpu.kernels import wendland_anisotropic
@@ -154,6 +155,7 @@ def test_mbcg_variance_contract():
     assert np.isfinite(float(v)) and float(var) >= 0.0
 
 
+@pytest.mark.slow
 def test_precond_width_improves_convergence():
     """Width-2 preconditioner blocks (adjacent Morton neighbors factored
     exactly) beat block-Jacobi at a fixed small CG budget on a strongly
@@ -254,6 +256,7 @@ def test_default_solver_is_mbcg():
     assert '"gp2Scale_solver", "mbcg"' in src
 
 
+@pytest.mark.slow
 def test_precond_width_engages_on_indivisible_block_counts():
     """gp2Scale_precond_width used to fall back silently whenever the block
     count was not divisible by the width (at N=1M, B=128 the flagship nb =
@@ -307,6 +310,7 @@ def test_early_exit_matches_full_run():
     np.testing.assert_allclose(np.asarray(g_l), np.asarray(g_t), rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_sparse_cg_tol_threads_through_facade():
     """The public args key sparse_cg_tol reaches the traced sparse LML."""
     from fvgp_tpu import GP

@@ -4,6 +4,7 @@ scipy.sparse matrix or a BlockSparseMatrix, folded into K+V sparse-aware
 
 import warnings
 
+import pytest
 import numpy as np
 import scipy.sparse as sps
 
@@ -59,6 +60,7 @@ def test_merged_fingerprint_is_frobenius_of_represented_matrix():
     np.testing.assert_allclose(float(fro), np.linalg.norm(dense), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_dense_gp_sparse_noise_matches_dense_oracle():
     """Sparse-matrix noise on the dense path == the same noise passed dense."""
     x, y = _data()
@@ -85,6 +87,7 @@ def test_dense_gp_sparse_noise_matches_dense_oracle():
                                rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_gp2Scale_sparse_noise_matches_dense_oracle():
     """Banded scipy.sparse noise under gp2Scale: K+V merges the noise tiles
     into the block-sparse operator; LML and posterior match a dense GP with

@@ -68,6 +68,7 @@ def test_train_adam(gp):
     assert gp.log_likelihood() > before
 
 
+@pytest.mark.slow
 def test_train_bo_sets_info(gp):
     gp.train(method="bo", hyperparameter_bounds=BOUNDS, max_iter=14,
              bo_args={"n_init": 8, "patience": 4})
