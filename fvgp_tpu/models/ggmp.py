@@ -890,11 +890,12 @@ class GGMP:
     # ONE vmapped device program — SURVEY §2c item 7)
     def _component_posteriors(self, x_pred, need_var=True):
         """(means, variances) stacked over the K components.  With
-        ``gp_eval_parallel=True`` and an eligible model (single-task,
-        one shared traceable kernel/mean, vector noises, identical data)
-        all K component posteriors run as ONE batched device program;
+        ``gp_eval_parallel=True`` and an eligible model (one shared
+        traceable kernel/mean, vector noises, identical data — multi-task
+        components qualify through their shared augmented index set) all
+        K component posteriors run as ONE batched device program;
         otherwise (or on any ineligibility) the per-GP path runs."""
-        if self.gp_eval_parallel and not self.multi_task:
+        if self.gp_eval_parallel:
             out = self._batched_component_posteriors(x_pred)
             if out is not None:
                 return out
@@ -970,6 +971,16 @@ class GGMP:
 
         import jax.numpy as jnp
         xp = np.atleast_2d(np.asarray(x_pred, dtype=float))
+        n_points = xp.shape[0]
+        if self.multi_task:
+            # fvGP components share ONE augmented index set: evaluate the
+            # batched single-output program on the task-augmented points
+            # and reshape task-major afterwards (models/fvgp.py contract)
+            from .gp_posterior import GPposterior
+            x_out = gps[0].data.x_out
+            if not isinstance(x_out, np.ndarray):
+                return None
+            xp = GPposterior.cartesian_product(xp, x_out)
         # pad the prediction rows to a power-of-two bucket so repeated
         # calls share few compiled programs (padded rows slice away)
         npred = xp.shape[0]
@@ -989,8 +1000,15 @@ class GGMP:
         self._batched_eval_count = getattr(self, "_batched_eval_count", 0) + 1
         logger.debug("GGMP: batched path served call %d",
                      self._batched_eval_count)
-        return (np.asarray(means)[:, :npred],
-                np.asarray(variances)[:, :npred])
+        means = np.asarray(means)[:, :npred]
+        variances = np.asarray(variances)[:, :npred]
+        if self.multi_task:
+            # task-major 'F' reshape per component: flat[j*n + i] is
+            # (point i, task j) -> (K, n_points, n_tasks)
+            K = means.shape[0]
+            means = means.reshape(K, -1, n_points).transpose(0, 2, 1)
+            variances = variances.reshape(K, -1, n_points).transpose(0, 2, 1)
+        return means, variances
 
     # ------------------------------------------------------------------
     def posterior_mean(self, x_pred):

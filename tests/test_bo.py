@@ -58,6 +58,7 @@ def test_bo_objective_that_is_never_finite_still_returns():
     assert info["n_evaluations"] <= 6
 
 
+@pytest.mark.slow
 def test_bo_stops_when_asked_between_iterations():
     seen = []
 
@@ -81,6 +82,7 @@ def test_bo_stop_during_the_initial_design():
     assert info["n_evaluations"] == 0
 
 
+@pytest.mark.slow
 def test_bo_ei_tolerance_short_circuits():
     _, info = bayesian_optimize(
         quad, BOUNDS2, X0, max_iter=30,
@@ -89,6 +91,7 @@ def test_bo_ei_tolerance_short_circuits():
     assert info["n_evaluations"] == 6      # design only, no BO evals
 
 
+@pytest.mark.slow
 def test_bo_warm_starts_from_the_initial_hyperparameters():
     first = {}
 

@@ -50,6 +50,7 @@ def test_single_column_y_rejected(mt_data):
         fvGP(x, np.sin(x[:, 0]), init_hyperparameters=np.ones(4))
 
 
+@pytest.mark.slow
 def test_multitask_posterior_task_major(mt_data):
     """v(x)[i, t] and S[i, j, t, u] layouts (ref gp_posterior.py:263-275)."""
     x, y = mt_data
@@ -70,6 +71,7 @@ def test_multitask_posterior_task_major(mt_data):
     np.testing.assert_allclose(res_d["m(x)"], res_m["m(x)"], atol=1e-12)
 
 
+@pytest.mark.slow
 def test_multitask_matches_equivalent_single_task(mt_data):
     """fvGP == GP on the task-augmented points (the defining identity)."""
     x, y = mt_data

@@ -376,6 +376,7 @@ def test_ggmp_multitask_end_to_end():
     np.testing.assert_allclose(mass, 1.0, atol=0.05)
 
 
+@pytest.mark.slow
 def test_ggmp_multitask_rejects_sample_weights():
     K = 2
     x, y_data = _make_multitask_distributional_data(n=6)
@@ -387,6 +388,7 @@ def test_ggmp_multitask_rejects_sample_weights():
                 y_samples=[np.zeros(3)] * len(x))
 
 
+@pytest.mark.slow
 def test_reference_name_helper_parity(tmp_path):
     """The reference ggmp module's remaining public helpers exist with the
     same contracts (ref ggmp.py:1847, :2002, :2159, :2301, :2430)."""
@@ -441,6 +443,7 @@ def test_reference_name_helper_parity(tmp_path):
 # component parallelism (SURVEY §2c item 7; ref ggmp.py:469-503): the K
 # component posteriors run as ONE vmapped device program
 
+@pytest.mark.slow
 def test_ggmp_batched_component_eval_matches_sequential():
     K = 3
     x, y_data = _make_distributional_data(n=14, K=K)
@@ -492,6 +495,7 @@ def test_ggmp_batched_eval_after_training_and_em():
     np.testing.assert_allclose(v_b, v_s, rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_ggmp_batched_eval_falls_back_on_mixed_kernels():
     """Components with different kernel callables cannot share one vmapped
     program — the sequential path must serve them (correctness first)."""
@@ -519,6 +523,7 @@ def test_ggmp_batched_eval_falls_back_on_mixed_kernels():
     np.testing.assert_allclose(m, m_s, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_ggmp_gp_parallel_mcmc_threads_match_serial_surface():
     """train_component_gps_mcmc(gp_parallel=True) trains every component
     (thread pool over the K samplers) and returns in-bounds vectors."""
@@ -537,3 +542,29 @@ def test_ggmp_gp_parallel_mcmc_threads_match_serial_surface():
         b = np.asarray(hps.hps_bounds[k], dtype=float)
         assert hk.shape == (3,)
         assert np.all(hk >= b[:, 0]) and np.all(hk <= b[:, 1])
+
+
+def test_ggmp_batched_eval_multitask_matches_sequential():
+    """Multi-task components (fvGP over one shared augmented index set)
+    also run as one batched program — means/variances identical to the
+    per-GP path, task-major shapes preserved."""
+    K = 2
+    x, y_data = _make_multitask_distributional_data(n=8, n_tasks=2)
+    seq = GGMP(x, y_data, hps_obj=_hps_obj_mt(K), likelihood_terms=K)
+    seq.initLikelihoods()
+    seq.initGPs()
+    par = GGMP(x, y_data, hps_obj=_hps_obj_mt(K), likelihood_terms=K,
+               gp_eval_parallel=True)
+    par.initLikelihoods()
+    par.initGPs()
+    xp = x[:5]
+    m_seq, v_seq = seq._component_posteriors(xp)
+    m_par, v_par = par._component_posteriors(xp)
+    assert getattr(par, "_batched_eval_count", 0) == 1
+    assert m_par.shape == m_seq.shape == (K, 5, 2)
+    np.testing.assert_allclose(m_par, m_seq, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(v_par, v_seq, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(par.posterior_mean(xp),
+                               seq.posterior_mean(xp), rtol=1e-8)
+    np.testing.assert_allclose(par.posterior_variance(xp),
+                               seq.posterior_variance(xp), rtol=1e-8)

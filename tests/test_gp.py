@@ -55,6 +55,7 @@ def test_lml_matches_numpy_oracle(gp_and_oracle):
     assert abs(gp.log_likelihood(hps2) - oracle2["lml"]) < 1e-8
 
 
+@pytest.mark.slow
 def test_posterior_matches_numpy_oracle(gp_and_oracle):
     gp, x, y, hps = gp_and_oracle
     oracle = _np_gp_reference(x, y, hps)
@@ -71,6 +72,7 @@ def test_posterior_matches_numpy_oracle(gp_and_oracle):
     np.testing.assert_allclose(res_c["S"], S_exp, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_gradient_matches_finite_differences(gp_and_oracle):
     gp, x, y, hps = gp_and_oracle
     fd, an = gp.test_log_likelihood_gradient(np.array([1.5, 2.0, 1.0]),
@@ -81,6 +83,7 @@ def test_gradient_matches_finite_differences(gp_and_oracle):
 @pytest.mark.parametrize("mode", ["Chol", "CholInv", "Inv", "sparseCG",
                                   "sparseMINRES", "sparseCGpre",
                                   "sparseMINRESpre", "sparseLU", "sparseSolve"])
+@pytest.mark.slow
 def test_all_linalg_modes_agree(small_data, mode):
     """Every linalg mode answers the same LML and posterior
     (the reference's mode sweep, tests/test_fvgp.py:357)."""
@@ -135,6 +138,7 @@ def test_measured_noise_variances(small_data):
     assert abs(gp.log_likelihood() - oracle["lml"]) < 1e-8
 
 
+@pytest.mark.slow
 def test_host_numpy_kernel(small_data):
     """A numpy user kernel takes the host path with FD gradients —
     the reference's arbitrary-kernel contract."""
@@ -152,6 +156,7 @@ def test_host_numpy_kernel(small_data):
     np.testing.assert_allclose(fd, an, rtol=5e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_update_gp_data_append_rank_n(small_data):
     """Appending with rank-n update must agree with a fresh GP on the
     union dataset (ref tests anchor: rank_n_update paths).
@@ -215,6 +220,7 @@ def test_default_bounds_and_validation(small_data):
         GP(xn, yn, init_hyperparameters=np.array([1.0, 1.0, 1.0]))
 
 
+@pytest.mark.slow
 def test_posterior_probability_gaussian_fusion_oracle(small_data):
     """posterior_probability == the brute-force precision-form Gaussian
     fusion (the reference's formulation, ref gp_posterior.py:529-552),
@@ -244,6 +250,7 @@ def test_posterior_probability_gaussian_fusion_oracle(small_data):
     np.testing.assert_allclose(out["probability"], p, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_hessian_exact_on_traced_path_matches_fd():
     """neg_log_likelihood_hessian is the exact jax.hessian when the kernel
     is traceable (beyond the reference, which can only FD its gradient,
@@ -301,6 +308,7 @@ def test_picp_rejects_column_vector_y(small_data):
     assert 0.0 <= cov <= 1.0
 
 
+@pytest.mark.slow
 def test_async_linalg_gate_lives_with_the_run(small_data):
     """The sequential-state gate must stay applied for the WHOLE async run
     and restore only when the actor finishes — not when train() returns."""

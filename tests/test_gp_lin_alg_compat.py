@@ -39,6 +39,7 @@ def test_cholesky_family_matches_numpy():
     np.testing.assert_allclose(Ainv, np.linalg.inv(A), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_factor_update_family():
     big = _spd(30, seed=3)
     A, Bb, C = big[:22, :22], big[:22, 22:], big[22:, 22:]
@@ -71,6 +72,7 @@ def test_dense_general_family():
     assert gla.how_sparse_is(S) == pytest.approx(200 / float(200 * 200))
 
 
+@pytest.mark.slow
 def test_sparse_krylov_solvers_accept_scipy_matrices():
     S = _sparse_spd(150)
     b = np.sin(np.arange(150, dtype=float))
@@ -120,6 +122,7 @@ def test_sparse_direct_semantics():
         np.linalg.slogdet(S.toarray())[1], rel=1e-9)
 
 
+@pytest.mark.slow
 def test_random_logdet_contract():
     S = _sparse_spd(220, seed=11)
     info = {}

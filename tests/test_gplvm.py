@@ -6,6 +6,7 @@ import pytest
 from fvgp_tpu.models.gplvm import GPLVM
 
 
+@pytest.mark.slow
 def test_gplvm_recovers_1d_manifold(rng):
     """Observations on a smooth 1-d curve embedded in 5-d: the learned 1-d
     latent must order the points along the curve."""
@@ -42,6 +43,7 @@ def test_gplvm_predict_variance(rng):
     assert far[0] > v.mean()      # far from data -> larger variance
 
 
+@pytest.mark.slow
 def test_gplvm_pickle_roundtrip():
     import pickle
 
@@ -71,6 +73,7 @@ def _curve_data(rng, n=40):
     return Y + 0.01 * rng.standard_normal(Y.shape)
 
 
+@pytest.mark.slow
 def test_gplvm_posterior_matches_exact_oracle(rng):
     """posterior_mean / posterior_covariance at new latents must equal the
     exact numpy GP built on the learned embedding."""
@@ -180,6 +183,7 @@ def test_gplvm_train_callable_and_set_hyperparameters(rng):
         m.train(method="nope")
 
 
+@pytest.mark.slow
 def test_gplvm_gradient_selftest_and_loglik_override(rng):
     Y = _curve_data(rng, n=18)
     m = GPLVM(Y, latent_dim=1)
@@ -194,6 +198,7 @@ def test_gplvm_gradient_selftest_and_loglik_override(rng):
     np.testing.assert_allclose(m.get_hyperparameters(), theta)
 
 
+@pytest.mark.slow
 def test_gplvm_info_theory_surface(rng):
     Y = _curve_data(rng, n=20)
     m = GPLVM(Y, latent_dim=1)

@@ -3,6 +3,7 @@ dev/gpm.py:20 — the multi-output trace-form LML is its coherent core)."""
 
 import warnings
 
+import pytest
 import numpy as np
 
 from fvgp_tpu import GP, GPm
@@ -45,6 +46,7 @@ def test_gpm_lml_matches_per_output_gps():
     np.testing.assert_allclose(lml, total, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_gpm_trains_and_predicts():
     x, y = _manifold_data()
     m = GPm(x, y, manifold_dim=1)
@@ -74,6 +76,7 @@ def test_gpm_frozen_embedding():
     np.testing.assert_array_equal(np.asarray(m.W), W0)
 
 
+@pytest.mark.slow
 def test_gpm_pickle_roundtrip():
     import pickle
 

@@ -97,6 +97,7 @@ def test_default_matern_ard_matches_reference_formula(rng):
     np.testing.assert_allclose(ours, expected, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_kernel_gradients_finite_on_diagonal(rng):
     """d/dhps of every parametric kernel must be finite at distance 0."""
     x = jnp.asarray(rng.uniform(0, 5, (6, 2)))

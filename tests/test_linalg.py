@@ -69,6 +69,7 @@ def test_cg_dense():
     np.testing.assert_allclose(A @ x, b, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cg_warm_start_and_precond():
     A = _spd(64, 6)
     b = np.random.default_rng(7).standard_normal(64)

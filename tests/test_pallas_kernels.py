@@ -1,6 +1,7 @@
 """Pallas kernels vs their XLA formulations (interpret mode on CPU)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from fvgp_tpu.kernels import default_matern_ard, wendland_anisotropic
@@ -8,6 +9,7 @@ from fvgp_tpu.ops.pallas_kernels import block_spmv, dense_covariance
 from fvgp_tpu.parallel.block_sparse import BlockSparseMatrix
 
 
+@pytest.mark.slow
 def test_dense_covariance_matern(rng):
     x1 = rng.uniform(0, 5, (70, 3))
     x2 = rng.uniform(0, 5, (50, 3))
@@ -56,6 +58,7 @@ def test_block_spmv_with_sentinels(rng):
     np.testing.assert_allclose(out, dense @ X, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_chunked_spmm_matches_xla(rng):
     """The production VMEM-resident SpMM (interpret mode on CPU) matches
     the XLA segment-sum formulation, including sentinel tiles."""

@@ -199,6 +199,7 @@ def test_log_likelihood_variance_contract(small_data):
     v = gp2.marginal_likelihood.log_likelihood_variance()
     assert v is not None and v >= 0.0
 
+@pytest.mark.slow
 def test_gp2scale_auto_mode_large_n_is_preconditioned_cg():
     """At large N the auto-selected gp2Scale mode is sparseCGpre — a
     documented TPU deviation from the reference's unpreconditioned

@@ -42,6 +42,7 @@ def _central(fn, x_pred, d, h=H):
     return (fn(x1) - fn(x2)) / (2.0 * h)
 
 
+@pytest.mark.slow
 def test_posterior_mean_grad_direction(gp, x_pred):
     for d in range(2):
         got = gp.posterior_mean_grad(x_pred, direction=d)["dm/dx"]

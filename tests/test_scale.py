@@ -131,6 +131,7 @@ def test_stack_augmented_covariance():
 # tests/test_fvgp.py:2989)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_distributed_covariance_matches_dense():
     x, y = _sparse_dataset()
     gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
@@ -167,6 +168,7 @@ def test_morton_ordering_improves_block_locality():
     assert np.mean(spans_sorted) < 0.5 * np.mean(spans_raw)
 
 
+@pytest.mark.slow
 def test_gp2scale_posterior_vs_dense_gp():
     """Sparse-path GP agrees with a dense GP on the same (reordered) data
     (ref tests/test_fvgp.py:3074)."""
@@ -206,6 +208,7 @@ def test_gp2scale_slq_lml_close_to_exact():
     assert gp.marginal_likelihood.log_likelihood_variance() is not None
 
 
+@pytest.mark.slow
 def test_gp2scale_training_guard():
     """The MCMC fallback (the reference's unconditional behavior,
     ref gp.py:947-949) now fires only when the kernel is a host numpy
@@ -230,6 +233,7 @@ def test_gp2scale_training_guard():
     assert "switched to MCMC" in msgs
 
 
+@pytest.mark.slow
 def test_gp2scale_update_gp_data_append():
     x, y = _sparse_dataset(n=500)
     gp = GP(x[:400], y[:400], init_hyperparameters=HPS, gp2Scale=True,
@@ -241,6 +245,7 @@ def test_gp2scale_update_gp_data_append():
     np.testing.assert_allclose(Kd, Kref, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_gp2scale_overwrite_invalidates_tile_filter():
     """Regression (round-1 advisor, high): the tile-liveness keep mask was
     keyed on lengthscale drift only, so update_gp_data(append=False) with an
@@ -273,6 +278,7 @@ def test_rowwise_matches_blockwise():
 # multi-device mesh (the "cluster fixture")
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_sharded_covariance_spmm(eight_devices):
     """The tile SpMM over an 8-device mesh agrees with the dense product."""
     x, y = _sparse_dataset(n=900)
@@ -307,6 +313,7 @@ def test_sharded_gp_end_to_end(eight_devices):
     np.testing.assert_allclose(pm, gpd.posterior_mean(xp)["m(x)"], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_partition_cache_rejects_changed_cols(eight_devices, monkeypatch):
     """Regression (round-2 advisor, medium): the mesh-path partition cache
     compared only the filtered rows array; a structure change that kept rows
@@ -370,6 +377,7 @@ def test_zero_tile_filter_reduces_tiles_exactly():
         / abs(gp_off.log_likelihood()) < 1e-6
 
 
+@pytest.mark.slow
 def test_storage_dtype_bf16():
     """args['gp2Scale_storage_dtype'] assembles tiles at reduced precision
     (the N~1M construction-memory lever); values stay within bf16 tolerance."""
@@ -781,6 +789,7 @@ def test_halo_plan_covers_all_references():
                 assert send_sel[e, d, s] == c - e * W
 
 
+@pytest.mark.slow
 def test_halo_spmv_matches_allgather_spmv(eight_devices):
     """The halo-exchange SpMM == the all-gather SpMM == the dense product."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -840,6 +849,7 @@ def test_halo_spmv_matches_allgather_spmv(eight_devices):
     np.testing.assert_allclose(out_plain, dense @ X, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_gp_forced_halo_matches_meshless(eight_devices):
     """Public-API gp2Scale with args['gp2Scale_halo_exchange']=True under
     the mesh matches the meshless LML+gradient."""
@@ -907,6 +917,7 @@ def test_rowpart_gp_api_parity(eight_devices):
     np.testing.assert_allclose(g8, g1, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_update_gp_data_under_mesh(eight_devices):
     """Append/overwrite under an active mesh keeps the row-partitioned LML
     consistent with a freshly built GP."""
@@ -925,6 +936,7 @@ def test_update_gp_data_under_mesh(eight_devices):
         np.testing.assert_allclose(v_app, fresh.log_likelihood(), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_rowpart_partition_cache_hit(eight_devices):
     """Repeated sparse-LML evaluations under a mesh reuse the partitioned
     schedule (regression: the cache-hit path once crashed on an unbound
@@ -943,6 +955,7 @@ def test_rowpart_partition_cache_hit(eight_devices):
     np.testing.assert_allclose(v3, v1, rtol=1e-2)  # fresh SLQ probes per eval
 
 
+@pytest.mark.slow
 def test_rect_matmat_column_chunking_matches_unchunked():
     """The rectangular block-sparse products chunk their columns so the
     (T, B, c) per-tile temporary stays bounded (at N=1M an unchunked
@@ -989,6 +1002,7 @@ def _whost(x1, x2, hps):
     return np.asarray(wendland_anisotropic(x1, x2, hps))
 
 
+@pytest.mark.slow
 def test_worker_helpers_blockwise_matches_dense():
     from fvgp_tpu.parallel import sharded_cov as sc
     rng = np.random.default_rng(11)
@@ -999,6 +1013,7 @@ def test_worker_helpers_blockwise_matches_dense():
     np.testing.assert_allclose(K.toarray(), dense, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_worker_helpers_rowwise_matches_blockwise():
     from fvgp_tpu.parallel import sharded_cov as sc
     rng = np.random.default_rng(12)
@@ -1056,6 +1071,7 @@ def test_worker_helpers_arity_sniffing_default():
     np.testing.assert_allclose(K.toarray(), _whost(x, x, hps), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_unknown_support_kernel_is_dense_not_empty():
     """A traceable custom kernel with UNDECLARED support must compute every
     tile (dense candidates, with a warning) — not silently zero candidates
@@ -1099,6 +1115,7 @@ def test_trial_solve_engages_preconditioner_before_commit():
     assert kv.Preconditioner_operator is not None   # ...but preconditioned
 
 
+@pytest.mark.slow
 def test_adam_chain_probes_differ_across_chunks():
     """Chunk k+1 must not replay chunk k's Rademacher probe sequence: at
     identical theta, chunks at different t_start see different SLQ noise,
@@ -1116,6 +1133,7 @@ def test_adam_chain_probes_differ_across_chunks():
     assert not np.allclose(f0, f1)          # fresh probes per chunk
 
 
+@pytest.mark.slow
 def test_make_mesh_auto_2d_layout(eight_devices, monkeypatch):
     """make_mesh(layout='auto') derives the (slice, tiles) shape from the
     device topology (FVGP_TPU_ASSUME_SLICES stands in for slice_index on

@@ -32,6 +32,7 @@ def _setup(N=600, D=2, B=64, seed=1):
     return x, y, hps, nb, B, args
 
 
+@pytest.mark.slow
 def test_implicit_cg_gradient_matches_fd():
     """The custom-VJP (implicit-function-theorem) gradient must agree with
     finite differences — this is the scale path's training signal."""
@@ -48,6 +49,7 @@ def test_implicit_cg_gradient_matches_fd():
     np.testing.assert_allclose(np.asarray(g), fd, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sparse_lml_matches_dense_oracle():
     """Value agreement with the exact dense LML (tight CG, many probes)."""
     x, y, hps, nb, B, args = _setup(N=400)
@@ -64,6 +66,7 @@ def test_sparse_lml_matches_dense_oracle():
     assert abs(val - exact) / abs(exact) < 0.01
 
 
+@pytest.mark.slow
 def test_bf16_solver_close_to_f32():
     x, y, hps, nb, B, args = _setup()
     lml32 = SL.make_sparse_lml(wendland_anisotropic, nb, B, cg_iters=100,
@@ -76,6 +79,7 @@ def test_bf16_solver_close_to_f32():
     assert abs(v32 - v16) / abs(v32) < 5e-3
 
 
+@pytest.mark.slow
 def test_sentinel_tiles_are_noops():
     """Bucket-padding sentinels (index == nb, zero tiles) must not move the
     value — the 'dynamic sparsity under jit' contract."""
@@ -91,6 +95,7 @@ def test_sentinel_tiles_are_noops():
     np.testing.assert_allclose(v1, v2, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_mbcg_matches_dense_oracle():
     """The fused mBCG solver's value must agree with the exact dense LML —
     its logdet quadrature is degree cg_iters, preconditioned, so it should
@@ -108,6 +113,7 @@ def test_mbcg_matches_dense_oracle():
     assert abs(val - exact) / abs(exact) < 0.01
 
 
+@pytest.mark.slow
 def test_mbcg_gradient_matches_exact_dense():
     """mBCG's stochastic-trace backward (probe-solve reuse) must agree with
     the exact dense gradient within the probe-noise floor."""
@@ -133,6 +139,7 @@ def test_mbcg_gradient_matches_exact_dense():
     assert np.isfinite(float(v))
 
 
+@pytest.mark.slow
 def test_mbcg_sentinel_tiles_are_noops():
     x, y, hps, nb, B, args = _setup(N=300, B=32)
     rj, cj, *rest = args
@@ -209,6 +216,7 @@ def test_precond_width_improves_convergence():
     assert err(2, 200) < abs(exact) * 5e-3
 
 
+@pytest.mark.slow
 def test_precond_width_slq_solver():
     """Regression: the slq solver's preconditioner apply must handle
     width-w Minv shapes (it hard-coded the width-1 reshape)."""
@@ -290,6 +298,7 @@ def test_precond_width_engages_on_indivisible_block_counts():
     assert abs(v3 - v1) / abs(v1) < 5e-3
 
 
+@pytest.mark.slow
 def test_early_exit_matches_full_run():
     """cg_iters is a MAX: the while_loop exits at the cg_tol floor, and the
     result must match a tight-tolerance (full-length) run to well within

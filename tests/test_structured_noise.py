@@ -130,6 +130,7 @@ def test_gp2Scale_sparse_noise_matches_dense_oracle():
         atol=1e-8)
 
 
+@pytest.mark.slow
 def test_block_sparse_noise_object():
     """A noise callable may return a BlockSparseMatrix directly."""
     x, y = _data(n=64)
@@ -145,6 +146,7 @@ def test_block_sparse_noise_object():
                                rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_add_noise_with_structured_noise():
     """Regression: posterior add_noise densifies structured noise instead
     of silently skipping it with a warning."""

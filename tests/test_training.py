@@ -35,6 +35,7 @@ def test_train_global(gp):
     assert gp.log_likelihood() > before
 
 
+@pytest.mark.slow
 def test_train_hgdl_multistart(gp):
     before = gp.log_likelihood()
     gp.train(method="hgdl", hyperparameter_bounds=BOUNDS, pop_size=4,
@@ -109,6 +110,7 @@ def test_train_custom_objective(gp):
 
 
 @pytest.mark.parametrize("method", ["mcmc", "adam", "hgdl", "bo"])
+@pytest.mark.slow
 def test_async_training_polling(gp, method):
     """asynchronous=True returns a proxy with get_latest()/stop(); pulling
     hyperparameters into the GP mid-run must work (ref gp_actor)."""
@@ -238,6 +240,7 @@ def test_out_of_bounds_init_redrawn(gp):
     assert any("out of bounds" in str(w.message) for w in rec)
 
 
+@pytest.mark.slow
 def test_constraints_honored_global_and_hgdl(gp):
     """The reference forwards scipy-style constraints to DE and HGDL
     (ref gp_training.py:66-77, :131-138); here DE applies Deb's

@@ -433,6 +433,7 @@ def test_fvgp_rejects_single_column_y():
         fvGP(x, y)                                   # 1-d y on fvGP
 
 
+@pytest.mark.slow
 def test_fvgp_rejects_bad_update_formats():
     x, _ = _small()
     y2 = np.column_stack([np.sin(x[:, 0]), np.cos(x[:, 0])])
