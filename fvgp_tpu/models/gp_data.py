@@ -68,6 +68,11 @@ class GPdata:
         # keyed on dataset content (e.g. the gp2Scale tile-liveness mask)
         # can tell "same N, different points" apart from "unchanged data"
         self.generation = 0
+        # shared host-structure cache (gp2Scale tile structure etc.) — the
+        # training and prediction paths compute the same filtered block
+        # structure from (x, B, lengthscales, radius); keys carry the
+        # generation token, entries are host numpy arrays
+        self.structure_cache = {}
         self.ram_economy = ram_economy
         self.gp2Scale = gp2Scale
         self.gp2Scale_batch_size = gp2Scale_batch_size
@@ -162,9 +167,13 @@ class GPdata:
 
     # ------------------------------------------------------------------
     def __getstate__(self):
-        return dict(self.__dict__)
+        state = dict(self.__dict__)
+        state["structure_cache"] = {}       # host cache: rebuilt on demand
+        return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         if "generation" not in state:  # pickles from before the token existed
             self.generation = 0
+        if "structure_cache" not in state:
+            self.structure_cache = {}

@@ -692,18 +692,21 @@ class GPkv:
         if ls is None:
             ls = np.ones(x.shape[1], dtype=np.float64)
         ls = np.asarray(ls, np.float64)
-        from ..utils.logging import phase_timer
-        with phase_timer("committed solver: tile structure"):
-            rows, cols = _candidate_pairs(x, None, ls, radius, B,
-                                          symmetric=True)
-            off = rows < cols
-            rows_f = np.concatenate([rows, cols[off]]).astype(np.int32)
-            cols_f = np.concatenate([cols, rows[off]]).astype(np.int32)
-            if (bool(args.get("gp2Scale_tile_filter", True))
-                    and np.isfinite(radius) and len(rows_f)):
-                from ..native import tile_live
-                keep = tile_live(x / ls, rows_f, cols_f, B, radius)
-                rows_f, cols_f = rows_f[keep], cols_f[keep]
+        # the training pass computes the identical filtered structure
+        # (candidate prune + exact liveness are both functions of
+        # (x, B, ls, radius) only) — share it through the per-data cache
+        # instead of paying the host pass twice (~7 s at N=1M)
+        skey = ("tile_structure", self.data.generation,
+                self.data.point_number, B, float(radius), ls.tobytes(),
+                bool(args.get("gp2Scale_tile_filter", True)))
+        shared = getattr(self.data, "structure_cache", None)
+        if shared is not None and skey in shared:
+            rows_f, cols_f = shared[skey]
+        else:
+            rows_f, cols_f = self._tile_structure(x, ls, radius, B, args)
+            if shared is not None:
+                shared.clear()          # one live structure per dataset
+                shared[skey] = (rows_f, cols_f)
 
         mode = self._auto_mode(n, len(rows_f) * B * B)
         supported = mode in ("sparseCG", "sparseCGpre") or (
@@ -788,6 +791,25 @@ class GPkv:
                "col_budget": int(col_budget)}
         self._fast_solver_ctx = ctx
         return ctx
+
+    def _tile_structure(self, x, ls, radius, B, args):
+        """Filtered (rows, cols) block structure at exact lengthscales:
+        bounding-box candidate prune + exact tile liveness (both in the
+        native host runtime)."""
+        from ..parallel.sharded_cov import _candidate_pairs
+        from ..utils.logging import phase_timer
+        with phase_timer("committed solver: tile structure"):
+            rows, cols = _candidate_pairs(x, None, ls, radius, B,
+                                          symmetric=True)
+            off = rows < cols
+            rows_f = np.concatenate([rows, cols[off]]).astype(np.int32)
+            cols_f = np.concatenate([cols, rows[off]]).astype(np.int32)
+            if (bool(args.get("gp2Scale_tile_filter", True))
+                    and np.isfinite(radius) and len(rows_f)):
+                from ..native import tile_live
+                keep = tile_live(x / ls, rows_f, cols_f, B, radius)
+                rows_f, cols_f = rows_f[keep], cols_f[keep]
+        return rows_f, cols_f
 
     def fast_solve_col_budget(self):
         """Columns per committed-state fast solve, or None (no fast path).

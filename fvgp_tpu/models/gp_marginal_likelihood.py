@@ -372,6 +372,19 @@ class GPMarginalLikelihood:
                 self._filter_mask_cache = (ls_now, np.sort(pair_key[~keep]),
                                            data_token,
                                            (nb, B, float(radius)))
+                # exact-branch result: the prediction path (GPkv's
+                # committed fast solver) needs the identical filtered
+                # structure at these lengthscales — share it so posterior
+                # setup skips its own ~7 s host pass at N=1M.  (The
+                # drift-reuse branch above yields an ls-approximate set
+                # and is never shared.)
+                shared = getattr(self.data, "structure_cache", None)
+                if shared is not None:
+                    skey = ("tile_structure", self.data.generation,
+                            self.data.point_number, B, float(radius),
+                            ls_now.tobytes(), True)
+                    shared.clear()
+                    shared[skey] = (rows_f[keep], cols_f[keep])
             rows_f = rows_f[keep]
             cols_f = cols_f[keep]
 
