@@ -721,11 +721,32 @@ class GPkv:
         xb, mask, _, _, noise_pad = make_padded_inputs(
             x, np.zeros(n), V, B, dtype=dtype, row_multiple=pwidth)
         nb = int(xb.shape[0])
-        T_pad = _bucket(max(len(rows_f), 1))
-        rows_p = np.full(T_pad, nb, np.int32)
-        cols_p = np.full(T_pad, nb, np.int32)
-        rows_p[:len(rows_f)] = rows_f
-        cols_p[:len(cols_f)] = cols_f
+        # row-sort the schedule (stable, host-side, once): the wide-solve
+        # scan-SpMM promises sorted scatter indices (the mirrored
+        # upper-triangle entries are not row-ordered as produced)
+        order = np.argsort(rows_f, kind="stable")
+        rows_f, cols_f = rows_f[order], cols_f[order]
+        # fused Pallas path (f32/bf16 solves): row-aligned C-tile chunks —
+        # the (T, B, c) product never round-trips HBM and the scatter
+        # shrinks C-fold (ops/pallas_kernels.row_chunk_sums).  f64 (CPU
+        # parity regime) keeps the plain scan — the kernel accumulates f32.
+        C_fused = 8
+        use_fused = (np.dtype(dtype) != np.float64
+                     and bool(args.get("gp2Scale_posterior_fused_spmm",
+                                       True)))
+        if use_fused:
+            from ..ops.pallas_kernels import row_aligned_schedule
+            rows_p, cols_p, rowsc, _ = row_aligned_schedule(
+                rows_f, cols_f, nb, C=C_fused)
+            T_pad = len(rows_p)
+            solver_rows = jnp.asarray(rowsc)
+        else:
+            T_pad = _bucket(max(len(rows_f), 1))
+            rows_p = np.full(T_pad, nb, np.int32)
+            cols_p = np.full(T_pad, nb, np.int32)
+            rows_p[:len(rows_f)] = rows_f
+            cols_p[:len(cols_f)] = cols_f
+            solver_rows = None              # per-tile rows (set below)
 
         if mode in ("sparseLU", "sparseSolve"):
             sdt = None                       # direct semantics: full precision
@@ -749,9 +770,10 @@ class GPkv:
                                      args.get("sparse_krylov_maxiter", 0))
                             or 0))))
         kern_fn = _stable_kernel_closure(self.prior)
-        solver = make_committed_solver(kern_fn, nb, B, cg_iters=maxiter,
-                                       solver_dtype=sdt,
-                                       precond_width=pwidth, cg_tol=tol)
+        assemble, solver = make_committed_solver(
+            kern_fn, nb, B, cg_iters=maxiter, solver_dtype=sdt,
+            precond_width=pwidth, cg_tol=tol,
+            row_chunk=C_fused if use_fused else None)
         # Column budget: bound the columns per program so wide posterior
         # solves never OOM (they chunk instead).  The program's fixed
         # residents — the in-trace tile assembly and the batched
@@ -772,7 +794,7 @@ class GPkv:
             if not limit and jax.default_backend() != "cpu":
                 limit = 16 << 30        # relayed backends hide memory_stats;
                 #                         16 GB = the smallest current TPU HBM
-            budget = int(0.6 * limit) if limit else (5 << 30)
+            budget = int(0.8 * limit) if limit else (5 << 30)
         budget = int(budget)
         tile_itemsize = np.dtype(sdt).itemsize if sdt else \
             np.dtype(dtype).itemsize
@@ -784,8 +806,17 @@ class GPkv:
                                  + 4)                    # scan accumulator
         col_budget = max(1, max(budget - fixed, budget // 8)
                          // max(bytes_per_col, 1))
+        if use_fused and col_budget >= 128:
+            # lane-align the fused path's chunk width: VMEM windows pad the
+            # minor dimension to 128 lanes, so a k=42 chunk streams 3x the
+            # X bytes it uses — multiples of 128 waste nothing
+            col_budget = (col_budget // 128) * 128
+        arows = jnp.asarray(rows_p)
         ctx = {"key": key, "fn": jax.jit(solver), "mode": mode,
-               "rows": jnp.asarray(rows_p), "cols": jnp.asarray(cols_p),
+               "assemble": jax.jit(assemble), "tiles": None, "Minv": None,
+               "arows": arows,              # per-tile rows (assembly)
+               "rows": (solver_rows if solver_rows is not None else arows),
+               "cols": jnp.asarray(cols_p),
                "xb": xb, "mask": mask, "noise_pad": noise_pad,
                "hps": jnp.asarray(hps, dtype), "n": n, "n_pad": n_pad,
                "col_budget": int(col_budget)}
@@ -836,13 +867,24 @@ class GPkv:
             # (including the ragged tail, zero-padded) runs the same
             # compiled program — one compile, not one per tail width
             widths = [cb] * (-(-c_total // cb))
+        if ctx["tiles"] is None:
+            # one in-trace assembly + preconditioner build per committed
+            # state; held device-resident (their bytes are the 'fixed'
+            # share of the column budget) so a 9-chunk wide posterior pays
+            # ONE assembly, not nine (~7 s of 14 s at N=1M/500 columns)
+            from ..utils.logging import phase_timer
+            with phase_timer("committed solver: tile assembly + "
+                             "preconditioner"):
+                ctx["tiles"], ctx["Minv"] = ctx["assemble"](
+                    ctx["hps"], ctx["arows"], ctx["cols"], ctx["xb"],
+                    ctx["mask"], ctx["noise_pad"])
         outs, s = [], 0
         for c_eff in widths:
             c = min(c_total - s, c_eff)
             rhs_pad = jnp.zeros((n_pad, c_eff), dtype).at[:n, :c].set(
                 b[:, s:s + c])
-            X = ctx["fn"](ctx["hps"], ctx["rows"], ctx["cols"], ctx["xb"],
-                          ctx["mask"], ctx["noise_pad"], rhs_pad)
+            X = ctx["fn"](ctx["tiles"], ctx["Minv"], ctx["rows"],
+                          ctx["cols"], ctx["noise_pad"], rhs_pad)
             outs.append(X[:n, :c])
             s += c
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)

@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["block_spmv", "dense_covariance", "chunked_spmm",
-           "chunked_spmm_fits"]
+           "chunked_spmm_fits", "row_aligned_schedule", "row_chunk_sums"]
 
 
 def _interpret():
@@ -267,6 +267,120 @@ def chunked_spmm(rows, cols, tiles, X, nb, B, mv_dtype=None, C=8):
     ``_spmv``: clamped sentinel indices must carry zero tiles).  Callers
     check :func:`chunked_spmm_fits` first."""
     return _chunked_spmm_factory(nb, B, C, mv_dtype)(rows, cols, tiles, X)
+
+
+# ---------------------------------------------------------------------------
+# row-aligned chunked SpMM — X in HBM (the wide/committed-state matvec)
+# ---------------------------------------------------------------------------
+#
+# The VMEM-resident chunked_spmm needs X AND the accumulator on-chip, which
+# caps it at nb*B*k ~ a few MB — useless at N=1M where X alone is GBs.  The
+# XLA fallback (_spmv_scan) pays a (chunk, B, c) gather copy, a (chunk, B, c)
+# f32 product round-trip to HBM, and a full-size scatter-add — ~2x the
+# unavoidable traffic.  The fused path removes the product round-trip and
+# shrinks the scatter C-fold:
+#
+# * the schedule is ROW-ALIGNED (``row_aligned_schedule``): each C-tile
+#   chunk's tiles all belong to ONE output row block (rows sorted, each
+#   row's tile list padded to a multiple of C with zero sentinel tiles);
+# * ``row_chunk_sums`` streams the tiles and the pre-gathered X through
+#   VMEM and emits one (B, k) f32 partial PER CHUNK — the (T, B, k)
+#   product never exists in HBM;
+# * the caller scatter-adds the C×-smaller, row-sorted chunk sums.
+#
+# The committed-state solver runs this inside a lax.scan over schedule
+# slices so the gathered X is bounded to one slice.
+
+
+def row_aligned_schedule(rows, cols, nb, C=8, chunk_bucket=256):
+    """Host helper: regroup a row-sorted tile schedule so every C tiles
+    share one output row block.
+
+    Returns ``(rows_p, cols_p, rowsc, n_chunks)``: per-tile indices padded
+    per row to a multiple of ``C`` (sentinel ``col == nb`` marks padding —
+    the assembler zeroes those tiles), and the per-chunk output row index
+    ``rowsc`` (sentinel ``nb`` on trailing bucket-padding chunks, which the
+    kernel routes to a dummy output block).  ``n_chunks`` is bucketed to
+    multiples of ``chunk_bucket`` so jit caches survive occupancy moves."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    counts = np.bincount(rows, minlength=nb)
+    padded = -(-counts // C) * C
+    total = int(padded.sum())
+    n_chunks = -(-max(total // C, 1) // chunk_bucket) * chunk_bucket
+    T_pad = n_chunks * C
+    rows_p = np.full(T_pad, nb, np.int32)
+    cols_p = np.full(T_pad, nb, np.int32)
+    starts = np.zeros(nb + 1, np.int64)
+    np.cumsum(padded, out=starts[1:])
+    # rows are sorted: each row's tiles are one contiguous slice
+    src_starts = np.zeros(nb + 1, np.int64)
+    np.cumsum(counts, out=src_starts[1:])
+    idx = np.arange(len(rows))
+    dst = starts[rows] + (idx - src_starts[rows])
+    rows_p[dst] = rows
+    cols_p[dst] = cols
+    # padded in-row slots keep the row (alignment) with a sentinel col
+    pad_rows = np.repeat(np.arange(nb, dtype=np.int32),
+                         (padded - counts).astype(np.int64))
+    pad_dst = []
+    off = starts[:-1] + counts
+    for r, extra in zip(*np.unique(pad_rows, return_counts=True)):
+        pad_dst.append(np.arange(off[r], off[r] + extra))
+    if pad_dst:
+        pad_dst = np.concatenate(pad_dst)
+        rows_p[pad_dst] = pad_rows
+        cols_p[pad_dst] = nb
+    rowsc = np.full(n_chunks, nb, np.int32)
+    rowsc[: total // C] = np.repeat(np.arange(nb, dtype=np.int32),
+                                    (padded // C).astype(np.int64))
+    return rows_p, cols_p, rowsc, n_chunks
+
+
+def _chunk_sums_kernel(C):
+    def kernel(tiles_ref, xg_ref, out_ref):
+        acc = jnp.dot(tiles_ref[0], xg_ref[0],
+                      preferred_element_type=jnp.float32)
+        for j in range(1, C):
+            acc = acc + jnp.dot(tiles_ref[j], xg_ref[j],
+                                preferred_element_type=jnp.float32)
+        out_ref[0] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("B", "k", "C"))
+def _chunk_sums_call(tiles, Xg, B, k, C):
+    n_chunks = tiles.shape[0] // C
+    return pl.pallas_call(
+        _chunk_sums_kernel(C),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((C, B, B), lambda s: (s, 0, 0)),
+            pl.BlockSpec((C, B, k), lambda s: (s, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, B, k), lambda s: (s, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, B, k), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tiles.shape[0] * B * B * k,
+            bytes_accessed=(tiles.shape[0] * B
+                            * (B * tiles.dtype.itemsize
+                               + k * Xg.dtype.itemsize)
+                            + n_chunks * B * k * 4),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(tiles, Xg)
+
+
+def row_chunk_sums(tiles, Xg, B, C=8):
+    """Per-chunk partial products ``sum_j tiles[s*C+j] @ Xg[s*C+j]`` for a
+    row-aligned schedule slice — tiles and the pre-gathered X stream
+    through VMEM; the (C·M, B, k) f32 product NEVER round-trips HBM (the
+    XLA formulation materializes it).  The caller scatter-adds the
+    C×-smaller chunk sums into the row blocks (sorted indices)."""
+    k = Xg.shape[2]
+    with _x32_scope():
+        return _chunk_sums_call(tiles, Xg, B, k, C)
 
 
 # ---------------------------------------------------------------------------

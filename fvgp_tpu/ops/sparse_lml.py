@@ -228,12 +228,54 @@ def _spmv_scan(rows, cols, tiles, X, nb, B, mv_dtype=None):
             t = t.astype(mv_dtype)
         prod = jnp.einsum("tij,tjk->tik", t, Xb[jnp.minimum(cc, nb - 1)],
                           preferred_element_type=acc_dt)
-        return acc.at[r].add(prod, mode="drop"), None
+        # rows are sorted (candidate enumeration order; sentinels clamp to
+        # the last block at the tail) — the sorted-scatter lowering saves
+        # the general scatter's reordering pass on TPU
+        return acc.at[r].add(prod, mode="drop",
+                             indices_are_sorted=True), None
 
     acc, _ = jax.lax.scan(
         body, jnp.zeros((nb, B, c), acc_dt),
         (rows.reshape(-1, chunk), cols.reshape(-1, chunk),
          tiles.reshape(-1, chunk, B, B)))
+    return acc.reshape(nb * B, c).astype(X.dtype)
+
+
+def _spmv_scan_fused(rowsc, cols_p, tiles, X, nb, B, C=8, mv_dtype=None):
+    """Row-aligned fused SpMM for wide right-hand sides: lax.scan over
+    schedule slices; per slice, XLA gathers the referenced X blocks and the
+    Pallas ``row_chunk_sums`` kernel reduces each C-tile chunk to ONE
+    (B, c) partial — the (T, B, c) product never exists in HBM and the
+    scatter-add handles C× fewer rows (sorted indices).  ~2× the
+    ``_spmv_scan`` traffic model at N=1M widths.
+
+    ``rowsc`` (n_chunks,) per-chunk output rows (sentinel == nb dropped);
+    ``cols_p`` (n_chunks*C,) per-tile column blocks (sentinel == nb —
+    their tiles are zero, the gather clamp is harmless).  f32/bf16 only
+    (the kernel accumulates f32); callers keep the plain scan for f64."""
+    from .pallas_kernels import row_chunk_sums
+
+    acc_dt = jnp.float32
+    Xc = X.astype(mv_dtype) if mv_dtype is not None else X
+    c = X.shape[1]
+    Xb = Xc.reshape(nb, B, c)
+    n_chunks = int(rowsc.shape[0])
+    # slice so the gathered X stays ~256 MB
+    per_chunk = C * B * c * Xb.dtype.itemsize
+    target = max(32, (256 << 20) // max(per_chunk, 1))
+    M = _assembly_chunk(n_chunks, target=min(target, 4096))
+
+    def body(acc, args):
+        rc, cols_s, tiles_s = args
+        xg = Xb[jnp.minimum(cols_s, nb - 1)]
+        sums = row_chunk_sums(tiles_s, xg, B, C=C)
+        return acc.at[rc].add(sums, mode="drop",
+                              indices_are_sorted=True), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((nb, B, c), acc_dt),
+        (rowsc.reshape(-1, M), cols_p.reshape(-1, M * C),
+         tiles.reshape(-1, M * C, B, B)))
     return acc.reshape(nb * B, c).astype(X.dtype)
 
 
@@ -850,24 +892,30 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
 
 
 def make_committed_solver(kernel_fn, nb, B, *, cg_iters=96, solver_dtype=None,
-                          precond_width=1, cg_tol=None):
-    """Committed-state WIDE solve (K+V)⁻¹ RHS as one jittable program
+                          precond_width=1, cg_tol=None, row_chunk=None):
+    """Committed-state WIDE solve (K+V)⁻¹ RHS — two jittable programs:
 
-        solve(hps, rows, cols, xb, mask, noise_diag_pad, RHS) -> X (nb*B, c)
+        assemble(hps, rows, cols, xb, mask, noise_diag_pad)
+            -> (tiles, Minv)                       # once per committed state
+        solve(tiles, Minv, rows, cols, noise_diag_pad, RHS)
+            -> X (nb*B, c)                         # once per column chunk
 
     This is the prediction-path analogue of the traced training step: the
-    covariance tiles are assembled IN-TRACE from the (static) block
-    structure at the committed hyperparameters, the preconditioner is the
-    same batched block-Jacobi/width-grouped factorization, and the solve is
-    the early-exit preconditioned CG — so posterior solves never
-    materialize a stored K+V (the reference keeps a CSR copy and runs
-    scipy CG per right-hand side, ref gp_posterior.py:120-136 /
-    gp_lin_alg.py:1184-1291; at N=1M the stored-tile path here cost
-    ~80 s of setup plus minutes of per-chunk solves).
+    covariance tiles come from the same chunked in-trace assembly at the
+    committed hyperparameters, the preconditioner is the same batched
+    block-Jacobi/width-grouped factorization, and the solve is the
+    early-exit preconditioned CG — no stored K+V object ever materializes
+    (the reference keeps a CSR copy and runs scipy CG per right-hand side,
+    ref gp_posterior.py:120-136 / gp_lin_alg.py:1184-1291).  The split
+    matters for WIDE solves: a 500-column posterior runs as ~9 budgeted
+    chunks, and assembling per chunk cost ~7 s of the ~14 s total at N=1M
+    — the caller holds (tiles, Minv) device-resident for the committed
+    state instead (their bytes are charged to the column budget as fixed
+    residents, gp_kv._fast_sparse_solver).
 
-    ``rows``/``cols`` arrive UNCLAMPED (sentinel == nb, bucket padding);
-    the assembler clamps and zeroes sentinel tiles, so any SpMM formulation
-    is safe.  Right-hand sides with many columns stream the tiles through
+    ``rows``/``cols`` arrive UNCLAMPED (sentinel == nb, bucket padding)
+    and ROW-SORTED (the scan-SpMM promises sorted scatter indices).
+    Right-hand sides with many columns stream the tiles through
     ``_spmv_scan`` (the flat per-tile product would be tens of GB); narrow
     ones keep the flat/Pallas path.  Padded rows carry unit noise and zero
     RHS, so their solution is exactly zero.
@@ -875,31 +923,45 @@ def make_committed_solver(kernel_fn, nb, B, *, cg_iters=96, solver_dtype=None,
 
     flat_spmv = _spmv_for(nb, B, None, mv_dtype=solver_dtype)
 
-    def solve(hps, rows, cols, xb, mask, noise_diag_pad, RHS):
+    def assemble(hps, rows, cols, xb, mask, noise_diag_pad):
         rows_c = jnp.minimum(rows, nb - 1)
         cols_c = jnp.minimum(cols, nb - 1)
+        # row-aligned schedules pad WITHIN rows using a column sentinel
+        # (row real, col == nb) — zero those tiles too
+        live = jnp.logical_and(rows < nb, cols < nb)
         tiles = _assemble_chunked_tiles(kernel_fn, B, solver_dtype, hps,
-                                        rows_c, cols_c, rows < nb, xb, mask)
+                                        rows_c, cols_c, live, xb, mask)
+        Minv, _ = _diag_precond_blocks(kernel_fn, B, precond_width, hps,
+                                       xb, mask, noise_diag_pad, 0)
+        return tiles, Minv
+
+    def solve(tiles, Minv, rows, cols, noise_diag_pad, RHS):
+        # row_chunk set: ``rows`` is the PER-CHUNK row index (rowsc) from
+        # row_aligned_schedule; otherwise the per-tile row list
+        cols_c = jnp.minimum(cols, nb - 1)
         c = RHS.shape[1]
-        T = int(rows.shape[0])
+        T = int(cols.shape[0])
         acc_bytes = 8 if RHS.dtype == jnp.float64 else 4
         wide = T * B * c * acc_bytes * 2 > _SPMV_FLAT_BUDGET
 
         def matvec(X):
-            if wide:
+            if row_chunk is not None:
+                out = _spmv_scan_fused(rows, cols, tiles, X, nb, B,
+                                       C=row_chunk, mv_dtype=solver_dtype)
+            elif wide:
+                rows_c = jnp.minimum(rows, nb - 1)
                 out = _spmv_scan(rows_c, cols_c, tiles, X, nb, B,
                                  mv_dtype=solver_dtype)
             else:
+                rows_c = jnp.minimum(rows, nb - 1)
                 out = flat_spmv(rows_c, cols_c, tiles, X)
             return out + noise_diag_pad[:, None] * X
 
-        Minv, _ = _diag_precond_blocks(kernel_fn, B, precond_width, hps,
-                                       xb, mask, noise_diag_pad, 0)
         return _cg_fixed(matvec, RHS, cg_iters,
                          M=lambda X: _block_apply(Minv, X),
                          tol=cg_tol, mv_dtype=solver_dtype)
 
-    return solve
+    return assemble, solve
 
 
 # flat-SpMM budget for the committed solver's per-tile product (bytes)

@@ -121,3 +121,96 @@ def test_chunked_spmm_fits_accounts_for_lane_padding():
     assert chunked_spmm_fits(T=4096, nb=196, B=256, k=17, tile_itemsize=2)
     # tile-count divisibility still enforced
     assert not chunked_spmm_fits(T=100, nb=196, B=256, k=17)
+
+
+# ---------------------------------------------------------------------------
+# row-aligned fused SpMM (the committed-state wide-solve path)
+
+def test_row_aligned_schedule_contract():
+    from fvgp_tpu.ops.pallas_kernels import row_aligned_schedule
+
+    rng = np.random.default_rng(0)
+    nb, C = 9, 4
+    pairs = sorted({(int(rng.integers(0, nb)), int(rng.integers(0, nb)))
+                    for _ in range(30)})
+    rows = np.array([p[0] for p in pairs], np.int32)
+    cols = np.array([p[1] for p in pairs], np.int32)
+    rows_p, cols_p, rowsc, n_chunks = row_aligned_schedule(
+        rows, cols, nb, C=C, chunk_bucket=4)
+    assert len(rows_p) == len(cols_p) == n_chunks * C
+    # every real tile present exactly once
+    live = cols_p < nb
+    assert sorted(zip(rows_p[live].tolist(),
+                      cols_p[live].tolist())) == pairs
+    # alignment: every non-sentinel chunk covers exactly one row
+    for s in range(n_chunks):
+        rr = rows_p[s * C:(s + 1) * C]
+        if rowsc[s] < nb:
+            assert np.all(rr == rowsc[s])
+        else:
+            assert np.all(cols_p[s * C:(s + 1) * C] == nb)
+    # sentinel chunks trail
+    real = rowsc < nb
+    assert not np.any(real[np.argmax(~real):]) or real.all()
+
+
+def test_fused_spmv_scan_matches_dense():
+    import jax.numpy as jnp
+
+    from fvgp_tpu.ops.pallas_kernels import row_aligned_schedule
+    from fvgp_tpu.ops.sparse_lml import _spmv_scan_fused
+
+    rng = np.random.default_rng(1)
+    nb, B, C = 6, 8, 4
+    pairs = sorted({(int(rng.integers(0, nb)), int(rng.integers(0, nb)))
+                    for _ in range(18)})
+    rows = np.array([p[0] for p in pairs], np.int32)
+    cols = np.array([p[1] for p in pairs], np.int32)
+    rows_p, cols_p, rowsc, _ = row_aligned_schedule(rows, cols, nb, C=C,
+                                                    chunk_bucket=4)
+    tiles = np.zeros((len(rows_p), B, B), np.float32)
+    A = np.zeros((nb * B, nb * B), np.float32)
+    for t, (r, c) in enumerate(zip(rows_p, cols_p)):
+        if c < nb:
+            blk = rng.standard_normal((B, B)).astype(np.float32)
+            tiles[t] = blk
+            A[r * B:(r + 1) * B, c * B:(c + 1) * B] += blk
+    X = rng.standard_normal((nb * B, 5)).astype(np.float32)
+    out = np.asarray(_spmv_scan_fused(jnp.asarray(rowsc), jnp.asarray(cols_p),
+                                      jnp.asarray(tiles), jnp.asarray(X),
+                                      nb, B, C=C))
+    np.testing.assert_allclose(out, A @ X, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_committed_solver_end_to_end_f32():
+    """dtype=float32 engages the fused row-aligned path on CPU (interpret
+    kernel); posteriors must match the dense oracle to f32 tolerance."""
+    import warnings
+
+    from fvgp_tpu import GP
+    from fvgp_tpu.kernels import wendland_anisotropic
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 16, (1200, 3))
+    y = np.sin(x[:, 0]) + 0.03 * rng.standard_normal(1200)
+    hps = np.array([1.0, 2.0, 2.0, 2.0])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        gp = GP(x, y, init_hyperparameters=hps,
+                noise_variances=np.full(1200, 1e-2),
+                gp2Scale=True, linalg_mode="sparseCGpre",
+                args={"gp2Scale_block_size": 64, "dtype": "float32",
+                      "gp2Scale_posterior_budget": int(1.6e7)})
+    xp = rng.uniform(0, 16, (30, 3))
+    pv = gp.posterior_covariance(xp, variance_only=True)["v(x)"]
+    pm = gp.posterior_mean(xp)["m(x)"]
+    ctx = gp.kv._fast_solver_ctx
+    assert ctx["rows"].shape != ctx["cols"].shape     # rowsc engaged
+    K = np.asarray(wendland_anisotropic(x, x, hps)) + np.eye(1200) * 1e-2
+    ks = np.asarray(wendland_anisotropic(x, xp, hps))
+    kk = np.asarray(wendland_anisotropic(xp, xp, hps))
+    mo = y.mean() + ks.T @ np.linalg.solve(K, y - y.mean())
+    vo = np.diag(kk - ks.T @ np.linalg.solve(K, ks))
+    np.testing.assert_allclose(pm, mo, atol=5e-4)
+    np.testing.assert_allclose(pv, vo, atol=5e-4)
