@@ -119,6 +119,36 @@ def report(stream=None, write_file=True):
             with open(os.path.join(root, "coverage_report.txt"), "w",
                       encoding="utf-8") as fh:
                 fh.write(text + "\n")
+            # missed-line detail (compressed ranges) for targeted test work
+            with open(os.path.join(root, "coverage_missing.txt"), "w",
+                      encoding="utf-8") as fh:
+                for dirpath, _, filenames in os.walk(pkg_root):
+                    if "_build" in dirpath or "__pycache__" in dirpath:
+                        continue
+                    for fn in sorted(filenames):
+                        if not fn.endswith(".py"):
+                            continue
+                        path = os.path.join(dirpath, fn)
+                        ex = _executable_lines(path)
+                        miss = sorted(ex - {ln for (p, ln) in _hits
+                                            if p == path})
+                        if not miss:
+                            continue
+                        spans, start = [], None
+                        for i, ln in enumerate(miss):
+                            if start is None:
+                                start = prev = ln
+                            elif ln == prev + 1:
+                                prev = ln
+                            else:
+                                spans.append((start, prev))
+                                start = prev = ln
+                        spans.append((start, prev))
+                        rel = os.path.relpath(path,
+                                              os.path.dirname(pkg_root))
+                        fh.write(rel + ": " + ", ".join(
+                            f"{a}" if a == b else f"{a}-{b}"
+                            for a, b in spans) + "\n")
         except OSError:
             pass
     return pct
