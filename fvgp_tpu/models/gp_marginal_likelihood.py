@@ -480,8 +480,47 @@ class GPMarginalLikelihood:
                         bucket=max(8, W_eff // 8))
                     use = (hstats["halo_words"]
                            <= 0.8 * hstats["allgather_words"])
-                    if halo_mode in (True, "on") or use:
-                        plan_s = NamedSharding(mesh, tile_spec(mesh, 2))
+                    plan_s = NamedSharding(mesh, tile_spec(mesh, 2))
+                    # 2-D (slice, tiles) mesh: consider the HIERARCHICAL
+                    # two-stage exchange, which pads the DCN all-to-all to
+                    # the cross-slice (boundary-band) max instead of the
+                    # global max — picked when its fabric-weighted volume
+                    # wins with margin (ICI words + R·DCN words, R = the
+                    # ICI:DCN bandwidth ratio), or forced with
+                    # args["gp2Scale_halo_exchange"]="hier"
+                    from ..parallel.mesh import SLICE_AXIS, TILE_AXIS
+                    hier_stats = None
+                    if (SLICE_AXIS in mesh.shape
+                            and int(mesh.shape[SLICE_AXIS]) > 1):
+                        from ..parallel.partition import halo_plan_hier
+                        ns = int(mesh.shape[SLICE_AXIS])
+                        ps = int(mesh.shape[TILE_AXIS])
+                        cr2, plan2, hier_stats = halo_plan_hier(
+                            rows_p, cols_p, nb_eff, ns, ps,
+                            bucket=max(8, W_eff // 8))
+                        R = float(args.get("gp2Scale_dcn_ici_ratio", 8.0))
+                        ici_pairs = ns * ps * (ps - 1)
+                        cross_pairs = ns * ps * ps * (ns - 1)
+                        pair_w = ici_pairs + R * cross_pairs
+                        cost_ag = pair_w * W_eff
+                        cost_flat = pair_w * hS
+                        cost_hier = (hier_stats["ici_words"]
+                                     + R * hier_stats["dcn_words"])
+                        if (halo_mode == "hier"
+                                or (halo_mode in ("auto", True, "on")
+                                    and cost_hier <= 0.8 * min(cost_ag,
+                                                               cost_flat))):
+                            halo = tuple(
+                                jax.device_put(
+                                    jnp.asarray(p) if p.dtype.kind == "i"
+                                    else jnp.asarray(p, dtype), plan_s)
+                                for p in plan2) + (
+                                jax.device_put(jnp.asarray(cr2), tile_s),
+                                ("hier", hier_stats["S_ici"],
+                                 hier_stats["S_fwd"],
+                                 hier_stats["S_dcn"]))
+                    if halo is None and (halo_mode in (True, "on", "hier")
+                                         or use):
                         halo = (
                             jax.device_put(jnp.asarray(send_sel), plan_s),
                             jax.device_put(
@@ -508,6 +547,12 @@ class GPMarginalLikelihood:
                             dcn_split(hstats, n_dev,
                                       int(mesh.shape[TILE_AXIS]),
                                       send_mask=send_mask))
+                        if hier_stats is not None:
+                            logger.debug(
+                                "sparse LML hierarchical halo plan: %s "
+                                "(engaged=%s)", hier_stats,
+                                halo is not None and isinstance(
+                                    halo[-1], tuple))
         else:
             halo = None
             T_pad = _bucket(max(len(rows_f), 1))
@@ -517,7 +562,9 @@ class GPMarginalLikelihood:
             cols_p[:len(cols_f)] = cols_f
             rows_d = jnp.asarray(rows_p)
             cols_d = jnp.asarray(cols_p)
-        halo_S = halo[3] if halo is not None else None
+        # halo layout: (plan arrays..., cols_remap, key); the key is the
+        # flat pad size S (int) or ("hier", S_ici, S_fwd, S_dcn)
+        halo_S = halo[-1] if halo is not None else None
         if nb_eff != nb or halo_S is not None:
             # the permuted layout inflates the block count / the halo plan
             # changes the SpMM program: compile (and cache) a variant
@@ -543,7 +590,7 @@ class GPMarginalLikelihood:
             Z = Zb.reshape(nb_eff * B, probes) * ym_m[:, None]
         if mesh is not None:
             Z = jax.device_put(Z, NamedSharding(mesh, tile_spec(mesh, 1)))
-        halo_args = halo[:3] if halo is not None else ()
+        halo_args = halo[:-1] if halo is not None else ()
         # context for the device-chained optimizers (sparse_adam_steps):
         # the raw differentiable program + its bound runtime arguments
         entry["chain_ctx"] = {

@@ -204,6 +204,71 @@ def _halo_spmv_factory(nb, B, mesh, halo_S, mv_dtype=None):
                          out_specs=tile_spec(mesh, 1))
 
 
+def _halo_hier_spmv_factory(nb, B, mesh, halo_spec, mv_dtype=None):
+    """Row-ownership SpMM with the HIERARCHICAL two-stage halo exchange
+    (parallel/partition.halo_plan_hier) on a 2-D ``(slice, tiles)`` mesh.
+
+    Three collectives per matvec instead of one uniformly-padded
+    all-to-all: same-slice blocks ride a ``tiles``-axis all-to-all (ICI,
+    pad ``S_ici``); cross-slice blocks are first FORWARDED over ICI to the
+    device whose tiles-coordinate matches the destination's (pad
+    ``S_fwd``), then exchanged over the ``slice`` axis (DCN, pad
+    ``S_dcn``) — so DCN carries only the slice-boundary band instead of
+    the global pad (docs/source/comm_model.md).
+    """
+    from ..parallel.mesh import (SLICE_AXIS, TILE_AXIS, flat_tile_index,
+                                 tile_device_count, tile_spec)
+    _, S_ici, S_fwd, S_dcn = halo_spec
+    n_dev = tile_device_count(mesh)
+    if SLICE_AXIS not in mesh.shape:
+        raise ValueError("hierarchical halo SpMM needs a 2-D (slice, "
+                         "tiles) mesh")
+    ns = int(mesh.shape[SLICE_AXIS])
+    ps = int(mesh.shape[TILE_AXIS])
+    if nb % n_dev:
+        raise ValueError(f"halo SpMM needs nb ({nb}) divisible by the mesh "
+                         f"size ({n_dev}); pad the point blocking")
+    W = nb // n_dev
+
+    def local_spmv(rows, cols_remap, tiles, X,
+                   sel_ici, m_ici, sel_fwd, m_fwd, fwd_sel, m_dcn):
+        acc = X.dtype if X.dtype == jnp.float64 else jnp.float32
+        if mv_dtype is not None:
+            tiles = tiles.astype(mv_dtype)
+            Xc = X.astype(mv_dtype)
+        else:
+            Xc = X
+        k = Xc.shape[1]
+        Xb = Xc.reshape(W, B, k)
+        # stage 1: same-slice remote blocks, direct over ICI
+        send1 = Xb[sel_ici[0]] * m_ici[0][..., None, None].astype(Xc.dtype)
+        recv1 = jax.lax.all_to_all(send1, TILE_AXIS, 0, 0, tiled=True)
+        # stage 2a: cross-slice blocks onto their forwarder (ICI)
+        send2 = Xb[sel_fwd[0]] * m_fwd[0][..., None, None].astype(Xc.dtype)
+        recv2 = jax.lax.all_to_all(send2, TILE_AXIS, 0, 0, tiled=True)
+        # stage 2b: forwarders exchange over the slice axis (DCN)
+        flat2 = recv2.reshape(ps * S_fwd, B, k)
+        send3 = flat2[fwd_sel[0]] * m_dcn[0][..., None, None].astype(Xc.dtype)
+        recv3 = jax.lax.all_to_all(send3, SLICE_AXIS, 0, 0, tiled=True)
+        Xcat = jnp.concatenate(
+            [Xb, recv1.reshape(ps * S_ici, B, k),
+             recv3.reshape(ns * S_dcn, B, k)], axis=0)
+        prod = jnp.einsum("tij,tjk->tik", tiles, Xcat[cols_remap],
+                          preferred_element_type=acc)
+        row0 = flat_tile_index(mesh) * W
+        r_loc = jnp.where((rows >= row0) & (rows < row0 + W),
+                          rows - row0, W)
+        out = jax.ops.segment_sum(prod, r_loc, num_segments=W)
+        return out.reshape(W * B, -1).astype(X.dtype)
+
+    return jax.shard_map(local_spmv, mesh=mesh,
+                         in_specs=(tile_spec(mesh), tile_spec(mesh),
+                                   tile_spec(mesh, 2),
+                                   tile_spec(mesh, 1))
+                                  + (tile_spec(mesh, 2),) * 6,
+                         out_specs=tile_spec(mesh, 1))
+
+
 def _spmv_scan(rows, cols, tiles, X, nb, B, mv_dtype=None):
     """Tile-CHUNKED SpMM for wide right-hand sides (lax.scan over tile
     slices).  The flat ``_spmv`` materializes a (T, B, c) per-tile product —
@@ -289,6 +354,9 @@ def _spmv_for(nb, B, mesh, mv_dtype=None, halo_S=None):
         from ..parallel.mesh import tile_device_count
         if tile_device_count(mesh) > 1:
             if halo_S is not None:
+                if isinstance(halo_S, tuple):   # ("hier", S_ici, S_fwd, S_dcn)
+                    return _halo_hier_spmv_factory(nb, B, mesh, halo_S,
+                                                   mv_dtype=mv_dtype)
                 return _halo_spmv_factory(nb, B, mesh, halo_S,
                                           mv_dtype=mv_dtype)
             return _rowpart_spmv_factory(nb, B, mesh, mv_dtype=mv_dtype)
@@ -746,9 +814,12 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
             [, send_sel, send_mask, cols_remap])
 
     With ``halo_S`` set (mesh path), ``cols`` must arrive REMAPPED and the
-    three trailing halo-plan arrays are required
-    (parallel/partition.halo_plan): the SpMM then ships only referenced
-    non-local column blocks instead of all-gathering X.
+    trailing halo-plan arrays are required, cols_remap LAST: an int
+    ``halo_S`` takes ``(send_sel, send_mask, cols_remap)``
+    (parallel/partition.halo_plan); a ``("hier", S_ici, S_fwd, S_dcn)``
+    tuple takes the six ``halo_plan_hier`` plan arrays + cols_remap.  The
+    SpMM then ships only referenced non-local column blocks instead of
+    all-gathering X (two-stage, DCN-minimal, in the hierarchical case).
 
     The tile occupancy (rows/cols) is a RUNTIME argument: hyperparameter
     moves that change the support pattern re-run the same compiled program
@@ -832,15 +903,17 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
             return _diag_precond(hps, xb, mask, noise_pad, 0)
 
     def lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z,
-            send_sel=None, send_mask=None, cols_remap=None):
+            *halo_args):
         rows_c = jnp.minimum(rows, nb - 1)
         cols_c = jnp.minimum(cols, nb - 1)
         tiles = _assemble(hps, rows_c, cols_c, rows < nb, xb, mask)
         if halo_S is not None:
             # the SpMM reads X through the halo-gather layout; the kernel
-            # assembly above keeps the ORIGINAL block indices
-            mv_cols = cols_remap
-            halo = (send_sel, send_mask)
+            # assembly above keeps the ORIGINAL block indices.  halo_args =
+            # plan arrays + cols_remap LAST: (send_sel, send_mask) flat,
+            # (sel_ici, m_ici, sel_fwd, m_fwd, fwd_sel, m_dcn) hierarchical
+            mv_cols = halo_args[-1]
+            halo = halo_args[:-1]
         else:
             mv_cols = cols_c
             halo = ()

@@ -28,7 +28,7 @@ import numpy as np
 
 __all__ = ["partition_schedule", "schedule_stats", "local_row_blocks",
            "tile_balanced_layout", "apply_block_layout", "permute_blocked",
-           "halo_plan"]
+           "halo_plan", "halo_plan_hier"]
 
 
 def local_row_blocks(nb, n_dev):
@@ -272,6 +272,145 @@ def halo_plan(rows_p, cols_p, nb, n_dev, bucket=8):
         "real_words": int(send_mask.sum()),
     }
     return cols_remap, send_sel, send_mask, S, stats
+
+
+def halo_plan_hier(rows_p, cols_p, nb, n_slices, per_slice, bucket=8):
+    """HIERARCHICAL two-stage halo exchange plan for a 2-D (slice, tiles)
+    mesh — the DCN productionization of ``halo_plan``.
+
+    The flat plan's single ``lax.all_to_all`` pads EVERY ordered device
+    pair to the global max slot count S, so the padded cross-slice traffic
+    is ``per_slice² · n_slices·(n_slices-1) · S`` blocks per matvec even
+    though only boundary-band blocks actually cross slices.  This plan
+    splits the exchange by mesh axis:
+
+    * **Stage 1 (ICI, direct)**: an all-to-all over the ``tiles`` axis
+      ships same-slice remote blocks, padded to the intra-slice max
+      ``S_ici``.
+    * **Stage 2a (ICI, forward)**: a second ``tiles``-axis all-to-all
+      moves every block that must cross slices onto the device whose
+      tiles-coordinate matches its destination's (the *forwarder*),
+      padded to ``S_fwd``.
+    * **Stage 2b (DCN)**: one all-to-all over the ``slice`` axis ships
+      the forwarded blocks between same-coordinate devices, padded to the
+      cross-slice max ``S_dcn`` — the only DCN traffic, and it tracks the
+      slice boundary surface instead of the global pad:
+      ``per_slice · n_slices·(n_slices-1) · S_dcn`` blocks per matvec,
+      a ≥ per_slice× reduction even when ``S_dcn == S``.
+
+    Input contract matches ``halo_plan`` (a partitioned schedule; flat
+    device index ``d = slice·per_slice + tiles_coord`` owns row blocks
+    ``[d·W, (d+1)·W)``).  Returns ``(cols_remap, plan, stats)`` with
+
+    * ``cols_remap``: per-device gather positions into
+      ``concat([local W blocks, stage-1 recv (per_slice·S_ici),
+      stage-2b recv (n_slices·S_dcn)])``;
+    * ``plan = (sel_ici, m_ici, sel_fwd, m_fwd, fwd_sel, m_dcn)`` —
+      leading-axis device-sharded runtime arrays for
+      ``ops.sparse_lml._halo_hier_spmv_factory``;
+    * ``stats``: per-matvec-column word counts split by fabric
+      (``ici_words``/``dcn_words``) plus the pad sizes.
+    """
+    rows_p = np.asarray(rows_p)
+    cols_p = np.asarray(cols_p)
+    n_dev = n_slices * per_slice
+    if nb % n_dev:
+        raise ValueError("halo_plan_hier needs nb divisible by n_dev")
+    if n_slices < 2 or per_slice < 1:
+        raise ValueError("halo_plan_hier needs n_slices >= 2")
+    W = nb // n_dev
+    per = len(rows_p) // n_dev
+    ici_need = {}                 # (src_dev, dst_tiles_coord) -> blocks
+    cross = [None] * n_dev        # dst_dev -> remote cross-slice blocks
+    for d in range(n_dev):
+        s = d // per_slice
+        seg = slice(d * per, (d + 1) * per)
+        c = cols_p[seg][rows_p[seg] < nb]
+        cu = np.unique(c)
+        remote = cu[(cu < d * W) | (cu >= (d + 1) * W)]
+        src = np.minimum(remote // W, n_dev - 1)
+        same = (src // per_slice) == s
+        t = d % per_slice
+        for e in np.unique(src[same]):
+            ici_need[(int(e), t)] = remote[same & (src == e)]
+        cross[d] = remote[~same]
+    S_ici = max([1] + [len(v) for v in ici_need.values()])
+    S_ici = -(-S_ici // bucket) * bucket
+    # stage 2a: forwarding lists — blocks each source device ships to each
+    # forwarder coordinate, deduplicated across destination slices
+    fwd_lists = {}                # (src_dev, fwd_tiles_coord) -> [blocks]
+    fwd_pos = {}                  # (src_dev, fwd_tiles_coord, block) -> slot
+    for d in range(n_dev):
+        t = d % per_slice
+        for b in cross[d]:
+            e = int(min(b // W, n_dev - 1))
+            key = (e, t)
+            if (e, t, int(b)) not in fwd_pos:
+                lst = fwd_lists.setdefault(key, [])
+                fwd_pos[(e, t, int(b))] = len(lst)
+                lst.append(int(b))
+    S_fwd = max([1] + [len(v) for v in fwd_lists.values()])
+    S_fwd = -(-S_fwd // bucket) * bucket
+    # stage 2b: per (forwarder, dst slice) slot lists + the dst-side max
+    S_dcn = max([1] + [len(cross[d][np.minimum(cross[d] // W, n_dev - 1)
+                                    // per_slice == se])
+                       for d in range(n_dev)
+                       for se in range(n_slices)])
+    S_dcn = -(-S_dcn // bucket) * bucket
+    sel_ici = np.zeros((n_dev, per_slice, S_ici), np.int32)
+    m_ici = np.zeros((n_dev, per_slice, S_ici), np.float32)
+    sel_fwd = np.zeros((n_dev, per_slice, S_fwd), np.int32)
+    m_fwd = np.zeros((n_dev, per_slice, S_fwd), np.float32)
+    fwd_sel = np.zeros((n_dev, n_slices, S_dcn), np.int32)
+    m_dcn = np.zeros((n_dev, n_slices, S_dcn), np.float32)
+    luts = np.zeros((n_dev, nb + 1), np.int32)
+    for d in range(n_dev):
+        luts[d, d * W:(d + 1) * W] = np.arange(W)
+    for (e, t), blocks in ici_need.items():
+        sel_ici[e, t, :len(blocks)] = np.asarray(blocks) - e * W
+        m_ici[e, t, :len(blocks)] = 1.0
+        # receiver (same slice as e, coord t) sees e's payload at recv
+        # index t_e = e % per_slice
+        s = e // per_slice
+        dst = s * per_slice + t
+        luts[dst, blocks] = (W + (e % per_slice) * S_ici
+                             + np.arange(len(blocks)))
+    for (e, t), blocks in fwd_lists.items():
+        sel_fwd[e, t, :len(blocks)] = np.asarray(blocks) - e * W
+        m_fwd[e, t, :len(blocks)] = 1.0
+    for d in range(n_dev):
+        s, t = d // per_slice, d % per_slice
+        src = np.minimum(cross[d] // W, n_dev - 1)
+        for se in range(n_slices):
+            blocks = cross[d][src // per_slice == se]
+            if not len(blocks):
+                continue
+            fwd = se * per_slice + t           # forwarder device
+            # forwarder's stage-2a receive buffer is (per_slice, S_fwd)
+            # flattened; block b from source e sits at e%per_slice · S_fwd
+            # + its slot in fwd_lists[(e, t)]
+            pos = np.array([(int(min(b // W, n_dev - 1)) % per_slice)
+                            * S_fwd
+                            + fwd_pos[(int(min(b // W, n_dev - 1)), t,
+                                       int(b))] for b in blocks],
+                           np.int32)
+            fwd_sel[fwd, s, :len(blocks)] = pos
+            m_dcn[fwd, s, :len(blocks)] = 1.0
+            luts[d, blocks] = (W + per_slice * S_ici + se * S_dcn
+                               + np.arange(len(blocks)))
+    cols_remap = np.empty_like(cols_p)
+    for d in range(n_dev):
+        seg = slice(d * per, (d + 1) * per)
+        cols_remap[seg] = luts[d, np.minimum(cols_p[seg], nb)]
+    stats = {
+        "S_ici": S_ici, "S_fwd": S_fwd, "S_dcn": S_dcn,
+        "ici_words": n_slices * per_slice * (per_slice - 1)
+                     * (S_ici + S_fwd),
+        "dcn_words": per_slice * n_slices * (n_slices - 1) * S_dcn,
+        "dcn_real_words": int(m_dcn.sum()),
+    }
+    return cols_remap, (sel_ici, m_ici, sel_fwd, m_fwd, fwd_sel, m_dcn), \
+        stats
 
 
 def dcn_split(stats, n_dev, per_slice, send_mask=None):

@@ -1187,3 +1187,130 @@ def test_dcn_split_diagnostic():
             == stats["allgather_words"])
     with pytest.raises(ValueError):
         dcn_split(stats, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# hierarchical (per-slice) halo exchange — DCN productionization
+# ---------------------------------------------------------------------------
+
+def test_halo_plan_hier_structure():
+    """Every cross-slice block a device references is traceable through the
+    two-stage plan back to its owner; same-slice blocks ride stage 1."""
+    from fvgp_tpu.parallel.partition import halo_plan_hier, partition_schedule
+
+    rng = np.random.default_rng(5)
+    nb, ns, ps, T = 32, 2, 4, 300
+    n_dev = ns * ps
+    rows = rng.integers(0, nb, T).astype(np.int32)
+    cols = rng.integers(0, nb, T).astype(np.int32)
+    rows_p, cols_p, _, per = partition_schedule(rows, cols, nb, n_dev)
+    cols_remap, plan, stats = halo_plan_hier(rows_p, cols_p, nb, ns, ps,
+                                             bucket=1)
+    sel_ici, m_ici, sel_fwd, m_fwd, fwd_sel, m_dcn = plan
+    S_ici, S_fwd, S_dcn = stats["S_ici"], stats["S_fwd"], stats["S_dcn"]
+    W = nb // n_dev
+    for d in range(n_dev):
+        s, t = divmod(d, ps)
+        seg = slice(d * per, (d + 1) * per)
+        for r, c, cm in zip(rows_p[seg], cols_p[seg], cols_remap[seg]):
+            if r >= nb:
+                continue
+            e = int(min(c // W, n_dev - 1))
+            if e == d:
+                assert cm == c - d * W
+            elif e // ps == s:                      # same slice: stage 1
+                t_e, slot = divmod(int(cm) - W, S_ici)
+                assert t_e == e % ps
+                assert m_ici[e, t, slot] == 1.0
+                assert sel_ici[e, t, slot] == c - e * W
+            else:                                   # cross slice: stage 2
+                se, slot = divmod(int(cm) - W - ps * S_ici, S_dcn)
+                assert se == e // ps
+                fwd = se * ps + t                   # forwarder device
+                assert m_dcn[fwd, s, slot] == 1.0
+                p = int(fwd_sel[fwd, s, slot])
+                t_e2, q = divmod(p, S_fwd)
+                e2 = se * ps + t_e2
+                assert m_fwd[e2, t, q] == 1.0
+                assert e2 * W + sel_fwd[e2, t, q] == c
+    # the DCN pad tracks the cross-slice need, not the global pad
+    assert stats["dcn_real_words"] <= stats["dcn_words"]
+
+
+@pytest.mark.slow
+def test_halo_hier_spmv_matches_dense(eight_devices):
+    """The two-stage hierarchical halo SpMM on a (2, 4) mesh == the dense
+    product, and its DCN volume is below the flat plan's cross-slice
+    share."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fvgp_tpu.ops.sparse_lml import _halo_hier_spmv_factory
+    from fvgp_tpu.parallel.partition import (halo_plan, halo_plan_hier,
+                                             partition_schedule)
+
+    rng = np.random.default_rng(11)
+    nb, B, ns, ps, k = 32, 8, 2, 4, 3
+    n_dev = ns * ps
+    rows, cols = [], []
+    for i in range(nb):
+        for j in range(max(0, i - 2), min(nb, i + 3)):
+            rows.append(i)
+            cols.append(j)
+    rows = np.asarray(rows, np.int32)
+    cols = np.asarray(cols, np.int32)
+    rows_p, cols_p, perm, per = partition_schedule(rows, cols, nb, n_dev)
+    T_out = len(rows_p)
+    tiles = np.zeros((T_out, B, B))
+    live = perm >= 0
+    tiles[live] = rng.standard_normal((int(live.sum()), B, B))
+    X = rng.standard_normal((nb * B, k))
+
+    dense = np.zeros((nb * B, nb * B))
+    for t in range(T_out):
+        if rows_p[t] < nb:
+            dense[rows_p[t] * B:(rows_p[t] + 1) * B,
+                  cols_p[t] * B:(cols_p[t] + 1) * B] += tiles[t]
+
+    cols_remap, plan, stats = halo_plan_hier(rows_p, cols_p, nb, ns, ps,
+                                             bucket=1)
+    _, _, _, _, fstats = halo_plan(rows_p, cols_p, nb, n_dev, bucket=1)
+    flat_dcn = ps * ps * ns * (ns - 1) * fstats["S"]
+    assert stats["dcn_words"] < flat_dcn, (stats, fstats)
+
+    m = pmesh.make_mesh_2d(ns, ps)
+    tile_s = NamedSharding(m, P(("slice", "tiles")))
+    row_s = NamedSharding(m, P(("slice", "tiles"), None))
+    plan_s = NamedSharding(m, P(("slice", "tiles"), None, None))
+    with m:
+        key = ("hier", stats["S_ici"], stats["S_fwd"], stats["S_dcn"])
+        mv = _halo_hier_spmv_factory(nb, B, m, key)
+        args = (jax.device_put(jnp.asarray(rows_p), tile_s),
+                jax.device_put(jnp.asarray(cols_remap), tile_s),
+                jax.device_put(jnp.asarray(tiles), plan_s),
+                jax.device_put(jnp.asarray(X), row_s)) + tuple(
+            jax.device_put(jnp.asarray(p), plan_s) for p in plan)
+        out = np.asarray(jax.jit(mv)(*args))
+    np.testing.assert_allclose(out, dense @ X, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_gp_forced_hier_halo_matches_meshless(eight_devices):
+    """Public-API gp2Scale with args['gp2Scale_halo_exchange']='hier' on a
+    2-D (2, 4) mesh engages the two-stage plan and matches the meshless
+    LML+gradient."""
+    x, y = _sparse_dataset(n=900)
+    perm = morton_order(x)
+    x, y = x[perm], y[perm]
+    a = {"gp2Scale_block_size": 64}
+    gp1 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True, args=dict(a))
+    v1, g1 = gp1.marginal_likelihood.log_likelihood_value_and_gradient(HPS)
+    ah = dict(a, gp2Scale_halo_exchange="hier")
+    m2 = pmesh.make_mesh_2d(2, 4)
+    with pmesh.use_mesh(m2):
+        gp2 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True, args=ah)
+        v2, g2 = gp2.marginal_likelihood.log_likelihood_value_and_gradient(HPS)
+        entry = next(iter(gp2.marginal_likelihood._sparse_cache.values()))
+        halo = entry["partition_cache"][1][-1]
+        assert halo is not None and isinstance(halo[-1], tuple), \
+            "hierarchical halo plan not engaged despite 'hier'"
+    np.testing.assert_allclose(v2, v1, rtol=1e-5)
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)
