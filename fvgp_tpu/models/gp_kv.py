@@ -328,12 +328,14 @@ class GPkv:
         try:
             operator = build_preconditioner_op(KV, args=self.args)
         except Exception as exc:
+            # reset FIRST: _reset_sparse_preconditioner clears the error
+            # slot, and the recorded reason must survive for diagnostics
+            self._reset_sparse_preconditioner()
             self.Last_preconditioner_error = f"{type(exc).__name__}: {exc}"
             warnings.warn(
                 f"Failed to build preconditioner for mode {self.mode}; falling "
                 f"back to the unpreconditioned iterative solve. "
                 f"Reason: {self.Last_preconditioner_error}.")
-            self._reset_sparse_preconditioner()
             return None
         self.Preconditioner_operator = operator
         self.Preconditioner_signature = self._preconditioner_signature()
