@@ -568,3 +568,101 @@ def test_ggmp_batched_eval_multitask_matches_sequential():
                                seq.posterior_mean(xp), rtol=1e-8)
     np.testing.assert_allclose(par.posterior_variance(xp),
                                seq.posterior_variance(xp), rtol=1e-8)
+
+
+def test_ggmp_narrow_branches(tmp_path):
+    """Validation edges and helper fallbacks across the GGMP utility
+    surface (alignment dispatch, degenerate densities, container
+    validation, constructor rejection)."""
+    from fvgp_tpu.models import ggmp as G
+
+    # zero-mass density normalizes to uniform
+    dom = np.linspace(0, 1, 11)
+    _, dens, _ = G._normalize_density(dom, np.zeros(11))
+    assert np.allclose(dens, dens[0])
+    # alignment dispatch: sequence + unknown method
+    means = [np.array([0.0, 1.0]), np.array([1.1, 0.1])]
+    vs = [np.array([0.1, 0.1]), np.array([0.1, 0.1])]
+    m_seq, _ = G.align_local_gmms(np.zeros((2, 1)), means, vs,
+                                  method="sequence")
+    assert np.allclose(np.sort(m_seq[1]), np.sort(means[1]))
+    with pytest.raises(ValueError):
+        G.align_local_gmms(np.zeros((2, 1)), means, vs, method="bogus")
+    # energy distance: 1-d row-vector transpose branch
+    e = G.energy_distance(np.linspace(0, 1, 20)[None, :],
+                          np.linspace(2, 3, 20)[None, :])
+    assert e > 0
+    # hyperparameters container validation
+    wb = np.array([[0.0, 1.0]])
+    hb = [np.array([[0.1, 10.0], [0.1, 10.0]])]
+    with pytest.raises(Exception):
+        G.hyperparameters([0.5], wb, [np.ones(2)], [])
+    with pytest.raises(Exception):
+        G.hyperparameters([0.5, 0.5], wb, [np.ones(2)], hb)
+    h = G.hyperparameters([0.5], wb, [np.ones(2)], hb)
+    with pytest.raises(Exception):
+        h.set([0.5], [np.ones(2), np.ones(2)])
+    with pytest.raises(Exception):
+        h.set([0.5, 0.5], [np.ones(2)])
+    w2, hps2 = h.devectorize_hps(h.vectorized_hps)
+    assert np.allclose(w2, [0.5]) and np.allclose(hps2[0], np.ones(2))
+    wb2, hb2 = h.devectorize_bounds(h.vectorized_bounds)
+    assert np.allclose(wb2, wb) and np.allclose(hb2[0], hb[0])
+    # GGMP constructor rejection: x/y length mismatch
+    pair = (dom, np.full(11, 1.0))
+    with pytest.raises(AssertionError):
+        G.GGMP(np.zeros((3, 1)), [pair] * 2, hps_obj=h, likelihood_terms=1)
+
+
+def _tiny_ggmp(rng, K=2, n=4):
+    from fvgp_tpu.models import ggmp as G
+    dom = np.linspace(-3.0, 6.0, 150)
+    dens = 0.5 * G.gaussian_pdf(dom, 0.0, 0.1) \
+        + 0.5 * G.gaussian_pdf(dom, 3.0, 0.1)
+    y = [(dom, dens) for _ in range(n)]
+    x = rng.uniform(0, 1, (n, 1))
+    hps_obj = G.hyperparameters(
+        [1.0 / K] * K, np.tile([[0.01, 1.0]], (K, 1)),
+        [np.ones(2)] * K, [np.array([[0.1, 10.0], [0.1, 10.0]])] * K)
+    return G.GGMP(x, y, hps_obj=hps_obj, likelihood_terms=K)
+
+
+def test_ggmp_init_mean_std_validation():
+    rng = np.random.default_rng(1)
+    m = _tiny_ggmp(rng)
+    with pytest.raises(AssertionError):
+        m.initLikelihoods(init_mean=[np.zeros(4)])
+    with pytest.raises(AssertionError):
+        m.initLikelihoods(init_std=[np.ones(4)])
+
+
+def test_atomic_savez_cleanup(tmp_path, monkeypatch):
+    """A failing savez leaves neither the target nor a temp file behind."""
+    from fvgp_tpu.models import ggmp as G
+    target = tmp_path / "out.npz"
+
+    def bad_savez(path, **kw):
+        raise RuntimeError("disk full (synthetic)")
+
+    monkeypatch.setattr(np, "savez", bad_savez)
+    with pytest.raises(RuntimeError):
+        G._atomic_savez(str(target), a=np.ones(3))
+    assert list(tmp_path.iterdir()) == []
+
+
+def test_fit_station_gmms_fixed_weights_logging(tmp_path, caplog):
+    import logging
+    from fvgp_tpu.models import ggmp as G
+    rng = np.random.default_rng(2)
+    series = [rng.normal(0, 1, 80) for _ in range(4)]
+    lg = logging.getLogger("ggmp-test")
+    with caplog.at_level(logging.INFO, logger="ggmp-test"):
+        means, variances, path = G.fit_station_gmms_fixed_weights_cached(
+            series, np.arange(4), K=2, cache_dir=tmp_path,
+            log_every=2, logger=lg)
+    assert means.shape == (4, 2) and path.exists()
+    assert any("stations" in r.message for r in caplog.records)
+    # second call takes the cache-hit branch
+    m2, v2, p2 = G.fit_station_gmms_fixed_weights_cached(
+        series, np.arange(4), K=2, cache_dir=tmp_path)
+    np.testing.assert_allclose(m2, means)

@@ -1,0 +1,119 @@
+"""Numeric-op fallback branches and actor error publication.
+
+Covers: dense inverse/solve fallbacks on non-PD or singular inputs, the
+preconditioner shift-retry exhaustion, distance-matrix branch selection,
+Krylov x0 shape coercion, and the actor thread's exception publication
+contract (ref gp_lin_alg.py:514-531, :1588-1592; ref gp_actor.py:7-211)."""
+
+import time
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+warnings.simplefilter("ignore")
+
+
+def test_dense_inverse_and_solve_fallbacks():
+    from fvgp_tpu.ops import dense as D
+    # non-PD symmetric matrix: Chol fails -> general inverse
+    A = np.array([[1.0, 2.0], [2.0, 1.0]])      # eigenvalues 3, -1
+    inv = np.asarray(D.calculate_inv(jnp.asarray(A)))
+    np.testing.assert_allclose(inv, np.linalg.inv(A), atol=1e-10)
+    # singular system: solve falls back to lstsq
+    S = np.array([[1.0, 1.0], [1.0, 1.0]])
+    b = np.array([2.0, 2.0])
+    x = np.asarray(D.solve(jnp.asarray(S), jnp.asarray(b)))
+    np.testing.assert_allclose(S @ x, b, atol=1e-8)
+
+
+def test_precond_shift_retry_exhaustion():
+    from fvgp_tpu.ops.precond import _shifted_cholesky
+    bad = jnp.asarray(np.array([[[np.nan, 0.0], [0.0, 1.0]]]))
+    with pytest.raises(RuntimeError):
+        _shifted_cholesky(bad, {"sparse_preconditioner_shift_attempts": 2})
+    # a merely non-PD block is rescued by the shift ladder
+    nonpd = jnp.asarray(np.array([[[1.0, 2.0], [2.0, 1.0]]]))
+    L = _shifted_cholesky(nonpd, {"sparse_preconditioner_shift": 2.0})
+    assert np.all(np.isfinite(np.asarray(L)))
+
+
+def test_distance_matrix_branches():
+    from fvgp_tpu import kernels as K
+    rng = np.random.default_rng(0)
+    # low-D broadcast branch
+    x1 = rng.standard_normal((6, 3))
+    x2 = rng.standard_normal((5, 3))
+    got = np.asarray(K.get_distance_matrix(x1, x2))
+    brute = np.sqrt(((x1[:, None, :] - x2[None, :, :]) ** 2).sum(-1))
+    np.testing.assert_allclose(got, brute, atol=1e-10)
+    # high-D matmul-expansion branch (deep-kernel embeddings)
+    e1 = rng.standard_normal((7, 64))
+    e2 = rng.standard_normal((4, 64))
+    got_hd = np.asarray(K.get_distance_matrix(e1, e2))
+    brute_hd = np.sqrt(((e1[:, None, :] - e2[None, :, :]) ** 2).sum(-1))
+    np.testing.assert_allclose(got_hd, brute_hd, atol=1e-8)
+    d = jnp.asarray(np.abs(rng.standard_normal((4, 4))))
+    w = np.asarray(K.wendland_kernel(d))
+    assert w.shape == (4, 4) and np.all(w >= 0.0)
+    g = np.asarray(K.matern_kernel_diff1_grad(d, 0.7 * d))
+    assert np.all(np.isfinite(g))
+    r = np.asarray(K.matern_kernel_diff2_robust(d, 0.9))
+    assert np.all(np.isfinite(r)) and float(r[0, 0]) > 0
+
+
+def test_krylov_x0_shape_coercion():
+    from fvgp_tpu.ops.krylov import cg
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((8, 8))
+    A = A @ A.T + 8 * np.eye(8)
+    B = rng.standard_normal((8, 2))
+    want = np.linalg.solve(A, B)
+    Aj = jnp.asarray(A)
+    # 1-d x0 against a 2-RHS system: zero-padded to shape
+    out = np.asarray(cg(lambda X: Aj @ X, jnp.asarray(B),
+                        x0=jnp.asarray(want[:, 0]), maxiter=200, tol=1e-12))
+    np.testing.assert_allclose(out, want, atol=1e-7)
+    # oversized x0: truncated
+    big = np.zeros((10, 3))
+    big[:8, :2] = want
+    out2 = np.asarray(cg(lambda X: Aj @ X, jnp.asarray(B),
+                         x0=jnp.asarray(big), maxiter=200, tol=1e-12))
+    np.testing.assert_allclose(out2, want, atol=1e-7)
+
+
+def test_actor_error_publication_and_async_optimizer():
+    from fvgp_tpu.models.gp_actor import AsyncOptimizer, _MultistartActor
+
+    def boom(publish, stop_requested):
+        raise RuntimeError("worker exploded (synthetic)")
+
+    actor = _MultistartActor(boom).start()
+    opt = AsyncOptimizer(actor)
+    deadline = time.time() + 10
+    while not opt.is_done() and time.time() < deadline:
+        time.sleep(0.02)
+    assert opt.is_done()
+    latest = actor.get_latest()
+    assert "error" in latest and "worker exploded" in latest["error"]
+    # the full polling surface stays callable after the failure
+    opt.stop()
+    opt.cancel_tasks()
+    opt.kill_client()
+    assert opt.get_final() is not None
+
+
+def test_async_optimizer_happy_path():
+    from fvgp_tpu.models.gp_actor import AsyncOptimizer, _MultistartActor
+
+    def run(publish, stop_requested):
+        return [{"x": np.array([1.0, 2.0]), "f(x)": -3.0}]
+
+    actor = _MultistartActor(run).start()
+    opt = AsyncOptimizer(actor)
+    deadline = time.time() + 10
+    while not opt.is_done() and time.time() < deadline:
+        time.sleep(0.02)
+    out = opt.get_final()
+    assert out and np.allclose(out[0]["x"], [1.0, 2.0])

@@ -295,3 +295,146 @@ def test_adam_chain_respects_small_max_iter(small_data):
         init_hyperparameters=np.array([1.0, 1.0, 1.0]),
         method="adam", max_iter=3, adam_chain_runner=fake_chain)
     assert sum(seen) <= 3
+
+
+# ---------------------------------------------------------------------------
+# training-layer narrow branches (dispatcher guards, async result parsing)
+# ---------------------------------------------------------------------------
+
+def test_train_start_outside_bounds():
+    """Facade: out-of-bounds init is re-drawn with a warning (the reference
+    contract); the trainer layer itself rejects it outright."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 8, (20, 1))
+    gp = GP(x, np.sin(x[:, 0]), init_hyperparameters=np.array([5.0, 5.0]))
+    bounds = np.array([[0.1, 1.0], [0.1, 1.0]])   # excludes the start
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        gp.train(method="local", hyperparameter_bounds=bounds, max_iter=3,
+                 init_hyperparameters=np.array([5.0, 5.0]))
+    assert any("out of bounds" in str(w.message) for w in rec)
+    assert np.all(gp.hyperparameters >= bounds[:, 0] - 1e-12)
+    assert np.all(gp.hyperparameters <= bounds[:, 1] + 1e-12)
+    with pytest.raises(Exception):
+        gp.trainer.train(
+            objective_function=lambda h: 0.0,
+            objective_function_gradient=lambda h: np.zeros(2),
+            objective_function_hessian=lambda h: np.eye(2),
+            hyperparameter_bounds=bounds,
+            init_hyperparameters=np.array([5.0, 5.0]),
+            method="local", pop_size=4, tolerance=1e-3, max_iter=2,
+            mcmc_prior=None, mcmc_prop_distrs="normal", mcmc_args=None,
+            bo_args=None, local_optimizer="L-BFGS-B",
+            global_optimizer="genetic", constraints=(), info=False)
+
+
+def test_update_hyperparameters_result_parsing():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 8, (15, 1))
+    gp = GP(x, np.sin(x[:, 0]), init_hyperparameters=np.array([1.0, 1.0]))
+    cur = gp.hyperparameters.copy()
+
+    class Fake:
+        def __init__(self, out):
+            self.out = out
+
+        def get_latest(self):
+            if isinstance(self.out, Exception):
+                raise self.out
+            return self.out
+
+    # raising poll: keep current
+    np.testing.assert_array_equal(
+        gp.update_hyperparameters(Fake(RuntimeError("down"))), cur)
+    # empty optima: warn + keep current
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = gp.update_hyperparameters(Fake([]))
+    np.testing.assert_array_equal(out, cur)
+    assert any("empty optima" in str(w.message) for w in rec)
+    target = np.array([2.0, 3.0])
+    np.testing.assert_array_equal(
+        gp.update_hyperparameters(Fake([{"x": target, "f(x)": 0.0}])), target)
+    np.testing.assert_array_equal(
+        gp.update_hyperparameters(Fake({"median(x)": target})), target)
+    np.testing.assert_array_equal(
+        gp.update_hyperparameters(Fake({"x": target})), target)
+    with pytest.raises(Exception):
+        gp.update_hyperparameters(Fake({"bogus": 1}))
+    with pytest.raises(Exception):
+        gp.update_hyperparameters(Fake("nonsense"))
+    with pytest.raises(AssertionError):
+        gp.update_hyperparameters(Fake({"x": np.ones((2, 2))}))
+
+
+def test_stop_training_without_async_warns():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 8, (15, 1))
+    gp = GP(x, np.sin(x[:, 0]), init_hyperparameters=np.array([1.0, 1.0]))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        gp.stop_training(object())
+    assert any("No asynchronous training" in str(w.message) for w in rec)
+
+
+def test_async_method_guard():
+    """Facade: async with an unsupported method warns and falls back to a
+    synchronous run; the trainer layer rejects it outright."""
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 8, (15, 1))
+    gp = GP(x, np.sin(x[:, 0]), init_hyperparameters=np.array([1.0, 1.0]))
+    bounds = np.array([[0.5, 2.0], [0.5, 2.0]])
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = gp.train(method="local", asynchronous=True,
+                       hyperparameter_bounds=bounds, max_iter=3)
+    assert any("not supported" in str(w.message) for w in rec)
+    assert isinstance(out, np.ndarray)            # sync result, not an actor
+    with pytest.raises(AssertionError):
+        gp.trainer.train_async(
+            objective_function=lambda h: 0.0,
+            objective_function_gradient=lambda h: np.zeros(2),
+            objective_function_hessian=lambda h: np.eye(2),
+            hyperparameter_bounds=bounds,
+            init_hyperparameters=np.array([1.0, 1.0]),
+            method="local", pop_size=4, tolerance=1e-3, max_iter=2,
+            mcmc_prior=None, mcmc_prop_distrs="normal", mcmc_args=None,
+            bo_args=None, local_optimizer="L-BFGS-B",
+            global_optimizer="genetic", constraints=(), info=False)
+
+
+def test_global_with_eq_and_ineq_constraints():
+    """DE with mixed constraint types takes the penalty path for both
+    conventions (ineq fun >= 0; eq fun == 0)."""
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 8, (20, 1))
+    gp = GP(x, np.sin(x[:, 0]), init_hyperparameters=np.array([1.0, 1.0]))
+    bounds = np.array([[0.3, 3.0], [0.3, 3.0]])
+    cons = ({"type": "ineq", "fun": lambda h: h[0] - 0.4},
+            {"type": "eq", "fun": lambda h: 0.0 * h[1]})
+    gp.train(method="global", hyperparameter_bounds=bounds, max_iter=4,
+             pop_size=8, constraints=cons)
+    assert np.all(gp.hyperparameters >= bounds[:, 0] - 1e-9)
+    assert gp.hyperparameters[0] >= 0.4 - 1e-6
+
+
+def test_mcmc_prior_override_and_in_bounds_guard():
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 8, (20, 1))
+    gp = GP(x, np.sin(x[:, 0]), init_hyperparameters=np.array([1.0, 1.0]))
+    bounds = np.array([[0.5, 2.0], [0.5, 2.0]])
+    seen = {"n": 0}
+
+    def my_prior(theta, prior_bounds, args):
+        seen["n"] += 1
+        inside = np.all((theta >= prior_bounds[:, 0])
+                        & (theta <= prior_bounds[:, 1]))
+        return 0.0 if inside else -np.inf
+
+    gp.train(method="mcmc", hyperparameter_bounds=bounds, max_iter=40,
+             mcmc_prior=my_prior)
+    assert seen["n"] > 0
+    assert np.all(gp.hyperparameters >= bounds[:, 0] - 1e-12)
+    from fvgp_tpu.models.gp_training import GPtraining
+    with pytest.raises(AssertionError):
+        GPtraining._in_bounds(np.ones(2), [[0, 1], [0, 1]])
