@@ -1314,3 +1314,159 @@ def test_gp_forced_hier_halo_matches_meshless(eight_devices):
             "hierarchical halo plan not engaged despite 'hier'"
     np.testing.assert_allclose(v2, v1, rtol=1e-5)
     np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)
+
+
+def test_bsm_misc_branches(monkeypatch):
+    """BlockSparseMatrix auxiliary surface: dtype, toarray, transpose,
+    rmatmat, column-chunked matmat under a tiny memory budget,
+    dense_columns with an added diagonal, merge guards."""
+    import fvgp_tpu.parallel.block_sparse as bs
+
+    A, dense = _random_bsm(n=40, B=8, seed=3)
+    assert A.dtype == A.tiles.dtype
+    np.testing.assert_allclose(A.toarray(), dense, atol=1e-12)
+    X = np.random.default_rng(0).standard_normal((40, 7))
+    # transpose view + rmatmat agree with the dense oracle
+    np.testing.assert_allclose(np.asarray(A.T.matmat(X)), dense.T @ X,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(A.rmatmat(X)), dense.T @ X,
+                               atol=1e-9)
+    # force the column-chunked path (budget below one full product)
+    monkeypatch.setattr(bs, "_MATMAT_BUDGET",
+                        2 * A.tiles.shape[0] * A.block_size * 8 * 2)
+    assert A._col_chunk(7, 8) < 7
+    np.testing.assert_allclose(np.asarray(A.matmat(X)), dense @ X,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(A.rmatmat(X)), dense.T @ X,
+                               atol=1e-9)
+    monkeypatch.undo()
+    # diagonal add + dense_columns slice with the diagonal applied
+    Ad = A.add_diagonal(np.full(40, 2.5))
+    cols = np.asarray(Ad.dense_columns(3, 11))
+    want = dense[:, 3:11].copy()
+    for i in range(3, 11):
+        want[i, i - 3] += 2.5
+    np.testing.assert_allclose(cols, want, atol=1e-9)
+    # merge: diag accumulates; shape mismatch rejected
+    M = bs.merge(Ad, Ad)
+    np.testing.assert_allclose(np.asarray(M.to_dense()),
+                               2 * dense + 5.0 * np.eye(40), atol=1e-9)
+    B_small, _ = _random_bsm(n=24, B=8, seed=4)
+    with pytest.raises(ValueError):
+        bs.merge(A, B_small)
+
+
+def test_bsm_rectangular_guards():
+    """Rectangular block-sparse matrices: matmat/rmatmat shapes and the
+    square-only add_diagonal guard."""
+    import jax.numpy as jnp
+    from fvgp_tpu.parallel.block_sparse import BlockSparseMatrix
+
+    rng = np.random.default_rng(5)
+    B = 8
+    nb_r, nb_c = 3, 2
+    rows, cols, tiles = [], [], []
+    dense = np.zeros((nb_r * B, nb_c * B))
+    for i in range(nb_r):
+        for j in range(nb_c):
+            t = rng.standard_normal((B, B))
+            rows.append(i)
+            cols.append(j)
+            tiles.append(t)
+            dense[i * B:(i + 1) * B, j * B:(j + 1) * B] = t
+    A = BlockSparseMatrix(nb_r * B - 3, nb_c * B - 2, B,
+                          jnp.asarray(rows), jnp.asarray(cols),
+                          jnp.asarray(np.stack(tiles)))
+    dlog = dense[: nb_r * B - 3, : nb_c * B - 2]
+    X = rng.standard_normal((nb_c * B - 2, 4))
+    np.testing.assert_allclose(np.asarray(A.matmat(X)), dlog @ X, atol=1e-9)
+    Y = rng.standard_normal(nb_r * B - 3)
+    np.testing.assert_allclose(np.asarray(A.rmatmat(Y)), dlog.T @ Y,
+                               atol=1e-9)
+    with pytest.raises(AssertionError):
+        A.add_diagonal(1.0)
+
+
+def test_worker_fn_edge_branches():
+    """Worker-side units: invalid kernel arity, empty harvests, rowwise
+    vstack on no strips, symmetric auto-detection fallbacks
+    (ref gp2Scale_covariance.py:66, :153-224)."""
+    from fvgp_tpu.parallel import sharded_cov as sc
+    from scipy import sparse as sp
+
+    x = np.random.default_rng(0).uniform(0, 1, (6, 2))
+    hps = np.array([1.0, 1.0, 1.0])
+    with pytest.raises(Exception):
+        sc.evaluate_kernel(lambda a, b, h: None, x, x, hps, 5, {})
+    # empty harvests produce empty CSR of the right shape
+    A = sc.assemble_triplets([], 6, 6, True)
+    assert A.shape == (6, 6) and A.nnz == 0
+    R = sc.assemble_row_strips([], 6, 6)
+    assert R.shape == (6, 6) and R.nnz == 0
+    # a zero block contributes an empty strip (early-out branch)
+    zero_k = lambda a, b, h: np.zeros((len(a), len(b)))   # noqa: E731
+    i0, strip = sc.row_strip_csr((0, 3), x, x, hps, zero_k, 3, {},
+                                 6, 4)
+    assert i0 == 0 and strip.nnz == 0
+    d, r, c = sc.block_triplets(((0, 3), (0, 3)), x, x, hps, zero_k, 3, {},
+                                symmetric=True)
+    assert d.size == 0
+
+
+def test_covariance_csr_symmetry_autodetect():
+    """covariance_csr detects symmetry from x2 is x1 / equality, and the
+    ragged-object comparison failure falls back to asymmetric."""
+    from fvgp_tpu.parallel import sharded_cov as sc
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (8, 2))
+    hps = np.array([1.0, 0.5, 0.5])
+
+    def kern(a, b, h):
+        a = np.asarray(a, float)
+        b = np.asarray(b, float)
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        out = h[0] * np.exp(-d2)
+        return np.where(out > 1e-6, out, 0.0)
+
+    A_same = sc.covariance_csr(kern, x, x, hps, batch_size=4)
+    A_copy = sc.covariance_csr(kern, x, x.copy(), hps, batch_size=4)
+    np.testing.assert_allclose(A_same.toarray(), A_copy.toarray(),
+                               atol=1e-12)
+    np.testing.assert_allclose(A_same.toarray(), kern(x, x, hps), atol=1e-12)
+    # ragged object inputs: equality probe raises inside -> asymmetric path
+    xo1 = [np.zeros(2), np.zeros(3)]
+    xo2 = [np.zeros(3), np.zeros(2)]
+
+    def obj_kern(a, b, h):
+        return np.array([[float(len(ai) == len(bj)) for bj in b]
+                         for ai in a])
+
+    B = sc.covariance_csr(obj_kern, xo1, xo2, hps, batch_size=2)
+    np.testing.assert_allclose(B.toarray(), [[0.0, 1.0], [1.0, 0.0]],
+                               atol=1e-12)
+
+
+def test_gp2scale_four_arg_kernel_closure():
+    """A 4-arg (args-taking) traceable kernel runs through the scale path's
+    stable closure (sharded_cov._stable_kernel_closure)."""
+    from fvgp_tpu.kernels import wendland_anisotropic
+
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 40, (300, 2))
+    y = np.sin(x[:, 0])
+    seen = {"n": 0}
+
+    def k4(a, b, h, args):
+        seen["n"] += 1
+        return wendland_anisotropic(a, b, h)
+
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 2.0, 2.0]),
+            gp2Scale=True, kernel_function=k4,
+            args={"gp2Scale_block_size": 32})
+    v = gp.log_likelihood()
+    assert np.isfinite(v)
+    gp_ref = GP(x, y, init_hyperparameters=np.array([1.0, 2.0, 2.0]),
+                gp2Scale=True, kernel_function=wendland_anisotropic,
+                args={"gp2Scale_block_size": 32})
+    assert abs(v - gp_ref.log_likelihood()) < 1e-6 * abs(v)
