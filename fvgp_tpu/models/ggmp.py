@@ -896,7 +896,8 @@ class GGMP:
         K component posteriors run as ONE batched device program;
         otherwise (or on any ineligibility) the per-GP path runs."""
         if self.gp_eval_parallel:
-            out = self._batched_component_posteriors(x_pred)
+            out = self._batched_component_posteriors(x_pred,
+                                                     need_var=need_var)
             if out is not None:
                 return out
         means = np.stack([gp.posterior_mean(x_pred)["m(x)"]
@@ -906,12 +907,19 @@ class GGMP:
             for gp in self.gps]) if need_var else None
         return means, gp_vars
 
-    def _batched_component_posteriors(self, x_pred):
+    def _batched_component_posteriors(self, x_pred, need_var=True):
         """One vmapped (mean, variance) program over the K components, or
-        None when the components don't share a common traceable program."""
+        None when the components don't share a common traceable program.
+        With ``need_var=False`` the compiled program is mean-only (no
+        cross-solve / kdiag sweep) and the variance slot returns None."""
         import jax
 
         gps = self.gps
+        if any(getattr(g, "gp2Scale", False) for g in gps):
+            # gp2Scale components carry block-sparse covariances; the
+            # batched program below densifies K full (N, N) kernels —
+            # keep the per-GP path, which uses the committed sparse solver
+            return None
         p0 = gps[0].prior
         if not (p0.kernel_traceable and p0.k_n_params == 3):
             return None
@@ -940,7 +948,7 @@ class GGMP:
             ys.append(np.asarray(g.data.y_data, dtype=float).ravel())
 
         cache_key = (id(kern), default_mean, None if default_mean
-                     else id(mean_fn), H, x0.shape)
+                     else id(mean_fn), H, x0.shape, bool(need_var))
         cache = getattr(self, "_batched_eval_cache", None)
         if cache is None or cache[0] != cache_key:
             from .. import config
@@ -958,6 +966,9 @@ class GGMP:
                 alpha = jax.scipy.linalg.cho_solve((L, True), y - m_tr)
                 ks = kern(x, xp, hps)
                 mp = m_pr + ks.T @ alpha
+                if not need_var:
+                    # mean-only program: skip the cross-solve + kdiag sweep
+                    return mp, jnp.zeros((0,), dtype=Km.dtype)
                 sol = jax.scipy.linalg.cho_solve((L, True), ks)
                 kdiag = jax.vmap(
                     lambda r: kern(r[None, :], r[None, :], hps)[0, 0])(xp)
@@ -1001,14 +1012,25 @@ class GGMP:
         logger.debug("GGMP: batched path served call %d",
                      self._batched_eval_count)
         means = np.asarray(means)[:, :npred]
-        variances = np.asarray(variances)[:, :npred]
+        variances = np.asarray(variances)[:, :npred] if need_var else None
         if self.multi_task:
             # task-major 'F' reshape per component: flat[j*n + i] is
             # (point i, task j) -> (K, n_points, n_tasks)
             K = means.shape[0]
             means = means.reshape(K, -1, n_points).transpose(0, 2, 1)
-            variances = variances.reshape(K, -1, n_points).transpose(0, 2, 1)
+            if need_var:
+                variances = variances.reshape(
+                    K, -1, n_points).transpose(0, 2, 1)
         return means, variances
+
+    # ------------------------------------------------------------------
+    def __getstate__(self):
+        """Checkpoint contract (ref pickles the whole object graph,
+        SURVEY §5): drop the jitted batched-eval closure — it is rebuilt
+        lazily on the first parallel posterior call after unpickling."""
+        state = dict(self.__dict__)
+        state.pop("_batched_eval_cache", None)
+        return state
 
     # ------------------------------------------------------------------
     def posterior_mean(self, x_pred):

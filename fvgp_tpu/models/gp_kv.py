@@ -653,32 +653,46 @@ class GPkv:
         mesh = current_mesh()
         if mesh is not None and tile_device_count(mesh) > 1:
             return None
-        # noise on the HOST: np.asarray(self.V) would pull an N-sized
-        # device vector back — minutes through a relayed TPU backend
+        hps = np.asarray(self.prior.hyperparameters, np.float64)
+        args = self.args
+        B = int(args.get("gp2Scale_block_size",
+                         min(self.prior.batch_size, 256)))
+        pwidth = max(1, int(args.get("gp2Scale_precond_width", 1)))
+        # every args key that shapes the compiled program or the budget
+        # participates in the key, so set_args() toggles take effect on
+        # the next solve instead of silently reusing a stale program
+        key = (self.data.point_number, self.data.generation, B, pwidth,
+               hps.tobytes(), self.linalg_mode,
+               args.get("gp2Scale_posterior_solver_dtype"),
+               args.get("gp2Scale_solver_dtype"),
+               args.get("gp2Scale_posterior_cg_tol"),
+               args.get("sparse_cg_tol"),
+               args.get("gp2Scale_posterior_maxiter"),
+               args.get("sparse_cg_maxiter",
+                        args.get("sparse_krylov_maxiter")),
+               args.get("sparse_direct_dense_cutoff"),
+               bool(args.get("gp2Scale_posterior_fused_spmm", True)),
+               bool(args.get("gp2Scale_tile_filter", True)),
+               args.get("gp2Scale_posterior_budget"))
+        ctx = self._fast_solver_ctx
+        if ctx is not None and ctx["key"] == key:
+            return ctx if ctx.get("fn") is not None else None
+
+        # noise on the HOST (checked only on a cache miss: the fallback
+        # np.asarray(self.V) pulls an N-sized device vector back — minutes
+        # through a relayed TPU backend — and must not run per solve)
         V = self.likelihood.calculate_V_host(self.x_data,
                                              self.prior.hyperparameters)
         if V is None:
             from scipy.sparse import issparse
             V_dev = self.V
             if issparse(V_dev) or is_block_sparse(V_dev):
+                self._fast_solver_ctx = {"key": key, "fn": None}
                 return None
             V = np.asarray(V_dev)
         if V.ndim != 1:
+            self._fast_solver_ctx = {"key": key, "fn": None}
             return None
-        hps = np.asarray(self.prior.hyperparameters, np.float64)
-        args = self.args
-        B = int(args.get("gp2Scale_block_size",
-                         min(self.prior.batch_size, 256)))
-        pwidth = max(1, int(args.get("gp2Scale_precond_width", 1)))
-        key = (self.data.point_number, self.data.generation, B, pwidth,
-               hps.tobytes(), self.linalg_mode,
-               args.get("gp2Scale_posterior_solver_dtype"),
-               args.get("gp2Scale_solver_dtype"),
-               args.get("gp2Scale_posterior_cg_tol"),
-               args.get("gp2Scale_posterior_maxiter"))
-        ctx = self._fast_solver_ctx
-        if ctx is not None and ctx["key"] == key:
-            return ctx if ctx.get("fn") is not None else None
 
         from ..parallel.sharded_cov import (_bucket, _candidate_pairs,
                                             _stable_kernel_closure,
@@ -752,13 +766,22 @@ class GPkv:
 
         if mode in ("sparseLU", "sparseSolve"):
             sdt = None                       # direct semantics: full precision
+            # mirror the stored path's tight direct-mode tolerance
+            # (_solve_with runs CG at 1e-10 above the dense cutoff);
+            # in f32 that floor is unreachable, so stop at the dtype's
+            # attainable residual instead of always spinning to maxiter
             tol = args.get("gp2Scale_posterior_cg_tol", None)
+            if tol is None:
+                tol = 1e-10 if np.dtype(dtype) == np.float64 else 1e-7
         else:
             sdt = args.get("gp2Scale_posterior_solver_dtype",
                            args.get("gp2Scale_solver_dtype", None))
             if isinstance(sdt, str):
                 sdt = jnp.dtype(sdt)
-            tol = args.get("gp2Scale_posterior_cg_tol", None)
+            # honor an explicitly-set training tolerance (sparse_cg_tol)
+            # before falling back to the measured dtype floors
+            tol = args.get("gp2Scale_posterior_cg_tol",
+                           args.get("sparse_cg_tol", None))
             if tol is None and sdt is not None \
                     and jnp.dtype(sdt).itemsize < 4:
                 # posterior default is TIGHTER than the training exit (2e-2
@@ -782,7 +805,7 @@ class GPkv:
         # preconditioner — come OFF the budget first; what remains divides
         # by the per-column cost (~6 live CG-state buffers + the matvec's
         # cast copy + the scan-SpMM accumulator).  The default budget is
-        # 60% of the device's HBM when the backend reports it (the r03
+        # 80% of the device's HBM when the backend reports it (the r03
         # driver OOM'd at N=1M: a 5 GB budget that ignored 4+ GB of tiles).
         n_pad = nb * B
         budget = args.get("gp2Scale_posterior_budget", None)
@@ -800,8 +823,10 @@ class GPkv:
         budget = int(budget)
         tile_itemsize = np.dtype(sdt).itemsize if sdt else \
             np.dtype(dtype).itemsize
+        # preconditioner: _diag_precond_blocks builds (nb/w, wB, wB) in the
+        # linalg dtype — nb·w·B² elements, w× more than width-1
         fixed = (T_pad * B * B * tile_itemsize          # assembled tiles
-                 + nb * B * B * 4                        # preconditioner
+                 + nb * pwidth * B * B * np.dtype(dtype).itemsize
                  + (512 << 20))                          # scan workspace
         bytes_per_col = n_pad * (6 * np.dtype(dtype).itemsize
                                  + (np.dtype(sdt).itemsize if sdt else 0)

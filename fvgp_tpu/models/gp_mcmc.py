@@ -159,6 +159,29 @@ def _trace_summary(X_flat, F_flat):
             "var(x)": tail.var(axis=0)}
 
 
+def _proposal_factors(A):
+    """Batched (C, H, H) factors F with F·Fᵀ = A for the proposal draw.
+
+    Cholesky with a diagonal-jitter ladder; if a chain's adapted
+    covariance is indefinite beyond what jitter fixes, degrade gracefully
+    the way ``rng.multivariate_normal`` (SVD-based) does — symmetrize and
+    clip negative eigenvalues — instead of killing the whole
+    multi-chain run with a LinAlgError."""
+    H = A.shape[-1]
+    eye = np.eye(H)
+    for scale in (0.0, 1e-12, 1e-8, 1e-4):
+        jit = scale * np.maximum(np.trace(A, axis1=1, axis2=2), 1e-30)
+        try:
+            return np.linalg.cholesky(A + jit[:, None, None] * eye)
+        except np.linalg.LinAlgError:
+            continue
+    warnings.warn("MCMC proposal covariance not positive definite; "
+                  "using an eigenvalue-clipped factor", stacklevel=2)
+    As = 0.5 * (A + np.transpose(A, (0, 2, 1)))
+    w, Q = np.linalg.eigh(As)
+    return Q * np.sqrt(np.clip(w, 0.0, None))[:, None, :]
+
+
 def run_mcmc_vectorized(log_likelihood_batch, bounds, x0s, *, n_updates=10000,
                         info=False, r_opt=0.234, c_0=10, c_1=0.8, K=10,
                         break_condition="default", seed=0):
@@ -182,17 +205,11 @@ def run_mcmc_vectorized(log_likelihood_batch, bounds, x0s, *, n_updates=10000,
         return np.all((P >= bounds[:, 0]) & (P <= bounds[:, 1]), axis=1)
 
     def chain_chols(Sigma, sigma_m):
-        """One batched (C, H, H) Cholesky of the scaled proposal
+        """One batched (C, H, H) factor of the scaled proposal
         covariances — recomputed only when the adaptation moves them,
         so the per-step proposal is a single batched matmul instead of
         C host multivariate_normal draws (O(C·H³) each)."""
-        A = Sigma * sigma_m[:, None, None]
-        try:
-            return np.linalg.cholesky(A)
-        except np.linalg.LinAlgError:
-            jit = 1e-12 * np.maximum(
-                np.trace(A, axis1=1, axis2=2), 1e-30)
-            return np.linalg.cholesky(A + jit[:, None, None] * np.eye(H))
+        return _proposal_factors(Sigma * sigma_m[:, None, None])
 
     like = np.asarray(log_likelihood_batch(X), dtype=float)
     trace_x = [X.copy()]

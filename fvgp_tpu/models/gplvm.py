@@ -239,6 +239,15 @@ class GPLVM:
         ``local`` (the quantity of interest), the committed
         ``[kernel hps..., noise]`` vector for ``mcmc``/callables.
         """
+        if isinstance(method, (int, float)) and not isinstance(method, bool):
+            # legacy positional call train(max_iter[, learning_rate]) from
+            # the pre-dispatch signature: keep it working as adam
+            if max_iter is None:
+                max_iter = int(method)
+            if isinstance(hyperparameter_bounds, float):
+                learning_rate = hyperparameter_bounds
+                hyperparameter_bounds = None
+            method = "adam"
         if callable(method):
             result = method(self)
             if result is not None:

@@ -26,13 +26,17 @@ TILE_AXIS = "tiles"
 SLICE_AXIS = "slice"
 
 
-def _slice_groups(devices):
+def _slice_groups(devices, process_fallback=False):
     """Partition ``devices`` into hardware slices, outer-mesh first.
 
-    TPU multi-slice (megascale) exposes ``slice_index`` per device;
-    multi-host backends fall back to ``process_index`` (one DCN domain per
-    host).  ``FVGP_TPU_ASSUME_SLICES=k`` overrides both — the documented
-    way to exercise the 2-D layout on a virtual single-process mesh."""
+    TPU multi-slice (megascale) exposes ``slice_index`` per device — the
+    only signal ``layout='auto'`` trusts.  ``process_fallback=True``
+    (explicit ``layout='2d'`` only) additionally treats each host process
+    as a DCN domain; that is NOT safe to infer automatically, because a
+    single-slice multi-host pod (and any multi-process CPU/GPU backend)
+    has distinct ``process_index`` values on fabric that is not DCN.
+    ``FVGP_TPU_ASSUME_SLICES=k`` overrides both — the documented way to
+    exercise the 2-D layout on a virtual single-process mesh."""
     import os
     k = int(os.environ.get("FVGP_TPU_ASSUME_SLICES", "0") or 0)
     if k > 1:
@@ -43,8 +47,11 @@ def _slice_groups(devices):
         per = len(devices) // k
         return [list(devices[i * per:(i + 1) * per]) for i in range(k)]
 
+    attrs = ("slice_index", "process_index") if process_fallback \
+        else ("slice_index",)
+
     def key(d):
-        for attr in ("slice_index", "process_index"):
+        for attr in attrs:
             v = getattr(d, attr, None)
             if v is not None:
                 return int(v)
@@ -61,19 +68,20 @@ def make_mesh(n_devices=None, devices=None, layout="auto"):
 
     ``layout='auto'`` (default) derives the shape from the device
     topology: when the devices span more than one hardware slice
-    (``slice_index``; ``process_index`` fallback; or the
-    ``FVGP_TPU_ASSUME_SLICES`` override for virtual meshes) of equal size,
-    the mesh comes back 2-D ``(slice, tiles)`` — inter-slice traffic rides
-    DCN on the outer axis, intra-slice ICI on the inner — and every
-    row-sharded consumer (``tile_spec``/``flat_tile_index``) handles both
-    shapes transparently.  ``layout='1d'`` forces the flat mesh;
-    ``layout='2d'`` raises when no slice structure is visible."""
+    (``slice_index``, or the ``FVGP_TPU_ASSUME_SLICES`` override for
+    virtual meshes) of equal size, the mesh comes back 2-D
+    ``(slice, tiles)`` — inter-slice traffic rides DCN on the outer axis,
+    intra-slice ICI on the inner — and every row-sharded consumer
+    (``tile_spec``/``flat_tile_index``) handles both shapes
+    transparently.  ``layout='1d'`` forces the flat mesh; ``layout='2d'``
+    additionally accepts per-process grouping (one DCN domain per host)
+    and raises when no slice structure is visible."""
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
     if layout in ("auto", "2d"):
-        groups = _slice_groups(devices)
+        groups = _slice_groups(devices, process_fallback=(layout == "2d"))
         sizes = {len(g) for g in groups}
         if len(groups) > 1 and len(sizes) == 1:
             return Mesh(np.array(groups), (SLICE_AXIS, TILE_AXIS))

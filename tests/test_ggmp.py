@@ -666,3 +666,45 @@ def test_fit_station_gmms_fixed_weights_logging(tmp_path, caplog):
     m2, v2, p2 = G.fit_station_gmms_fixed_weights_cached(
         series, np.arange(4), K=2, cache_dir=tmp_path)
     np.testing.assert_allclose(m2, means)
+
+
+def test_ggmp_batched_eval_mean_only_and_pickle():
+    """posterior_mean's need_var=False compiles a mean-only batched
+    program (no discarded variance work), and the jitted closure is
+    dropped on pickling (checkpoint contract, SURVEY §5)."""
+    import pickle
+
+    K = 2
+    x, y_data = _make_distributional_data(n=12, K=K)
+    g = GGMP(x, y_data, hps_obj=_hps_obj(K), likelihood_terms=K,
+             gp_eval_parallel=True)
+    g.initLikelihoods()
+    g.initGPs()
+    xp = x[:4]
+    m, v = g._component_posteriors(xp, need_var=False)
+    assert v is None
+    assert g._batched_eval_count == 1
+    m2, v2 = g._component_posteriors(xp)
+    assert v2 is not None
+    np.testing.assert_allclose(m, m2, rtol=1e-8, atol=1e-10)
+    # pickle round-trips after batched evals; the rebuilt model serves
+    # the same batched program lazily
+    g2 = pickle.loads(pickle.dumps(g))
+    m3, _ = g2._component_posteriors(xp, need_var=False)
+    np.testing.assert_allclose(m3, m, rtol=1e-8, atol=1e-10)
+
+
+def test_ggmp_batched_eval_skips_gp2scale_components():
+    """gp2Scale component GPs keep the per-GP path: the batched program
+    would densify K full (N, N) kernels (review finding)."""
+    K = 2
+    x, y_data = _make_distributional_data(n=12, K=K)
+    g = GGMP(x, y_data, hps_obj=_hps_obj(K), likelihood_terms=K,
+             gp_eval_parallel=True,
+             gp_init_kwargs={"gp2Scale": True,
+                             "args": {"gp2Scale_block_size": 8}})
+    g.initLikelihoods()
+    g.initGPs()
+    m, v = g._component_posteriors(x[:4])
+    assert getattr(g, "_batched_eval_count", 0) == 0
+    assert m.shape[0] == K and v.shape[0] == K

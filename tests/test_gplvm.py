@@ -214,3 +214,15 @@ def test_gplvm_info_theory_surface(rng):
     assert mi > 0
     kl = m.gp_kl_div(Xq, np.zeros(3), np.eye(3))["kl-div"]
     assert kl >= 0
+
+
+def test_gplvm_train_legacy_positional(rng):
+    """The pre-dispatch signature train(max_iter[, learning_rate]) keeps
+    working positionally (review finding: method-first dispatch must not
+    break numeric positional callers)."""
+    Y = rng.standard_normal((16, 3))
+    m = GPLVM(Y, latent_dim=1)
+    before = m.log_likelihood()
+    z = m.train(30, 5e-3)
+    assert z.shape == (16, 1)
+    assert m.log_likelihood() >= before - 1e-9

@@ -1470,3 +1470,133 @@ def test_gp2scale_four_arg_kernel_closure():
                 gp2Scale=True, kernel_function=wendland_anisotropic,
                 args={"gp2Scale_block_size": 32})
     assert abs(v - gp_ref.log_likelihood()) < 1e-6 * abs(v)
+
+
+def test_slice_groups_no_auto_process_fallback():
+    """layout='auto' trusts only slice_index: per-process grouping must be
+    explicit (layout='2d') — a single-slice multi-host pod has distinct
+    process indices on ICI (review finding)."""
+    from fvgp_tpu.parallel.mesh import _slice_groups
+
+    class D:
+        def __init__(self, pi):
+            self.process_index = pi
+
+    devs = [D(0), D(0), D(1), D(1)]
+    assert len(_slice_groups(devs)) == 1
+    assert len(_slice_groups(devs, process_fallback=True)) == 2
+
+    class S:
+        def __init__(self, si, pi):
+            self.slice_index = si
+            self.process_index = pi
+
+    devs2 = [S(0, 0), S(0, 1), S(1, 2), S(1, 3)]
+    assert len(_slice_groups(devs2)) == 2
+
+
+def _small_scale_gp(**extra_args):
+    import warnings
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 12, (600, 2))
+    y = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(600)
+    args = {"gp2Scale_block_size": 64}
+    args.update(extra_args)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return GP(x, y, init_hyperparameters=np.array([1.0, 2.0, 2.0]),
+                  noise_variances=np.full(600, 1e-2), gp2Scale=True,
+                  linalg_mode="sparseCGpre", args=args)
+
+
+def test_fast_solver_honors_tolerance_args(monkeypatch):
+    """The committed fast solver inherits the user's CG tolerance
+    (sparse_cg_tol) and the direct modes' tight floor (review finding:
+    both were silently dropped to the dtype default)."""
+    import fvgp_tpu.models.gp_kv as gpkv_mod
+    from fvgp_tpu.ops import sparse_lml as slml
+
+    seen = {}
+    real = slml.make_committed_solver
+
+    def spy(*args, **kwargs):
+        seen["cg_tol"] = kwargs.get("cg_tol")
+        return real(*args, **kwargs)
+
+    # user-set training tolerance flows through on sparseCGpre
+    gp = _small_scale_gp(sparse_cg_tol=3e-7)
+    monkeypatch.setattr(slml, "make_committed_solver", spy)
+    assert gp.kv._fast_sparse_solver() is not None
+    assert seen["cg_tol"] == pytest.approx(3e-7)
+
+    # direct semantics (sparseLU above the dense cutoff) default to the
+    # stored path's tight 1e-10 in f64
+    seen.clear()
+    gp2 = _small_scale_gp(sparse_direct_dense_cutoff=100)
+    gp2.kv.linalg_mode = "sparseLU"
+    assert gp2.kv._fast_sparse_solver() is not None
+    assert seen["cg_tol"] == pytest.approx(1e-10)
+
+
+def test_fast_solver_ctx_caching_and_arg_sensitivity(monkeypatch):
+    """The fast-solver context is (a) rebuilt when a program-shaping arg
+    changes (review finding: stale jitted program reuse), and (b) never
+    re-fetches the noise on a cache hit (review finding: an N-sized
+    device pull per solve)."""
+    gp = _small_scale_gp()
+    kv = gp.kv
+    ctx1 = kv._fast_sparse_solver()
+    assert ctx1 is not None
+
+    calls = {"n": 0}
+    real = gp.likelihood.calculate_V_host
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(gp.likelihood, "calculate_V_host", counting)
+    # cache hit: no noise fetch, same object
+    assert kv._fast_sparse_solver() is ctx1
+    assert calls["n"] == 0
+    # toggling a program-shaping arg invalidates the context
+    gp.set_args(dict(gp.args, gp2Scale_posterior_fused_spmm=False))
+    ctx2 = kv._fast_sparse_solver()
+    assert ctx2 is not None and ctx2 is not ctx1
+    assert calls["n"] == 1
+    # fused schedules differ: the non-fused path has equal-length
+    # rows/cols paddings
+    assert ctx2["rows"].shape == ctx2["cols"].shape
+
+
+def test_fast_solver_negative_cache_for_matrix_noise(monkeypatch):
+    """Matrix-valued noise keeps the stored path, and the ineligibility is
+    cached — repeated solves must not re-pull the noise each call."""
+    import warnings
+
+    rng = np.random.default_rng(12)
+    x = rng.uniform(0, 12, (200, 2))
+    y = np.sin(x[:, 0])
+
+    def noise(x_, hps, args=None):
+        return np.diag(np.full(len(x_), 1e-2))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        gp = GP(x, y, init_hyperparameters=np.array([1.0, 2.0, 2.0]),
+                noise_function=noise, gp2Scale=True,
+                linalg_mode="sparseCGpre",
+                args={"gp2Scale_block_size": 32})
+    kv = gp.kv
+    assert kv._fast_sparse_solver() is None
+    calls = {"n": 0}
+    real = gp.likelihood.calculate_V_host
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(gp.likelihood, "calculate_V_host", counting)
+    assert kv._fast_sparse_solver() is None
+    assert calls["n"] == 0

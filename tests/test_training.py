@@ -438,3 +438,27 @@ def test_mcmc_prior_override_and_in_bounds_guard():
     from fvgp_tpu.models.gp_training import GPtraining
     with pytest.raises(AssertionError):
         GPtraining._in_bounds(np.ones(2), [[0, 1], [0, 1]])
+
+
+def test_proposal_factors_degrade_on_indefinite_covariance():
+    """_proposal_factors survives PSD-singular/indefinite adapted
+    covariances (review finding: a LinAlgError here killed the whole
+    multi-chain run; multivariate_normal degraded gracefully)."""
+    from fvgp_tpu.models.gp_mcmc import _proposal_factors
+
+    # a mildly indefinite chain is rescued by the jitter ladder, silently
+    A = np.stack([np.eye(3), np.diag([1e6, 0.0, -1.0])])
+    F = _proposal_factors(A)
+    assert np.all(np.isfinite(F))
+    got = F @ np.transpose(F, (0, 2, 1))
+    np.testing.assert_allclose(got[1][0, 0], 1e6, rtol=1e-3)
+
+    # a negative eigenvalue beyond the ladder's 1e-4·trace ceiling takes
+    # the eigenvalue-clipped fallback with a warning instead of raising
+    A = np.stack([np.eye(3), np.diag([1e6, 0.0, -200.0])])
+    with pytest.warns(UserWarning, match="not positive definite"):
+        F = _proposal_factors(A)
+    got = F @ np.transpose(F, (0, 2, 1))
+    np.testing.assert_allclose(got[0], np.eye(3), atol=1e-8)
+    np.testing.assert_allclose(got[1], np.diag([1e6, 0.0, 0.0]), atol=1e-6)
+    assert np.all(np.isfinite(F))
