@@ -74,7 +74,7 @@ def large_n_metric(log):
     t0 = time.time()
     # sparse_cg_maxiter=32 is a MAX: the solve early-exits at the bf16
     # freeze floor (sparse_lml._freeze_tol_sq), where the LML already
-    # matches a 48-iteration run to ~1e-6 relative (measured at N=1M)
+    # matches a 64-iteration run to ~2e-5 relative (measured at N=1M)
     gp = GP(x, y, init_hyperparameters=hps,
             noise_variances=np.full(N, 1e-2), gp2Scale=True,
             args={"gp2Scale_block_size": 128,

@@ -221,3 +221,45 @@ def test_fvgp_gp2scale_multitask_under_mesh(eight_devices):
         pm = gp8.posterior_mean(xp, x_out=np.array([0, 1]))["m(x)"]
     np.testing.assert_allclose(v8, v1, rtol=1e-6)
     assert pm.shape == (4, 2)
+
+
+def test_multitask_update_append_with_noise_and_list_inputs(rng):
+    """Append with per-task noise variances; list-typed (non-Euclidean)
+    x_data concatenates by list-extend; overwrite replaces outright."""
+    from fvgp_tpu import fvGP
+
+    n, d, no = 12, 2, 2
+    x = rng.uniform(0, 1, (n, d))
+    y = np.stack([np.sin(x[:, 0]), np.cos(x[:, 1])], axis=1)
+    nv = np.full((n, no), 1e-2)
+    f = fvGP(x, y, init_hyperparameters=np.ones(d + 2),
+             noise_variances=nv)
+    x2 = rng.uniform(0, 1, (4, d))
+    y2 = np.stack([np.sin(x2[:, 0]), np.cos(x2[:, 1])], axis=1)
+    f.update_gp_data(x2, y2, noise_variances_new=np.full((4, no), 2e-2),
+                     append=True, rank_n_update=False)
+    assert f.fvgp_x_data.shape == (n + 4, d)
+    assert f.fvgp_noise_variances.shape == (n + 4, no)
+    np.testing.assert_allclose(f.fvgp_noise_variances[-4:], 2e-2)
+
+    # overwrite (append=False) replaces the stored multi-task arrays
+    f.update_gp_data(x2, y2, noise_variances_new=np.full((4, no), 3e-2),
+                     append=False)
+    assert f.fvgp_x_data.shape == (4, d)
+    np.testing.assert_allclose(f.fvgp_noise_variances, 3e-2)
+
+    # list-typed x_data (non-Euclidean index set) appends by extension
+    def obj_kernel(a, b, hps, args=None):
+        av = np.asarray([np.mean(p[0]) + 0.1 * p[1] for p in a])
+        bv = np.asarray([np.mean(p[0]) + 0.1 * p[1] for p in b])
+        return np.exp(-np.abs(av[:, None] - bv[None, :]))
+
+    xs = [rng.uniform(0, 1, 3) for _ in range(6)]
+    ys = np.stack([np.array([np.mean(p), np.std(p)]) for p in xs])
+    g = fvGP(xs, ys, init_hyperparameters=np.ones(1),
+             kernel_function=obj_kernel)
+    xs2 = [rng.uniform(0, 1, 3) for _ in range(2)]
+    ys2 = np.stack([np.array([np.mean(p), np.std(p)]) for p in xs2])
+    g.update_gp_data(xs2, ys2, append=True, rank_n_update=False)
+    assert len(g.fvgp_x_data) == 8
+    assert np.isfinite(g.log_likelihood())

@@ -165,3 +165,90 @@ def test_gp2Scale_async_guard():
                  asynchronous=True)
     assert any("asynchronous" in str(w.message) for w in rec)
     assert np.all(np.isfinite(gp.hyperparameters))
+
+
+def test_update_kv_rank_n_branches_all_dense_modes(monkeypatch):
+    """update_gp_data(append=True) exercises the blocked rank-n trailing
+    update of the factor (Chol/CholInv) and the explicit inverse (Inv);
+    with measured noise the old block is unchanged, so the blocked update
+    must ENGAGE and match a fresh build exactly; custom
+    [factor, solve, logdet] modes refactor on update (ref gp_kv.py:462-508)."""
+    import fvgp_tpu.models.gp_kv as gpkv_mod
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (40, 2))
+    y = np.sin(3 * x[:, 0]) + 0.1 * x[:, 1]
+    x2 = rng.uniform(0, 1, (10, 2))
+    y2 = np.sin(3 * x2[:, 0]) + 0.1 * x2[:, 1]
+    nv, nv2 = np.full(40, 1e-4), np.full(10, 1e-4)
+    hps = np.array([1.0, 1.0, 1.0])
+
+    calls = {"chol": 0, "inv": 0}
+    real_up_chol = gpkv_mod.dops.update_chol_factor
+    real_up_inv = gpkv_mod.dops.update_inv
+    monkeypatch.setattr(gpkv_mod.dops, "update_chol_factor",
+                        lambda *a: (calls.__setitem__("chol", calls["chol"] + 1),
+                                    real_up_chol(*a))[1])
+    monkeypatch.setattr(gpkv_mod.dops, "update_inv",
+                        lambda *a: (calls.__setitem__("inv", calls["inv"] + 1),
+                                    real_up_inv(*a))[1])
+
+    # invariant: the rank-n updated state answers EXACTLY like a fresh
+    # build on the combined data (measured noise -> old block unchanged)
+    fresh = GP(np.vstack([x, x2]), np.concatenate([y, y2]),
+               init_hyperparameters=hps, linalg_mode="Chol",
+               noise_variances=np.concatenate([nv, nv2]))
+    want = fresh.log_likelihood()
+    for mode in ("Chol", "CholInv", "Inv"):
+        gp = GP(x, y, init_hyperparameters=hps, linalg_mode=mode,
+                noise_variances=nv)
+        gp.update_gp_data(x2, y2, noise_variances_new=nv2,
+                          append=True, rank_n_update=True)
+        assert abs(gp.log_likelihood() - want) < 1e-7, mode
+        v = gp.posterior_covariance(x2[:3], variance_only=True)["v(x)"]
+        assert np.all(v >= -1e-10), mode
+        # overwrite with the same size takes the same-size refresh branch
+        gp.update_gp_data(np.vstack([x, x2]), np.concatenate([y, y2]),
+                          noise_variances_new=np.concatenate([nv, nv2]),
+                          append=False)
+        assert abs(gp.log_likelihood() - want) < 1e-7, mode
+    assert calls["chol"] == 2 and calls["inv"] == 1   # blocked paths engaged
+
+    # custom [factor, solve, logdet]: update_KV refactors via mode[0]
+    fcalls = {"factor": 0}
+
+    def f_factor(KV):
+        fcalls["factor"] += 1
+        return np.asarray(KV)
+
+    gp = GP(x, y, init_hyperparameters=hps, noise_variances=nv,
+            linalg_mode=[f_factor,
+                         lambda o, b: np.linalg.solve(o, np.asarray(b)),
+                         lambda o: np.linalg.slogdet(o)[1]])
+    n_before = fcalls["factor"]
+    gp.update_gp_data(x2, y2, noise_variances_new=nv2,
+                      append=True, rank_n_update=True)
+    assert fcalls["factor"] > n_before
+    assert abs(gp.log_likelihood() - want) < 1e-7
+
+
+def test_update_kv_default_noise_drift_falls_back_to_refactor():
+    """With DEFAULT noise, appending moves (0.01·mean|y|)² on the OLD
+    diagonal too — the rank-n path must detect the drifted top-left block
+    and refactor instead of extending the stale factor (which silently
+    corrupted logdet by ~0.1 LML on a 40+10 append)."""
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (40, 2))
+    y = np.sin(3 * x[:, 0]) + 0.1 * x[:, 1]
+    x2 = rng.uniform(0, 1, (10, 2))
+    y2 = np.sin(3 * x2[:, 0]) + 0.1 * x2[:, 1]
+    hps = np.array([1.0, 1.0, 1.0])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        fresh = GP(np.vstack([x, x2]), np.concatenate([y, y2]),
+                   init_hyperparameters=hps, linalg_mode="Chol")
+        want = fresh.log_likelihood()
+        for mode in ("Chol", "Inv"):
+            gp = GP(x, y, init_hyperparameters=hps, linalg_mode=mode)
+            gp.update_gp_data(x2, y2, append=True, rank_n_update=True)
+            assert abs(gp.log_likelihood() - want) < 1e-7, mode

@@ -163,3 +163,34 @@ def test_add_noise_with_structured_noise():
     # the noise really was added
     v0 = np.asarray(gp_s.posterior_covariance(xp, add_noise=False)["v(x)"])
     assert np.all(vs > v0)
+
+
+def test_noise_fd_gradient_densifies_structured_noise():
+    """The FD noise-gradient engine densifies scipy-sparse / BlockSparse
+    noise returns (gp_likelihood._densify both branches)."""
+    import jax.numpy as jnp
+    from scipy import sparse as sp
+
+    from fvgp_tpu.models.gp_likelihood import GPlikelihood, _densify
+    from fvgp_tpu.parallel.block_sparse import BlockSparseMatrix
+
+    rng = np.random.default_rng(0)
+    n = 8
+    x = rng.uniform(0, 1, (n, 1))
+    y = np.sin(x[:, 0])
+
+    def sparse_noise(x_, hps, args=None):
+        return sp.diags(np.full(len(x_), hps[0] * 1e-2)).tocsr()
+
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 1.0]),
+            noise_function=sparse_noise)
+    g = gp.likelihood.calculate_V_grad(x, np.array([1.0, 1.0]), 0)
+    np.testing.assert_allclose(np.diag(np.asarray(g)), 1e-2, atol=1e-5)
+
+    # block-sparse densify branch
+    t = np.eye(4) * 2.0
+    A = BlockSparseMatrix(8, 8, 4, jnp.array([0, 1]), jnp.array([0, 1]),
+                          jnp.stack([jnp.asarray(t)] * 2))
+    np.testing.assert_allclose(np.asarray(_densify(A)), 2.0 * np.eye(8))
+    np.testing.assert_allclose(
+        np.asarray(_densify(sp.eye(5).tocsr())), np.eye(5))
