@@ -261,6 +261,14 @@ class GPprior:
         hps_in = (config.asarray(hps) if self.kernel_traceable
                   else np.asarray(hps))
         a, b = self._as_kernel_input(x1), self._as_kernel_input(x2)
+        kdt = config.kernel_compute_dtype(self.args)
+        if (self.kernel_traceable and not isinstance(a, list)
+                and kdt != config.linalg_dtype(self.args)):
+            # args['kernel_dtype']: evaluate the O(N²D) kernel sweep in a
+            # cheaper dtype on the MXU/VPU; the linalg below stays in the
+            # linalg dtype (the cast-back is the fusion boundary)
+            a, b, hps_in = (a.astype(kdt), b.astype(kdt),
+                            jnp.asarray(hps_in, kdt))
         if self.k_n_params == 3:
             K = self.kernel(a, b, hps_in)
         elif self.k_n_params == 4:

@@ -266,3 +266,22 @@ def test_mcmc_custom_proposal_and_adapt(capsys):
         gpMCMC(log_like)
     with pytest.raises(AssertionError):
         gpMCMC(log_like, prior_function=prior)   # "normal" needs bounds
+
+
+def test_kernel_dtype_arg_governs_dense_assembly():
+    """args['kernel_dtype'] evaluates the dense kernel sweep in the
+    requested dtype (cast back to the linalg dtype for the factorization);
+    the LML moves only at that dtype's noise floor."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (30, 2))
+    y = np.sin(3 * x[:, 0])
+    hps = np.array([1.0, 1.0, 1.0])
+    gp64 = GP(x, y, init_hyperparameters=hps)
+    gp32 = GP(x, y, init_hyperparameters=hps,
+              args={"kernel_dtype": "float32"})
+    K32 = np.asarray(gp32.prior.K)
+    K64 = np.asarray(gp64.prior.K)
+    # values agree to f32 resolution but NOT to f64 (the cast engaged)
+    assert np.abs(K32 - K64).max() < 1e-5
+    assert np.abs(K32 - K64).max() > 0.0
+    assert abs(gp32.log_likelihood() - gp64.log_likelihood()) < 1e-3
