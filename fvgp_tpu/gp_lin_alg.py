@@ -31,7 +31,7 @@ from . import config
 from .ops import dense as _dense
 from .ops import krylov as _krylov
 from .ops import slq as _slq
-from .ops.precond import _SCHWARZ_ALIASES, build_preconditioner_op
+from .ops.precond import build_preconditioner_op
 from .parallel.block_sparse import (BlockSparseMatrix, bsm_matvec_factory,
                                     from_scipy, is_block_sparse)
 
@@ -316,16 +316,11 @@ def normalize_sparse_preconditioner_type(name):
     """Canonicalize the reference's preconditioner aliases onto the three
     operators that exist here (ref gp_lin_alg.py:397): every IC/ILU-family
     name -> 'schwarz' (overlapping additive Schwarz), AMG names -> 'amg'
-    (two-level), jacobi names -> 'block_jacobi'."""
-    n = str(name).lower()
-    if n in _SCHWARZ_ALIASES:
-        return "schwarz"
-    if "amg" in n:
-        return "amg"
-    if n in ("block_jacobi", "jacobi", "bj", "diag", "diagonal"):
-        return "block_jacobi"
-    raise Exception(f"Unknown sparse preconditioner type: {name!r}. "
-                    f"Known: block_jacobi, schwarz (+ IC/ILU aliases), amg.")
+    (two-level), jacobi names -> 'block_jacobi'.  One table: delegates to
+    ``ops.precond.normalize_type`` (also used by the operator dispatch
+    itself, so a typo raises everywhere instead of silently falling back)."""
+    from .ops.precond import normalize_type
+    return normalize_type(name)
 
 
 def calculate_sparse_preconditioner(KV, args=None):

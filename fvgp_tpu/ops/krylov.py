@@ -61,39 +61,46 @@ def _normalize(matvec, operator, M, m_operator):
 
 class _ClosureShim:
     """Wrap a plain closure as fn(data, X), cached per closure identity so
-    repeated calls with the SAME closure reuse one compiled program."""
-    _cache = {}
+    repeated calls with the SAME closure reuse one compiled program.
+
+    The wrapper holds the closure STRONGLY (it is baked into the jitted
+    program), so the cache is a small bounded LRU: evicting the oldest
+    entry only costs that closure a retrace if it comes back, while an
+    unbounded map would pin every captured operator matrix for the
+    process lifetime."""
+    from collections import OrderedDict as _OD
+    _cache = _OD()
+    _limit = 64
 
     @classmethod
     def get(cls, closure):
         key = id(closure)
         hit = cls._cache.get(key)
-        if hit is not None and hit[0]() is closure:
+        if hit is not None and hit[0] is closure:
+            cls._cache.move_to_end(key)
             return hit[1]
-        import weakref
 
         def fn(data, X, _c=closure):
             return _c(X)
 
-        try:
-            ref = weakref.ref(closure)
-        except TypeError:
-            ref = lambda _c=closure: _c          # noqa: E731
-        if len(cls._cache) > 256:
-            cls._cache.clear()
-        cls._cache[key] = (ref, fn)
+        while len(cls._cache) >= cls._limit:
+            cls._cache.popitem(last=False)
+        cls._cache[key] = (closure, fn)
         return fn
 
 
 @functools.partial(jax.jit, static_argnames=("matvec_fn", "m_fn", "maxiter"))
 def _cg_impl(matvec_fn, m_fn, data, m_data, B, X0, tol, maxiter):
     """Preconditioned CG on a block of RHS columns with per-column masking."""
-    X = X0
+    bnorm = jnp.sqrt(jnp.sum(B * B, axis=0))
+    # a zero RHS column has solution 0 exactly; a warm start there would
+    # otherwise leave rnorm = |A x0| > atol ~ 0 forever and drag the whole
+    # block to maxiter (scipy cg special-cases b = 0 the same way)
+    X = jnp.where((bnorm == 0.0)[None, :], 0.0, X0)
     R = B - matvec_fn(data, X)
     Z = m_fn(m_data, R)
     P = Z
     rz = jnp.sum(R * Z, axis=0)                       # (k,)
-    bnorm = jnp.sqrt(jnp.sum(B * B, axis=0))
     atol = tol * jnp.maximum(bnorm, 1e-300)
 
     def cond(state):
@@ -172,14 +179,23 @@ def _minres_impl(matvec_fn, m_fn, data, m_data, B, X0, tol, maxiter):
     Standard Lanczos + Givens formulation, vectorized over columns.
     """
     n, k = B.shape
-    X = X0
+    bnorm = jnp.sqrt(jnp.sum(B * B, axis=0))
+    # zero RHS columns have solution 0 exactly (see _cg_impl)
+    X = jnp.where((bnorm == 0.0)[None, :], 0.0, X0)
     R1 = B - matvec_fn(data, X)
     Y = m_fn(m_data, R1)
-    beta1 = jnp.sqrt(jnp.maximum(jnp.sum(R1 * Y, axis=0), 0.0))    # (k,)
-    bnorm = jnp.sqrt(jnp.sum(B * B, axis=0))
-    atol = tol * jnp.maximum(bnorm, 1e-300)
-
     eps = jnp.asarray(jnp.finfo(B.dtype).eps, B.dtype)
+    ry = jnp.sum(R1 * Y, axis=0)
+    # a genuinely negative r·M⁻¹r means the preconditioner is indefinite —
+    # MINRES's Lanczos breaks down (scipy raises here).  Clamping it to 0
+    # would SILENTLY return the warm start as "converged"; poison the
+    # column with NaN instead so the failure is loud downstream.
+    neg_scale = jnp.sum(jnp.abs(R1) * jnp.abs(Y), axis=0)
+    bad = ry < -1e3 * eps * neg_scale
+    beta1 = jnp.where(bad, jnp.nan,
+                      jnp.sqrt(jnp.maximum(ry, 0.0)))             # (k,)
+    X = jnp.where(bad[None, :], jnp.nan, X)
+    atol = tol * jnp.maximum(bnorm, 1e-300)
 
     state = dict(
         i=0, X=X, R1=R1, R2=R1, Y=Y, beta=beta1, beta1=beta1,

@@ -215,15 +215,8 @@ def two_level_apply_factory(nb, p, n):
 def build_two_level_op(KV, args=None):
     """Operator-convention two-level preconditioner (AMG-class)."""
     args = args or {}
-    L, nb, p, n = _factor_blocks(KV, args)
+    L, nb, p, n, Ac = _factor_blocks(KV, args, want_coarse=True)
     Minv = _invert_from_chol(L)
-    if is_block_sparse(KV):
-        Ac = KV.coarse_matrix()
-    else:
-        KV = jnp.asarray(KV)
-        n_pad = nb * p
-        KVp = jnp.zeros((n_pad, n_pad), KV.dtype).at[:n, :n].set(KV)
-        Ac = jnp.sum(KVp.reshape(nb, p, nb, p), axis=(1, 3))
     # padded trailing block (if any) may have a deficient coarse row; the
     # shift ladder below covers it along with any near-singular aggregate
     Lc = _shifted_cholesky(Ac[None], args)[0]
@@ -237,14 +230,33 @@ _SCHWARZ_ALIASES = frozenset((
     "legacy_incomplete_cholesky", "ilu"))
 
 
+def normalize_type(name):
+    """Canonicalize the reference's preconditioner aliases onto the three
+    operators that exist here (ref gp_lin_alg.py:397): every IC/ILU-family
+    name -> 'schwarz', AMG names -> 'amg', jacobi names ->
+    'block_jacobi'.  Unknown names RAISE — a typo ('schwartz', 'AMG' on a
+    case-sensitive compare) must not silently hand back block-Jacobi on
+    the long-lengthscale problems where the user chose otherwise."""
+    n = str(name).lower()
+    if n in _SCHWARZ_ALIASES:
+        return "schwarz"
+    if "amg" in n:
+        return "amg"
+    if n in ("block_jacobi", "jacobi", "bj", "diag", "diagonal"):
+        return "block_jacobi"
+    raise Exception(f"Unknown sparse preconditioner type: {name!r}. "
+                    f"Known: block_jacobi, schwarz (+ IC/ILU aliases), amg.")
+
+
 def build_preconditioner_op(KV, args=None):
     """Dispatch on ``args['sparse_preconditioner_type']`` (the
     ``sparseCGpre_<type>`` alias target, ref gp_lin_alg.py:474-505):
     block-Jacobi (default), overlapping Schwarz (every IC/ILU-family
-    alias), or two-level ('amg')."""
+    alias), or two-level ('amg').  Unknown names raise (normalize_type)."""
     args = args or {}
-    ptype = str(args.get("sparse_preconditioner_type", "block_jacobi"))
-    if ptype in _SCHWARZ_ALIASES:
+    ptype = normalize_type(args.get("sparse_preconditioner_type",
+                                    "block_jacobi"))
+    if ptype == "schwarz":
         return build_schwarz_op(KV, args)
     if ptype == "amg":
         return build_two_level_op(KV, args)
@@ -269,13 +281,22 @@ def _shifted_cholesky(blocks, args):
                        "shift retries")
 
 
-def _factor_blocks(KV, args=None):
-    """(L, nb, p, n): the batched Cholesky of the diagonal blocks."""
+def _factor_blocks(KV, args=None, want_coarse=False):
+    """(L, nb, p, n[, Ac]): the batched Cholesky of the diagonal blocks.
+
+    ``want_coarse=True`` also returns the coarse aggregate matrix
+    ``Ac[i, j] = sum of KV block (i, j)`` computed from the SAME padded
+    copy the dense path already builds — the two-level builder previously
+    re-allocated a second (n_pad, n_pad) copy (2x transient memory near
+    the 20k dense cutoff) just for this sum."""
     args = args or {}
+    Ac = None
     if is_block_sparse(KV):
         blocks = KV.diagonal_tiles()
         n = KV.n
         p = KV.block_size
+        if want_coarse:
+            Ac = KV.coarse_matrix()
     else:
         KV = jnp.asarray(KV)
         n = KV.shape[0]
@@ -285,7 +306,11 @@ def _factor_blocks(KV, args=None):
         KVp = jnp.zeros((n_pad, n_pad), KV.dtype).at[:n, :n].set(KV)
         K4 = KVp.reshape(nb, p, nb, p)
         blocks = K4[jnp.arange(nb), :, jnp.arange(nb), :]
+        if want_coarse:
+            Ac = jnp.sum(K4, axis=(1, 3))
     nb = blocks.shape[0]
     blocks = _pad_identity(blocks, n, p)
     L = _shifted_cholesky(blocks, args)
+    if want_coarse:
+        return L, nb, p, n, Ac
     return L, nb, p, n

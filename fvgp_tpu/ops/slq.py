@@ -114,8 +114,15 @@ def slq_logdet(matvec, n, *, dtype=jnp.float64, degree=20, min_num_samples=10,
         key = jax.random.PRNGKey(0)
     if batch is None:
         # wide batches: probes are vmapped, so one launch carries the whole
-        # batch, and fewer adaptive rounds means fewer host syncs
-        batch = max(int(min_num_samples), 32)
+        # batch, and fewer adaptive rounds means fewer host syncs.  Capped
+        # by memory: every vmapped probe carries a (degree, n) reorthogonal-
+        # ization basis, so an uncapped batch = min_num_samples would scale
+        # the footprint with the user's SAMPLE COUNT (e.g. 2000 probes at
+        # n=1e5, degree=20, f64 → 32 GB); bound the basis to ~1 GB and let
+        # the adaptive loop take more rounds instead
+        per_probe = max(int(degree) * int(n) * jnp.dtype(dtype).itemsize, 1)
+        batch = max(1, min(max(int(min_num_samples), 32),
+                           256, (1 << 30) // per_probe))
     fn, data = _as_fn(matvec, operator)
     samples = []        # host accumulation: device-side stats on a growing
     total = 0           # shape would trigger a fresh compile every round

@@ -135,3 +135,88 @@ def test_block_jacobi_on_block_sparse():
         np.linalg.solve(A[i * B:(i + 1) * B, i * B:(i + 1) * B],
                         x[i * B:(i + 1) * B]) for i in range(3)])
     np.testing.assert_allclose(out, expected, atol=1e-8)
+
+
+def test_cg_zero_rhs_column_with_warm_start_converges_immediately():
+    """A zero RHS column has solution 0 exactly; with a warm start it must
+    not drag the block to maxiter (review finding: rnorm=|A x0| never
+    reaches atol~0, costing 10*N matvecs at scale)."""
+    rng = np.random.default_rng(0)
+    n = 24
+    A = rng.standard_normal((n, n))
+    A = A @ A.T + n * np.eye(n)
+    B = rng.standard_normal((n, 3))
+    B[:, 1] = 0.0
+    x0 = rng.standard_normal((n, 3))
+    X, info = krylov.cg(krylov.dense_matvec, jnp.asarray(B),
+                        x0=jnp.asarray(x0), tol=1e-10, maxiter=500,
+                        operator=jnp.asarray(A), with_info=True)
+    assert info["iterations"] < 60          # not maxiter
+    np.testing.assert_allclose(np.asarray(X[:, 1]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(A @ X[:, 0]), B[:, 0], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(A @ X[:, 2]), B[:, 2], atol=1e-7)
+
+
+def test_minres_indefinite_preconditioner_poisons_not_silent():
+    """An indefinite preconditioner must not return the warm start as
+    'converged' (review finding); the columns come back NaN, loudly."""
+    rng = np.random.default_rng(1)
+    n = 12
+    A = rng.standard_normal((n, n))
+    A = A @ A.T + n * np.eye(n)
+    b = rng.standard_normal(n)
+    Mbad = -np.eye(n)                       # definitely indefinite
+    x = krylov.minres(krylov.dense_matvec, jnp.asarray(b),
+                      M=krylov.dense_matvec, maxiter=50,
+                      operator=jnp.asarray(A), m_operator=jnp.asarray(Mbad))
+    assert np.all(np.isnan(np.asarray(x)))
+    # zero RHS column: exact 0 solution, no NaN, quick exit
+    B = np.stack([b, np.zeros(n)], axis=1)
+    X = krylov.minres(krylov.dense_matvec, jnp.asarray(B), maxiter=200,
+                      operator=jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(X[:, 1]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(A @ X[:, 0]), b, atol=1e-6)
+
+
+def test_slq_probe_batch_capped_by_memory(monkeypatch):
+    """The default probe batch is bounded independently of the requested
+    sample count (review finding: batch=min_num_samples materialized a
+    (batch, degree, n) basis -> OOM at large sample requests)."""
+    seen = {}
+    real = slq._probe_batch
+
+    def spy(fn, data, key, n, degree, batch, dtype):
+        seen.setdefault("batches", []).append(batch)
+        return real(fn, data, key, n, degree, batch, dtype)
+
+    monkeypatch.setattr(slq, "_probe_batch", spy)
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((30, 30))
+    A = A @ A.T + 30 * np.eye(30)
+    val = slq.slq_logdet(krylov.dense_matvec, 30, degree=12,
+                         min_num_samples=600, max_num_samples=600,
+                         error_rtol=0.0, operator=jnp.asarray(A))
+    assert max(seen["batches"]) <= 256
+    assert abs(val - np.linalg.slogdet(A)[1]) / abs(np.linalg.slogdet(A)[1]) < 0.05
+
+
+def test_unknown_preconditioner_type_raises_everywhere():
+    """A typo'd sparse_preconditioner_type raises from the operator
+    dispatch itself, never a silent block-Jacobi fallback (review
+    finding); one alias table serves both layers."""
+    from fvgp_tpu.gp_lin_alg import normalize_sparse_preconditioner_type
+    from fvgp_tpu.ops.precond import build_preconditioner_op, normalize_type
+
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((16, 16))
+    A = A @ A.T + 16 * np.eye(16)
+    with pytest.raises(Exception, match="Unknown sparse preconditioner"):
+        build_preconditioner_op(jnp.asarray(A),
+                                args={"sparse_preconditioner_type": "schwartz"})
+    # case-insensitive canonicalization, shared by both layers
+    assert normalize_type("AMG") == "amg"
+    assert normalize_sparse_preconditioner_type("ICHOL0") == "schwarz"
+    m_fn, m_data = build_preconditioner_op(
+        jnp.asarray(A), args={"sparse_preconditioner_type": "AMG"})
+    z = m_fn(m_data, jnp.asarray(rng.standard_normal((16, 2))))
+    assert np.all(np.isfinite(np.asarray(z)))
