@@ -32,7 +32,10 @@ from .gp_posterior import GPposterior
 from .gp_prior import GPprior
 from .gp_training import GPtraining
 
-warnings.simplefilter("once", UserWarning)
+# deduplicate this package's repeated warnings without rewriting the
+# process-global filter (see parallel/sharded_cov.py)
+warnings.filterwarnings("once", category=UserWarning,
+                        module=r"fvgp_tpu(\..*)?")
 
 
 def out_of_bounds(x, bounds):

@@ -28,7 +28,10 @@ import numpy as np
 from .. import config
 from ..kernels import default_matern_ard, wendland_anisotropic
 
-warnings.simplefilter("once", UserWarning)
+# deduplicate this package's repeated warnings without rewriting the
+# process-global filter (see parallel/sharded_cov.py)
+warnings.filterwarnings("once", category=UserWarning,
+                        module=r"fvgp_tpu(\..*)?")
 
 
 def _n_params(fn):
@@ -507,6 +510,8 @@ class GPprior:
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_x_dev"] = None
+        state.pop("_gp2_kernel_closure", None)   # rebuilt lazily; a nested
+        #                                          closure does not pickle
         if self._m is not None:
             state["_m"] = np.asarray(self._m)
         K = self._K

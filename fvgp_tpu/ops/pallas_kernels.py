@@ -222,9 +222,10 @@ def _chunked_spmm_factory(nb, B, C, mv_dtype=None):
             Xc = X.astype(mv_dtype)
         else:
             Xc = X
-        T = tiles.shape[0]
-        rows2 = rows.reshape(T // (8 * C), 8, C).reshape(-1, C)
-        cols2 = cols.reshape(T // (8 * C), 8, C).reshape(-1, C)
+        # (T//C, C) row-major layout; the SMEM (8, C) blocking is done by
+        # the BlockSpec index map, not by any regrouping here
+        rows2 = rows.reshape(-1, C)
+        cols2 = cols.reshape(-1, C)
         with _x32_scope():
             out = _chunked_spmm_call(rows2, cols2, tiles,
                                      Xc.reshape(nb, B, k), nb, B, k, C)

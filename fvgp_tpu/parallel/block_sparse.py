@@ -138,7 +138,8 @@ class BlockSparseMatrix:
     blockwise scheduling, gp2Scale_covariance.py:278-287).
     """
 
-    def __init__(self, n, n_cols, block_size, rows, cols, tiles, diag=None):
+    def __init__(self, n, n_cols, block_size, rows, cols, tiles, diag=None,
+                 live_tiles=None):
         self.n = int(n)                  # logical rows
         self.n_cols = int(n_cols)        # logical cols
         self.block_size = int(block_size)
@@ -147,6 +148,9 @@ class BlockSparseMatrix:
         self.rows = jnp.asarray(rows, dtype=jnp.int32)
         self.cols = jnp.asarray(cols, dtype=jnp.int32)
         self.tiles = jnp.asarray(tiles)
+        # live (non-sentinel) tile count, passed by assemblers that pad to
+        # a jit bucket; computed lazily (one host pull of rows) otherwise
+        self._live_tiles = None if live_tiles is None else int(live_tiles)
         # optional extra diagonal, stored SEPARATELY from the tiles:
         # K+V shares K's tile buffer instead of copying ~the whole matrix
         # (at N ~ 1M that copy alone is half the HBM), and the noise keeps
@@ -161,8 +165,12 @@ class BlockSparseMatrix:
     @property
     def nnz(self):
         """Stored values (tile granularity) — the policy layer's sparsity
-        measure (ref gp_kv.py:183)."""
-        return int(self.tiles.shape[0]) * self.block_size * self.block_size
+        measure (ref gp_kv.py:183).  Counts LIVE tiles only: bucket-padded
+        sentinel tiles (row == nb) would otherwise inflate the sparsity
+        that gp_kv's auto mode selection thresholds on."""
+        if self._live_tiles is None:
+            self._live_tiles = int(np.sum(np.asarray(self.rows) < self.nb))
+        return self._live_tiles * self.block_size * self.block_size
 
     @property
     def dtype(self):
@@ -296,22 +304,33 @@ class BlockSparseMatrix:
         represented matrix: ||Σ_g t_g||² = Σ||t||² + 2Σ_{i<j in g}<t_i,t_j>
         — the cross terms are added from the (few) duplicate groups only,
         never by coalescing the whole array."""
-        tr = jnp.sum(self.diagonal())
+        base = _bsm_diagonal(self.rows, self.cols, self.tiles,
+                             self.nb, self.block_size, self.n)
+        tr = jnp.sum(base) + (0.0 if self.diag is None
+                              else jnp.sum(self.diag))
         fro2 = _fro2_chunked(self.tiles)
-        key = (np.asarray(self.rows).astype(np.int64) * self.nb_cols
-               + np.asarray(self.cols))
+        # duplicate detection over LIVE tiles only: every bucket-padded
+        # matrix carries many sentinel entries sharing the key
+        # (nb, nb_cols), which would otherwise form one giant fake
+        # "duplicate group" and eagerly gather all padding tiles as f32
+        # on every fingerprint — the OOM class this function was
+        # rewritten to avoid (sentinel tiles are zeroed, so they add
+        # nothing to fro2 either way)
+        rows_h = np.asarray(self.rows)
+        live_m = rows_h < self.nb
+        live_idx = np.nonzero(live_m)[0]
+        key = (rows_h[live_m].astype(np.int64) * self.nb_cols
+               + np.asarray(self.cols)[live_m])
         uniq, inv, counts = np.unique(key, return_inverse=True,
                                       return_counts=True)
         if len(uniq) != len(key):
             dup_groups = np.nonzero(counts > 1)[0]
             for g in dup_groups:
-                idx = np.nonzero(inv == g)[0]
+                idx = live_idx[np.nonzero(inv == g)[0]]
                 tg = self.tiles[jnp.asarray(idx)].astype(jnp.float32)
                 s = jnp.sum(tg, axis=0)
                 fro2 = fro2 + (jnp.sum(s * s) - jnp.sum(tg * tg))
         if self.diag is not None:
-            base = _bsm_diagonal(self.rows, self.cols, self.tiles,
-                                 self.nb, self.block_size, self.n)
             fro2 = fro2 + 2.0 * jnp.sum(base * self.diag) \
                 + jnp.sum(self.diag * self.diag)
         return tr, jnp.sqrt(fro2)
@@ -458,18 +477,30 @@ def from_scipy(sp_mat, block_size):
 def merge(A, B_mat):
     """A + B for two BlockSparseMatrix on the SAME block grid: the tile
     lists concatenate (duplicate (row, col) entries are summed by every
-    consumer's segment-sum/scatter-add).  Extra diagonals add."""
+    consumer's segment-sum/scatter-add).  Extra diagonals add.
+
+    Dtype: tiles promote to the wider of the two, capped at f32 when
+    either side is a sub-f32 STORAGE format — silently downcasting the
+    second operand to A's dtype quantized structured noise to bf16's 8
+    mantissa bits (K + V via merge under gp2Scale_storage_dtype=bf16),
+    breaking the 'noise keeps full precision' contract.  f32 holds the
+    noise to ~1e-7 relative at 2x (not 4x) the bf16 tile memory."""
     if (A.shape != B_mat.shape) or (A.block_size != B_mat.block_size):
         raise ValueError("merge requires matching shapes and block grids")
     d = A.diag
     if B_mat.diag is not None:
         d = B_mat.diag if d is None else d + B_mat.diag
-    tiles_b = jnp.asarray(B_mat.tiles, dtype=A.tiles.dtype)
+    out_dt = jnp.promote_types(A.tiles.dtype, B_mat.tiles.dtype)
+    if (jnp.finfo(A.tiles.dtype).bits < 32
+            or jnp.finfo(B_mat.tiles.dtype).bits < 32):
+        out_dt = min(out_dt, jnp.dtype(jnp.float32),
+                     key=lambda t: jnp.finfo(t).bits)
     return BlockSparseMatrix(
         A.n, A.n_cols, A.block_size,
         jnp.concatenate([A.rows, B_mat.rows]),
         jnp.concatenate([A.cols, B_mat.cols]),
-        jnp.concatenate([A.tiles, tiles_b]), diag=d)
+        jnp.concatenate([jnp.asarray(A.tiles, dtype=out_dt),
+                         jnp.asarray(B_mat.tiles, dtype=out_dt)]), diag=d)
 
 
 def stack_augmented_covariance(K, B, D):

@@ -38,42 +38,35 @@ from ..kernels import wendland_anisotropic
 from .block_sparse import BlockSparseMatrix
 from .mesh import current_mesh, shard_tiles
 
-warnings.simplefilter("once", UserWarning)
+# deduplicate THIS package's repeated warnings without rewriting the
+# process-global filter (a bare simplefilter('once', UserWarning) at
+# import time silently suppressed the user's own repeated UserWarnings)
+warnings.filterwarnings("once", category=UserWarning,
+                        module=r"fvgp_tpu(\..*)?")
 
 
 # ---------------------------------------------------------------------------
 # structure discovery (host)
 # ---------------------------------------------------------------------------
 
-def _block_bounds(x, block_size):
-    """(nb, D) min and max corner of each point block."""
-    n, d = x.shape
-    nb = -(-n // block_size)
-    n_pad = nb * block_size
-    xp = np.full((n_pad, d), np.nan)
-    xp[:n] = x
-    xb = xp.reshape(nb, block_size, d)
-    lo = np.nanmin(xb, axis=1)
-    hi = np.nanmax(xb, axis=1)
-    return lo, hi
-
-
 def _candidate_pairs(x1, x2, lengthscales, radius, block_size, symmetric):
     """Tile pairs whose whitened bounding boxes are within the support
-    radius.  The symmetric (prior covariance) case runs in the native C++
-    runtime when available (fvgp_tpu.native)."""
+    radius.  Bounds and the symmetric prune come from ``fvgp_tpu.native``
+    (C++ when built, its own numpy fallback otherwise — ONE implementation
+    to fix); only the rectangular cross-covariance scan lives here, since
+    the native pruner is symmetric/upper-triangle-only."""
+    from ..native import block_bounds, candidate_pairs
     if lengthscales is not None:
         x1 = x1 / lengthscales
         x2 = x2 if x2 is None else x2 / lengthscales
     if symmetric and np.isfinite(radius):
-        from ..native import block_bounds, candidate_pairs
         lo1, hi1 = block_bounds(x1, block_size)
         return candidate_pairs(lo1, hi1, radius)
-    lo1, hi1 = _block_bounds(x1, block_size)
+    lo1, hi1 = block_bounds(x1, block_size)
     if symmetric:
         lo2, hi2 = lo1, hi1
     else:
-        lo2, hi2 = _block_bounds(x2, block_size)
+        lo2, hi2 = block_bounds(x2, block_size)
     # box-to-box gap per dimension: max(lo2-hi1, lo1-hi2, 0)
     gap = np.maximum(lo2[None, :, :] - hi1[:, None, :],
                      lo1[:, None, :] - hi2[None, :, :])
@@ -195,26 +188,46 @@ def _blocks_device(x, block_size, dtype):
 
 def _stable_kernel_closure(prior):
     """A per-prior cached 3-arg kernel closure — a fresh lambda per call
-    would defeat the jit cache keyed on the (static) kernel argument."""
-    kern_fn = getattr(prior, "_gp2_kernel_closure", None)
-    if kern_fn is None:
-        if prior.k_n_params == 4:
-            a_dict = prior.args
-            kernel = prior.kernel
+    would defeat the jit cache keyed on the (static) kernel argument.
 
-            def kern_fn(a, b, h):
-                return kernel(a, b, h, a_dict)
-        else:
-            kern_fn = prior.kernel
-        prior._gp2_kernel_closure = kern_fn
-    return kern_fn
+    4-arg kernels close over the prior's CURRENT args dict; the cache is
+    keyed on that dict's identity so ``set_args()`` (which rebinds
+    ``data.args`` to a new dict, gp.py) takes effect on the next assembly
+    instead of the closure silently serving the stale dict forever."""
+    cached = getattr(prior, "_gp2_kernel_closure", None)
+    if prior.k_n_params == 4:
+        a_dict = prior.args
+        if cached is not None and cached[0] is a_dict:
+            return cached[1]
+        kernel = prior.kernel
+
+        def kern_fn(a, b, h):
+            return kernel(a, b, h, a_dict)
+
+        prior._gp2_kernel_closure = (a_dict, kern_fn)
+        return kern_fn
+    if cached is not None and cached[0] is None:
+        return cached[1]
+    prior._gp2_kernel_closure = (None, prior.kernel)
+    return prior.kernel
 
 
 def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
                            symmetric=False, distribution="blockwise",
                            args=None):
     """Assemble k(x1, x2) as a sharded BlockSparseMatrix
-    (replaces ref gp2Scale_covariance.py:230)."""
+    (replaces ref gp2Scale_covariance.py:230).
+
+    ``distribution`` exists for reference parity: the reference's
+    blockwise (host-mirrored upper triangle) and rowwise (CSR strips)
+    schedules are two host-memory workarounds for the same product, and
+    both map onto the ONE device engine here (tiles mirrored on device;
+    test_rowwise_matches_blockwise).  Unknown values are rejected rather
+    than silently ignored."""
+    if distribution not in ("blockwise", "rowwise"):
+        raise ValueError(f"unknown gp2Scale distribution {distribution!r}; "
+                         "'blockwise' and 'rowwise' map to the same device "
+                         "engine")
     args = args or {}
     non_euclidean = isinstance(x1, list) or isinstance(x2, list)
     if non_euclidean:
@@ -382,8 +395,9 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
                                                        dst.dtype)])
                 buf = _mirror_tile_chunk(buf, jnp.asarray(src),
                                          jnp.asarray(dst))
-            result = BlockSparseMatrix(len(x1), len(x2), block_size,
-                                       rows_final, cols_final, buf)
+            result = BlockSparseMatrix(
+                len(x1), len(x2), block_size, rows_final, cols_final, buf,
+                live_tiles=int(np.sum(np.asarray(rows_final) < nb1)))
             shard_tiles(result, mesh)
             import logging
 
@@ -438,8 +452,9 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
                 live = np.arange(chunk) < real
                 g = g * jnp.asarray(live, g.dtype)[:, None, None]
             buf = _write_tile_chunk(buf, g, n_sched + st)
-        result = BlockSparseMatrix(len(x1), len(x2), block_size,
-                                   rows_final, cols_final, buf)
+        result = BlockSparseMatrix(
+            len(x1), len(x2), block_size, rows_final, cols_final, buf,
+            live_tiles=int(np.sum(np.asarray(rows_final) < nb1)))
         shard_tiles(result, mesh)
         from ..utils.logging import logger
         logger.debug("covariance assembled: %d/%d tiles scheduled, block %d, "
@@ -515,7 +530,9 @@ def distributed_covariance(prior, x1, x2, hyperparameters, *, batch_size=10000,
             tiles = jnp.concatenate(
                 [tiles, jnp.zeros((pad, block_size, block_size), tiles.dtype)])
 
-    result = BlockSparseMatrix(len(x1), len(x2), block_size, rows, cols, tiles)
+    result = BlockSparseMatrix(len(x1), len(x2), block_size, rows, cols,
+                               tiles,
+                               live_tiles=int(np.sum(np.asarray(rows) < nb1)))
     shard_tiles(result, mesh)
     # assembly report (the reference's timer + sparsity line,
     # gp2Scale_covariance.py:295-307)

@@ -1600,3 +1600,141 @@ def test_fast_solver_negative_cache_for_matrix_noise(monkeypatch):
     monkeypatch.setattr(gp.likelihood, "calculate_V_host", counting)
     assert kv._fast_sparse_solver() is None
     assert calls["n"] == 0
+
+
+def test_bsm_nnz_and_fingerprint_ignore_sentinel_padding():
+    """nnz counts live tiles only (the auto-mode sparsity input), and the
+    fingerprint's duplicate-group detection skips the sentinel block —
+    padding previously formed one giant fake duplicate group that eagerly
+    gathered every padding tile as f32 (review finding)."""
+    import jax.numpy as jnp
+    from fvgp_tpu.parallel.block_sparse import BlockSparseMatrix, merge
+
+    rng = np.random.default_rng(0)
+    B, nb = 8, 3
+    t0 = rng.standard_normal((B, B))
+    t1 = rng.standard_normal((B, B))
+    # two live tiles + three zeroed sentinels (rows == nb)
+    rows = np.array([0, 1, nb, nb, nb], np.int32)
+    cols = np.array([0, 1, nb, nb, nb], np.int32)
+    tiles = np.stack([t0, t1, np.zeros((B, B)), np.zeros((B, B)),
+                      np.zeros((B, B))])
+    A = BlockSparseMatrix(nb * B, nb * B, B, rows, cols, tiles)
+    assert A.nnz == 2 * B * B
+    dense = np.zeros((nb * B, nb * B))
+    dense[:B, :B] = t0
+    dense[B:2 * B, B:2 * B] = t1
+    tr, fro = A.trace_and_fro()
+    assert abs(float(tr) - np.trace(dense)) < 1e-6
+    assert abs(float(fro) - np.linalg.norm(dense)) < 1e-5
+    # duplicates from merge are still corrected exactly
+    M = merge(A, A)
+    tr2, fro2 = M.trace_and_fro()
+    assert abs(float(fro2) - np.linalg.norm(2 * dense)) < 1e-5
+    assert M.nnz == 4 * B * B
+    # explicit live_tiles propagates
+    A2 = BlockSparseMatrix(nb * B, nb * B, B, rows, cols, tiles,
+                           live_tiles=2)
+    assert A2.nnz == 2 * B * B
+
+
+def test_bsm_merge_preserves_structured_noise_precision():
+    """merge(bf16 K, f64 V-blocks) promotes to f32 instead of quantizing
+    the noise to bf16 (review finding; the class contract says noise keeps
+    full precision under reduced-precision tile storage)."""
+    import jax.numpy as jnp
+    from fvgp_tpu.parallel.block_sparse import BlockSparseMatrix, merge
+
+    B = 8
+    K = BlockSparseMatrix(B, B, B, np.array([0]), np.array([0]),
+                          jnp.ones((1, B, B), jnp.bfloat16))
+    v = 1e-3 * (1 + np.arange(B * B).reshape(B, B) / (B * B))
+    V = BlockSparseMatrix(B, B, B, np.array([0]), np.array([0]),
+                          jnp.asarray(v[None], jnp.float64))
+    M = merge(K, V)
+    assert M.tiles.dtype == jnp.float32
+    got = np.asarray(M.to_dense(), np.float64)
+    np.testing.assert_allclose(got, 1.0 + v, rtol=1e-6)
+    # bf16 + bf16 stays bf16 (no accidental memory doubling)
+    M2 = merge(K, K)
+    assert M2.tiles.dtype == jnp.bfloat16
+
+
+def test_four_arg_kernel_closure_tracks_set_args():
+    """A 4-arg kernel's cached closure refreshes when set_args() rebinds
+    the args dict (review finding: the device path silently served the
+    stale dict while the dense path read the new one)."""
+    from fvgp_tpu.kernels import wendland_anisotropic
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 12, (300, 2))
+    y = np.sin(x[:, 0])
+
+    def k4(a, b, h, args):
+        import jax.numpy as jnp
+        scale = (args or {}).get("my_scale", 1.0)
+        return scale * wendland_anisotropic(a, b, h)
+
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 2.0, 2.0]),
+            gp2Scale=True, kernel_function=k4,
+            args={"gp2Scale_block_size": 32, "my_scale": 1.0,
+                  "gp2Scale_lengthscales": lambda h: h[1:],
+                  "gp2Scale_support_radius": 1.0})
+    from fvgp_tpu.parallel import sharded_cov as sc
+
+    hps = np.array([1.0, 2.0, 2.0])
+    f1 = sc._stable_kernel_closure(gp.prior)
+    base = np.asarray(f1(x[:4], x[:4], hps))
+    # set_args rebinds the dict; the cached closure must refresh
+    gp.set_args(dict(gp.args, my_scale=2.0))
+    f2 = sc._stable_kernel_closure(gp.prior)
+    assert f2 is not f1
+    np.testing.assert_allclose(np.asarray(f2(x[:4], x[:4], hps)),
+                               2.0 * base, rtol=1e-6)
+    # and a trial (non-committed) LML evaluation sees the new args
+    v1 = gp.log_likelihood(hps)
+    gp.set_args(dict(gp.args, my_scale=1.0))
+    v2 = gp.log_likelihood(hps)
+    assert abs(v1 - v2) > 1e-6          # the new args actually reached k4
+
+
+def test_distributed_covariance_rejects_unknown_distribution():
+    from fvgp_tpu.parallel.sharded_cov import distributed_covariance
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 10, (40, 2))
+    gp = GP(x, np.sin(x[:, 0]), init_hyperparameters=np.array([1., 2., 2.]),
+            gp2Scale=True, args={"gp2Scale_block_size": 16})
+    with pytest.raises(ValueError, match="unknown gp2Scale distribution"):
+        distributed_covariance(gp.prior, x, x, np.array([1., 2., 2.]),
+                               symmetric=True, distribution="ringwise",
+                               args=gp.args)
+
+
+def test_package_import_leaves_user_warning_filter_alone():
+    """Importing fvgp_tpu must not rewrite the process-global warnings
+    filter: a user's repeated UserWarnings keep appearing (review
+    finding: simplefilter('once') at import suppressed them globally)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "os.environ['PALLAS_AXON_POOL_IPS'] = ''\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import warnings\n"
+        "import fvgp_tpu  # noqa\n"
+        "bad = [f for f in warnings.filters\n"
+        "       if f[0] == 'once'\n"
+        "       and isinstance(f[2], type)\n"
+        "       and issubclass(UserWarning, f[2])\n"
+        "       and (f[3] is None or f[3].pattern == ''\n"
+        "            or f[3].match('some_user_module'))]\n"
+        "print('BAD', len(bad))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=240)
+    assert "BAD" in out.stdout, out.stderr
+    n = int(out.stdout.strip().split()[-1])
+    assert n == 0, ("package import installed a global 'once' UserWarning "
+                    f"filter that would suppress user warnings: {n}")
