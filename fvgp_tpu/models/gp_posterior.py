@@ -26,6 +26,12 @@ class GPposterior:
         self.noise_function_available = likelihood._mode == "callable"
         self._cross_cov_memo = None
 
+    @staticmethod
+    def _cross_cov_key(data, x_pred, hyperparameters):
+        hps = np.asarray(hyperparameters)
+        return (data.point_number, getattr(data, "generation", 0),
+                hps.tobytes(), x_pred.shape, x_pred.tobytes())
+
     def _cross_cov(self, x_pred, hyperparameters):
         """k(x_data, x_pred), memoizing the LAST (data, hps, x_pred) triple:
         the standard posterior_mean-then-posterior_covariance flow assembles
@@ -35,15 +41,35 @@ class GPposterior:
         if not isinstance(x_pred, np.ndarray):
             return self.prior.compute_data_cross_covariance(
                 x_pred, hyperparameters)
-        hps = np.asarray(hyperparameters)
-        key = (self.data.point_number, getattr(self.data, "generation", 0),
-               hps.tobytes(), x_pred.shape, x_pred.tobytes())
+        key = self._cross_cov_key(self.data, x_pred, hyperparameters)
         memo = self._cross_cov_memo
         if memo is not None and memo[0] == key:
             return memo[1]
         k = self.prior.compute_data_cross_covariance(x_pred, hyperparameters)
         self._cross_cov_memo = (key, k)
         return k
+
+    def _mean_product(self, x_pred, hyperparameters, KVinvY):
+        """kᵀ·KVinvY for the posterior mean.  Under gp2Scale at scale the
+        product is FUSED into the chunked kernel sweep
+        (prior.cross_covariance_product_or_none) so the (N, n_pred) cross
+        covariance never materializes — unless the memo already holds k
+        for this exact query (a preceding posterior_covariance call), in
+        which case the cheap matmul against it wins."""
+        if (self.gp2Scale and isinstance(x_pred, np.ndarray)
+                and len(self.x_data) > self.prior.batch_size):
+            memo = self._cross_cov_memo
+            hit = (memo is not None and memo[0] ==
+                   self._cross_cov_key(self.data, x_pred, hyperparameters))
+            if not hit:
+                prod = self.prior.cross_covariance_product_or_none(
+                    x_pred, hyperparameters, KVinvY)
+                if prod is not None:
+                    return np.asarray(prod)
+        k = self._cross_cov(x_pred, hyperparameters)
+        if is_block_sparse(k):
+            return np.asarray(k.rmatmat(KVinvY))
+        return np.asarray(k.T @ KVinvY)
 
     # -- plumbing ----------------------------------------------------------
     @property
@@ -170,11 +196,7 @@ class GPposterior:
         if isinstance(x_out, np.ndarray):
             x_pred = self.cartesian_product(x_pred, x_out)
 
-        k = self._cross_cov(x_pred, hyperparameters)
-        if is_block_sparse(k):
-            A = np.asarray(k.rmatmat(KVinvY))
-        else:
-            A = np.asarray(k.T @ KVinvY)
+        A = self._mean_product(x_pred, hyperparameters, KVinvY)
         prior_mean = np.asarray(self.prior.compute_mean(x_pred, hyperparameters))
         posterior_mean = prior_mean[:, None] + A
         if isinstance(x_out, np.ndarray):

