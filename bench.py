@@ -11,7 +11,12 @@ system on this host with scipy (CSR CG solve + sparse LU log-determinant,
 the reference's sparseLU/sparseMINRES machinery, gp_lin_alg.py:203-230,
 :1184-1291) — value only, since the reference has no sparse gradient.
 
-On an accelerator backend a SECOND metric is emitted first: the north-star
+A dense-regime metric (N≈10⁴, ``linalg_mode='Chol'``, the reference's
+bread-and-butter workload) is emitted between the sparse metric and the
+final line — its ``vs_baseline`` is a same-work scipy Cholesky + analytic
+gradient head-to-head (see :func:`dense_metric`).
+
+On an accelerator backend a FINAL metric is emitted last: the north-star
 large-N run (N>=500k, HBM-guarded) through the PUBLIC ``GP`` API —
 construction + steady-state LML+gradient.  Its ``vs_baseline`` is the
 BASELINE.json north-star target (N=1M step < 10 s on a v5p-32 pod) divided
@@ -113,6 +118,11 @@ def large_n_metric(log):
                 f"{time.time() - t0:.1f}s")
             t0 = time.time()
             pm = gp.posterior_mean(xp)["m(x)"]
+            t_mean_cold = time.time() - t0
+            # warm repeat: same prediction-width bucket, nothing left to
+            # compile — this is the round-4 verdict's ≤1.5 s target
+            t0 = time.time()
+            pm = gp.posterior_mean(xp * (1 + 1e-6))["m(x)"]
             t_mean = time.time() - t0
             t0 = time.time()
             pv = gp.posterior_covariance(xp, variance_only=True)["v(x)"]
@@ -121,7 +131,8 @@ def large_n_metric(log):
             pv = gp.posterior_covariance(xp * (1 + 1e-6),
                                          variance_only=True)["v(x)"]
             t_var = time.time() - t0
-            log(f"posterior at N={N}: mean(500) {t_mean:.1f}s, "
+            log(f"posterior at N={N}: mean(500) {t_mean_cold:.1f}s cold / "
+                f"{t_mean:.2f}s warm, "
                 f"variance(500) {t_var_cold:.1f}s cold (incl. wide-solve "
                 f"compile) / {t_var:.1f}s warm, "
                 f"finite={bool(np.all(np.isfinite(pm)) and np.all(np.isfinite(pv)))}")
@@ -133,6 +144,137 @@ def large_n_metric(log):
         "value": round(per_eval, 3),
         "unit": "s/eval",
         "vs_baseline": round(10.0 / per_eval, 2),
+    }
+
+
+def dense_metric(log):
+    """Dense-regime head-to-head (round-4 verdict, missing #3): the
+    reference's bread-and-butter workload — dense Cholesky LML + analytic
+    gradient at N≈10⁴ (ref gp_kv.py:182-188 auto-select, gp_lin_alg.py:237-360)
+    — through the PUBLIC ``GP`` API with ``linalg_mode='Chol'``, against a
+    same-work numpy/scipy baseline that computes value AND gradient.
+
+    The baseline implements the reference's dense recipe *generously*: the
+    reference's ``neg_log_likelihood_gradient`` runs one full N×N
+    ``np.linalg.solve`` per hyperparameter (gp_marginal_likelihood.py:273-302);
+    the baseline here uses the cheaper CholInv variant it documents as its
+    fast mode (one explicit inverse, then an elementwise trace per
+    hyperparameter) with the analytic Matérn-3/2 dK/dh of
+    ref gp_prior.py:407-422, streamed in row chunks.  Both sides evaluate
+    the identical model: default Matérn-3/2 ARD, constant mean, fixed
+    per-point noise.
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("BENCH_DENSE", "1") != "1":
+        return None
+    on_tpu = jax.default_backend() not in ("cpu",)
+    N = int(os.environ.get("BENCH_DENSE_N", 10_000 if on_tpu else 1_200))
+    D = 3
+    log(f"dense phase: N={N} (linalg_mode='Chol')")
+
+    from scipy.linalg import cho_factor, cho_solve
+
+    from fvgp_tpu import GP
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0.0, 10.0, (N, D))
+    y = np.sin(x[:, 0]) + 0.25 * x[:, 1] + 0.05 * rng.standard_normal(N)
+    noise = np.full(N, 1e-2)
+    hps = np.array([1.0, 1.5, 1.5, 1.5])
+
+    # ---- ours: public API, traced value_and_grad ------------------------
+    gp = GP(x, y, init_hyperparameters=hps, noise_variances=noise,
+            linalg_mode="Chol")
+    ml = gp.marginal_likelihood
+    t0 = time.time()
+    val, grad = ml.log_likelihood_value_and_gradient(hps)
+    log(f"dense compile+first LML+grad: {time.time() - t0:.1f}s, "
+        f"lml={val:.2f}")
+    n_evals = 5
+    t0 = time.time()
+    for i in range(n_evals):
+        val, grad = ml.log_likelihood_value_and_gradient(
+            hps * (1.0 + 1e-4 * (i + 1)))
+    per_eval = (time.time() - t0) / n_evals
+    evals_per_sec = 1.0 / per_eval
+    log(f"dense steady state: {per_eval * 1e3:.0f} ms per LML+grad eval")
+
+    # warm posterior latency at this scale (logged for the record)
+    xp = rng.uniform(0.0, 10.0, (500, D))
+    gp.posterior_mean(xp)
+    gp.posterior_covariance(xp, variance_only=True)
+    t0 = time.time()
+    gp.posterior_mean(xp * (1 + 1e-9))["m(x)"]
+    t_mean = time.time() - t0
+    t0 = time.time()
+    gp.posterior_covariance(xp * (1 + 1e-9), variance_only=True)["v(x)"]
+    t_var = time.time() - t0
+    log(f"dense posterior warm: mean(500) {t_mean * 1e3:.0f} ms, "
+        f"variance(500) {t_var * 1e3:.0f} ms")
+
+    # ---- baseline: scipy Chol + analytic gradient (value AND grad) ------
+    vs_baseline = None
+    try:
+        if N > 25_000:
+            raise RuntimeError("baseline skipped above N=25k (host time)")
+        sqrt3 = np.sqrt(3.0)
+
+        def baseline_eval(hb):
+            R = 2048
+            K = np.empty((N, N))
+            for s in range(0, N, R):
+                w = (x[s:s + R, None, :] - x[None, :, :]) / hb[1:]
+                d = np.sqrt(np.einsum("ijk,ijk->ij", w, w))
+                a = sqrt3 * d
+                K[s:s + R] = hb[0] * (1.0 + a) * np.exp(-a)
+            KV = K + np.diag(noise)
+            c = cho_factor(KV, lower=True)
+            ym = y - y.mean()
+            b = cho_solve(c, ym)
+            logdet = 2.0 * np.log(np.diag(c[0])).sum()
+            value = -0.5 * (ym @ b + logdet + N * np.log(2 * np.pi))
+            # CholInv trace recipe (generous: cheaper than the reference's
+            # per-hp N×N solve), dK/dh streamed in row chunks
+            KVinv = cho_solve(c, np.eye(N))
+            g = np.zeros(D + 1)
+            for s in range(0, N, R):
+                diff = x[s:s + R, None, :] - x[None, :, :]
+                w = diff / hb[1:]
+                d = np.sqrt(np.einsum("ijk,ijk->ij", w, w))
+                E = np.exp(-sqrt3 * d)
+                dK0 = (1.0 + sqrt3 * d) * E
+                g[0] += 0.5 * (b[s:s + R] @ (dK0 @ b)
+                               - np.einsum("ij,ij->", KVinv[s:s + R], dK0))
+                for l in range(D):
+                    dKl = 3.0 * hb[0] * E * diff[:, :, l] ** 2 / hb[1 + l] ** 3
+                    g[1 + l] += 0.5 * (b[s:s + R] @ (dKl @ b)
+                                       - np.einsum("ij,ij->",
+                                                   KVinv[s:s + R], dKl))
+            return value, g
+
+        t0 = time.time()
+        base_val, base_grad = baseline_eval(hps * (1.0 + 1e-4 * n_evals))
+        base_time = time.time() - t0
+        vs_baseline = evals_per_sec * base_time
+        rel_v = abs(val - base_val) / abs(base_val)
+        rel_g = (np.linalg.norm(grad - base_grad)
+                 / max(np.linalg.norm(base_grad), 1e-300))
+        log(f"dense baseline: {base_time:.1f} s per value+grad eval "
+            f"(scipy cho_factor + CholInv trace); parity rel err "
+            f"value {rel_v:.1e}, grad {rel_g:.1e}")
+    except Exception as exc:
+        log(f"dense baseline failed: {exc}")
+
+    return {
+        "metric": f"dense LML+grad evals/sec at N={N} "
+                  f"(Chol path, {jax.default_backend()}; baseline: scipy "
+                  "Cholesky + analytic gradient, same work)",
+        "value": round(evals_per_sec, 4),
+        "unit": "evals/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }
 
 
@@ -397,6 +539,15 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }
     print(json.dumps(result), flush=True)
+
+    # dense-regime head-to-head (round-4 verdict missing #3) — prints
+    # between the sparse metric and the final north-star line
+    try:
+        dense = dense_metric(log)
+        if dense is not None:
+            print(json.dumps(dense), flush=True)
+    except Exception as exc:       # must never sink the other metrics
+        log(f"dense phase failed: {exc}")
 
     # the north-star large-N metric prints LAST so a driver that records
     # only the final JSON line keeps the headline number; the N=50k line
