@@ -11,6 +11,11 @@ import numpy as np
 
 
 class GPdata:
+    # class-level defaults so pickles from before the content token keep
+    # unpickling cleanly
+    _content_token = None
+    _content_gen = -1
+
     def __init__(self, x_data, y_data,
                  args=None,
                  noise_variances=None,
@@ -51,9 +56,23 @@ class GPdata:
         # Opt out with args['gp2Scale_reorder']=False.
         if gp2Scale and self.Euclidean and self.args.get("gp2Scale_reorder", True):
             from ..parallel.ordering import morton_order
+            from ..utils import structure_cache as sc
             from ..utils.logging import phase_timer
             with phase_timer("GPdata: Morton reordering"):
-                perm = morton_order(x_data)
+                # the permutation is a pure function of the point cloud and
+                # costs ~2 s at N=1M: content-addressed disk reuse
+                # (utils/structure_cache) makes repeat cold starts I/O
+                cdir = sc.cache_dir(self.args)
+                perm = None
+                if cdir:
+                    ckey = sc.content_key("morton", np.asarray(x_data))
+                    hit = sc.load(cdir, "morton", ckey)
+                    if hit is not None:
+                        perm = hit["perm"]
+                if perm is None:
+                    perm = morton_order(x_data)
+                    if cdir:
+                        sc.store(cdir, "morton", ckey, perm=perm)
                 x_data = x_data[perm]
                 y_data = y_data[perm]
                 if noise_variances is not None:
@@ -83,6 +102,21 @@ class GPdata:
         self.fvgp_noise_variances = None
         self.x_out = None
         self._check_for_nan()
+
+    # ------------------------------------------------------------------
+    @property
+    def content_token(self):
+        """blake2b hex of the current x_data bytes — the dataset component
+        of disk-cache keys (utils/structure_cache).  Lazily computed, tied
+        to the in-process ``generation`` token; None for non-Euclidean
+        (arbitrary-object) inputs, which have no canonical byte form."""
+        if not self.Euclidean:
+            return None
+        if self._content_token is None or self._content_gen != self.generation:
+            from ..utils.structure_cache import content_key
+            self._content_token = content_key(np.asarray(self.x_data))
+            self._content_gen = self.generation
+        return self._content_token
 
     # ------------------------------------------------------------------
     def set_fvgp_data(self, fvgp_x_data, fvgp_y_data, fvgp_noise_variances, x_out):

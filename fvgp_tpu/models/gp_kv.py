@@ -972,20 +972,34 @@ class GPkv:
     def _tile_structure(self, x, ls, radius, B, args):
         """Filtered (rows, cols) block structure at exact lengthscales:
         bounding-box candidate prune + exact tile liveness (both in the
-        native host runtime)."""
+        native host runtime).  Content-addressed on disk
+        (utils/structure_cache) — a posterior-only process at N ~ 1M
+        loads the structure instead of re-pruning."""
         from ..parallel.sharded_cov import _candidate_pairs
+        from ..utils import structure_cache as sc
         from ..utils.logging import phase_timer
+        filt = bool(args.get("gp2Scale_tile_filter", True))
+        cdir = sc.cache_dir(args)
+        token = self.data.content_token if cdir else None
+        dkey = None
+        if token is not None:
+            dkey = sc.content_key("tile_structure", token, B, float(radius),
+                                  ls, filt)
+            hit = sc.load(cdir, "tile_structure", dkey)
+            if hit is not None:
+                return hit["rows"], hit["cols"]
         with phase_timer("committed solver: tile structure"):
             rows, cols = _candidate_pairs(x, None, ls, radius, B,
                                           symmetric=True)
             off = rows < cols
             rows_f = np.concatenate([rows, cols[off]]).astype(np.int32)
             cols_f = np.concatenate([cols, rows[off]]).astype(np.int32)
-            if (bool(args.get("gp2Scale_tile_filter", True))
-                    and np.isfinite(radius) and len(rows_f)):
+            if filt and np.isfinite(radius) and len(rows_f):
                 from ..native import tile_live
                 keep = tile_live(x / ls, rows_f, cols_f, B, radius)
                 rows_f, cols_f = rows_f[keep], cols_f[keep]
+        if dkey is not None:
+            sc.store(cdir, "tile_structure", dkey, rows=rows_f, cols=cols_f)
         return rows_f, cols_f
 
     def fast_solve_col_budget(self):

@@ -247,12 +247,32 @@ class GPMarginalLikelihood:
                 and np.all(np.abs(ls_now / ccache[1] - 1.0) <= tol_c)):
             rows_f, cols_f = ccache[2], ccache[3]
         else:
-            with phase_timer("sparse LML: candidate structure"):
-                rows, cols = _candidate_pairs(x, None, ls_now * (1.0 + tol_c),
-                                              radius, B, symmetric=True)
-            off = rows < cols
-            rows_f = np.concatenate([rows, cols[off]]).astype(np.int32)
-            cols_f = np.concatenate([cols, rows[off]]).astype(np.int32)
+            # disk layer (utils/structure_cache): the candidate set is a
+            # pure function of (dataset bytes, inflated ls, radius, B) —
+            # repeat cold starts load it instead of re-pruning
+            from ..utils import structure_cache as sc
+            cdir = sc.cache_dir(args)
+            token = self.data.content_token if cdir else None
+            dkey = None
+            hit = None
+            if token is not None:
+                dkey = sc.content_key("candidates", token,
+                                      B, float(radius),
+                                      ls_now * (1.0 + tol_c))
+                hit = sc.load(cdir, "candidates", dkey)
+            if hit is not None:
+                rows_f, cols_f = hit["rows"], hit["cols"]
+            else:
+                with phase_timer("sparse LML: candidate structure"):
+                    rows, cols = _candidate_pairs(x, None,
+                                                  ls_now * (1.0 + tol_c),
+                                                  radius, B, symmetric=True)
+                off = rows < cols
+                rows_f = np.concatenate([rows, cols[off]]).astype(np.int32)
+                cols_f = np.concatenate([cols, rows[off]]).astype(np.int32)
+                if dkey is not None:
+                    sc.store(cdir, "candidates", dkey,
+                             rows=rows_f, cols=cols_f)
             self._candidate_cache = ((data_token, B, float(radius)), ls_now,
                                      rows_f, cols_f)
 
@@ -364,8 +384,25 @@ class GPMarginalLikelihood:
                 # for compactly supported kernels, ~5x the device assembly
                 # pass at N=1M and it leaves the TPU free
                 from ..native import tile_live
-                with phase_timer("sparse LML: exact tile liveness"):
-                    keep = tile_live(x / ls_now, rows_f, cols_f, B, radius)
+                from ..utils import structure_cache as sc
+                cdir = sc.cache_dir(args)
+                token = self.data.content_token if cdir else None
+                lkey = None
+                keep = None
+                if token is not None:
+                    lkey = sc.content_key("liveness", token,
+                                          B, float(radius), ls_now,
+                                          rows_f, cols_f)
+                    hit = sc.load(cdir, "liveness", lkey)
+                    if hit is not None:
+                        keep = hit["keep"].astype(bool)
+                if keep is None:
+                    with phase_timer("sparse LML: exact tile liveness"):
+                        keep = tile_live(x / ls_now, rows_f, cols_f, B,
+                                         radius)
+                    if lkey is not None:
+                        sc.store(cdir, "liveness", lkey,
+                                 keep=np.asarray(keep, dtype=bool))
                 # keyed on (nb, B, radius) too: pair_key encodes indices as
                 # rows*(nb+1)+cols, so a block-size change would otherwise
                 # reuse dead keys under the wrong encoding

@@ -17,6 +17,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # SIGILL (XLA logs cpu_aot_loader feature-mismatch errors); every test
 # program is cheap to recompile
 os.environ.setdefault("FVGP_TPU_COMPILE_CACHE", "0")
+# hermetic suite: no shared on-disk structure cache (targeted tests opt in
+# per-model via args['gp2Scale_structure_cache_dir'] pointed at a tmp dir)
+os.environ.setdefault("FVGP_TPU_STRUCTURE_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
