@@ -699,10 +699,16 @@ class GPkv:
         B = int(args.get("gp2Scale_block_size",
                          min(self.prior.batch_size, 256)))
         pwidth = max(1, int(args.get("gp2Scale_precond_width", 1)))
+        # posterior-solve preconditioner type (block_jacobi | two_level/amg;
+        # the training step's fused mBCG is structurally block-diagonal-only
+        # — see ops/sparse_lml.make_committed_solver)
+        ptype = str(args.get("gp2Scale_posterior_precond", "block_jacobi"))
+        coarse_w = args.get("gp2Scale_posterior_coarse_width", None)
         # every args key that shapes the compiled program or the budget
         # participates in the key, so set_args() toggles take effect on
         # the next solve instead of silently reusing a stale program
         key = (self.data.point_number, self.data.generation, B, pwidth,
+               ptype, coarse_w,
                hps.tobytes(), self.linalg_mode, mesh,
                args.get("gp2Scale_posterior_solver_dtype"),
                args.get("gp2Scale_solver_dtype"),
@@ -882,7 +888,8 @@ class GPkv:
             kern_fn, nb, B, cg_iters=maxiter, solver_dtype=sdt,
             precond_width=pwidth, cg_tol=tol,
             row_chunk=C_fused if use_fused else None,
-            mesh=mesh, halo_S=halo_S)
+            mesh=mesh, halo_S=halo_S,
+            precond_type=ptype, coarse_width=coarse_w)
         # Column budget: bound the columns per program so wide posterior
         # solves never OOM (they chunk instead).  The program's fixed
         # residents — the in-trace tile assembly and the batched
@@ -912,6 +919,13 @@ class GPkv:
         fixed = (T_pad * B * B * tile_itemsize          # assembled tiles
                  + nb * pwidth * B * B * np.dtype(dtype).itemsize) \
             // n_dev + (512 << 20)                       # scan workspace
+        from ..ops.sparse_lml import _normalize_committed_precond
+        if _normalize_committed_precond(ptype) == "two_level":
+            # replicated Galerkin coarse inverse: (nbg, nbg) f32 on EVERY
+            # device (it is not sharded), plus its Cholesky workspace
+            nbg = -(-nb // (int(coarse_w) if coarse_w
+                            else max(1, -(-nb // 4096))))
+            fixed += 3 * nbg * nbg * 4
         bytes_per_col = n_pad * (6 * np.dtype(dtype).itemsize
                                  + (np.dtype(sdt).itemsize if sdt else 0)
                                  + 4) // n_dev           # scan accumulator
@@ -1040,19 +1054,29 @@ class GPkv:
                     ctx["mask"], ctx["noise_pad"])
         solve_cols = ctx["scols"] if ctx.get("scols") is not None \
             else ctx["cols"]
-        outs, s = [], 0
+        outs, its, s = [], [], 0
         for c_eff in widths:
             c = min(c_total - s, c_eff)
             rhs_pad = jnp.zeros((n_pad, c_eff), dtype).at[:n, :c].set(
                 b[:, s:s + c])
             if ctx.get("rhs_sharding") is not None:
                 rhs_pad = jax.device_put(rhs_pad, ctx["rhs_sharding"])
-            X = ctx["fn"](ctx["tiles"], ctx["Minv"], ctx["rows"],
-                          solve_cols, ctx["noise_pad"], rhs_pad,
-                          *ctx.get("halo_args", ()))
+            X, it = ctx["fn"](ctx["tiles"], ctx["Minv"], ctx["rows"],
+                              solve_cols, ctx["noise_pad"], rhs_pad,
+                              *ctx.get("halo_args", ()))
             outs.append(X[:n, :c])
+            its.append(it)
             s += c
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        # iteration accounting for the preconditioner payoff studies —
+        # device scalars, NOT forced here (a host sync inside the solve
+        # path would serialize chunk dispatch); consumers int() them
+        self.last_solve_info = {
+            "method": "committed_pcg",
+            "preconditioner": self.args.get("gp2Scale_posterior_precond",
+                                            "block_jacobi"),
+            "iterations": its[0] if len(its) == 1 else its,
+            "chunks": len(widths)}
         return out[:, 0] if squeeze else out
 
     def _fast_solve_or_none(self, b):

@@ -506,14 +506,18 @@ def _tight_floor_sq(res_dtype):
     return 1e-14 if jnp.dtype(res_dtype) == jnp.float64 else 1e-10
 
 
-def _cg_fixed(matvec, Bmat, iters, M=None, tol=None, mv_dtype=None):
+def _cg_fixed(matvec, Bmat, iters, M=None, tol=None, mv_dtype=None,
+              with_iters=False):
     """(Preconditioned) CG, at most ``iters`` trips with EARLY EXIT.
 
     Only ever called inside a ``custom_vjp`` forward/backward (reverse
     never traces through it), so the loop is a ``lax.while_loop``: it stops
     as soon as every column's preconditioned residual has collapsed below
     the freeze floor, instead of idling through the static safety margin
-    (callers size ``iters`` ~2x the observed convergence count)."""
+    (callers size ``iters`` ~2x the observed convergence count).
+    ``with_iters=True`` also returns the executed trip count (an int32
+    device scalar) — the committed posterior path surfaces it through
+    ``kv.last_solve_info`` for preconditioner payoff accounting."""
     if M is None:
         M = lambda X: X                       # noqa: E731
     X = jnp.zeros_like(Bmat)
@@ -546,9 +550,9 @@ def _cg_fixed(matvec, Bmat, iters, M=None, tol=None, mv_dtype=None):
         P = jnp.where(active[None, :], Zn + beta[None, :] * P, P)
         return (X, R, P, rz_new, i + 1)
 
-    X, _, _, _, _ = jax.lax.while_loop(
+    X, _, _, _, it = jax.lax.while_loop(
         cond, body, (X, R, P, rz, jnp.int32(0)))
-    return X
+    return (X, it) if with_iters else X
 
 
 def _block_apply(mats, X):
@@ -972,15 +976,77 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
     return lml
 
 
+def _coarse_inverse(tiles, rows, cols, noise_diag_pad, nb, B, cw):
+    """Replicated inverse of the Galerkin coarse matrix A_c = Pᵀ(K+V)P for
+    block-constant prolongation P over groups of ``cw`` point blocks
+    (ops/precond.build_two_level_op's AMG-class correction, rebuilt
+    in-trace from the committed tile set): per-tile sums scatter-added
+    into (nbg, nbg), noise group sums on the diagonal, one dense Cholesky
+    + explicit inverse.  f32 throughout — the coarse grid only steers the
+    CG iteration, never the solution.  Sentinel tiles are zero, so their
+    clamped scatter targets contribute nothing."""
+    nbg = -(-nb // cw)
+    ts = jnp.sum(tiles.astype(jnp.float32), axis=(1, 2))
+    gr = jnp.minimum(rows // cw, nbg - 1)
+    gc = jnp.minimum(cols // cw, nbg - 1)
+    Ac = jnp.zeros((nbg, nbg), jnp.float32).at[gr, gc].add(ts)
+    ns = jnp.sum(noise_diag_pad.astype(jnp.float32).reshape(nb, B), axis=1)
+    gb = jnp.minimum(jnp.arange(nb) // cw, nbg - 1)
+    Ac = Ac.at[gb, gb].add(ns)
+    # mirrored tiles make A_c symmetric up to scatter rounding; the tiny
+    # relative jitter covers f32 summation loss (PᵀAP of an SPD A is SPD)
+    Ac = 0.5 * (Ac + Ac.T)
+    eye = jnp.eye(nbg, dtype=jnp.float32)
+    L = jnp.linalg.cholesky(Ac + (1e-6 * jnp.mean(jnp.diagonal(Ac))) * eye)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return Linv.T @ Linv
+
+
+def _two_level_apply(pdata, X, B, cw):
+    """M⁻¹X = block-Jacobi smoother + additive coarse correction
+    P A_c⁻¹ Pᵀ X (block-constant P over ``cw``-block groups)."""
+    Minv, Acinv = pdata
+    z = _block_apply(Minv, X)
+    nbg = Acinv.shape[0]
+    gsz = cw * B
+    k = X.shape[1]
+    Xp = jnp.pad(X, ((0, nbg * gsz - X.shape[0]), (0, 0)))
+    r_c = jnp.sum(Xp.reshape(nbg, gsz, k), axis=1)
+    y = (Acinv @ r_c.astype(Acinv.dtype)).astype(X.dtype)
+    corr = jnp.broadcast_to(y[:, None, :], (nbg, gsz, k))
+    return z + corr.reshape(nbg * gsz, k)[: X.shape[0]]
+
+
+def _normalize_committed_precond(name):
+    n = str(name).lower()
+    if n in ("two_level", "twolevel", "two-level") or "amg" in n:
+        return "two_level"
+    if n in ("block_jacobi", "jacobi", "bj", "diag", "diagonal"):
+        return "block_jacobi"
+    raise Exception(f"Unknown committed-solver preconditioner: {name!r}. "
+                    f"Known: block_jacobi, two_level/amg.")
+
+
 def make_committed_solver(kernel_fn, nb, B, *, cg_iters=96, solver_dtype=None,
                           precond_width=1, cg_tol=None, row_chunk=None,
-                          mesh=None, halo_S=None):
+                          mesh=None, halo_S=None,
+                          precond_type="block_jacobi", coarse_width=None):
     """Committed-state WIDE solve (K+V)⁻¹ RHS — two jittable programs:
 
         assemble(hps, rows, cols, xb, mask, noise_diag_pad)
-            -> (tiles, Minv)                       # once per committed state
-        solve(tiles, Minv, rows, cols, noise_diag_pad, RHS[, *halo])
-            -> X (nb*B, c)                         # once per column chunk
+            -> (tiles, pdata)                      # once per committed state
+        solve(tiles, pdata, rows, cols, noise_diag_pad, RHS[, *halo])
+            -> (X (nb*B, c), iters)                # once per column chunk
+
+    ``precond_type`` selects the CG preconditioner: ``"block_jacobi"``
+    (default; pdata = the batched block inverses) or ``"two_level"`` /
+    ``"amg"`` (pdata = (block inverses, replicated Galerkin coarse
+    inverse) — the AMG-class additive correction of ops/precond, rebuilt
+    in-trace; ``coarse_width`` blocks per coarse aggregate, default sized
+    so the coarse grid stays ≤ ~4096).  The training step's fused mBCG
+    CANNOT use the two-level operator — its quadrature needs probes
+    z = L_M·u and an exact log|M|, both of which require a block-diagonal
+    M — so this knob exists only where the solve is pure PCG.
 
     This is the prediction-path analogue of the traced training step: the
     covariance tiles come from the same chunked in-trace assembly at the
@@ -1025,6 +1091,16 @@ def make_committed_solver(kernel_fn, nb, B, *, cg_iters=96, solver_dtype=None,
     if n_dev <= 1:
         mesh = None
         halo_S = None
+    ptype = _normalize_committed_precond(precond_type)
+    cw = None
+    if ptype == "two_level":
+        cw = int(coarse_width) if coarse_width else max(1, -(-nb // 4096))
+
+    def _M_for(pdata):
+        if ptype == "two_level":
+            return lambda X: _two_level_apply(pdata, X, B, cw)
+        return lambda X: _block_apply(pdata, X)
+
     if mesh is not None:
         if row_chunk is not None:
             raise ValueError("make_committed_solver: row_chunk (fused "
@@ -1056,10 +1132,23 @@ def make_committed_solver(kernel_fn, nb, B, *, cg_iters=96, solver_dtype=None,
                       PartitionSpec(None, None), _ts()),
             out_specs=(_ts(2), _ts(2)))
 
+        if ptype == "two_level":
+            # the coarse Galerkin inverse is GLOBAL (tile sums reduce over
+            # every device's segment) and tiny — build it at the jit level
+            # from the sharded tile set; XLA inserts the reduction and
+            # replicates the (nbg, nbg) inverse
+            _assemble_inner = assemble_mesh
+
+            def assemble_mesh(hps, rows, cols, xb, mask, noise):
+                tiles, Minv = _assemble_inner(hps, rows, cols, xb, mask,
+                                              noise)
+                Acinv = _coarse_inverse(tiles, rows, cols, noise, nb, B, cw)
+                return tiles, (Minv, Acinv)
+
         mesh_spmv = _spmv_for(nb, B, mesh, mv_dtype=solver_dtype,
                               halo_S=halo_S)
 
-        def solve(tiles, Minv, rows, cols, noise_diag_pad, RHS, *halo):
+        def solve(tiles, pdata, rows, cols, noise_diag_pad, RHS, *halo):
             # no-halo: cols are ORIGINAL block indices (clamp the sentinels
             # — their tiles are zero); halo: cols arrive REMAPPED into the
             # local [W | received] layout, and the plan arrays trail RHS
@@ -1070,9 +1159,9 @@ def make_committed_solver(kernel_fn, nb, B, *, cg_iters=96, solver_dtype=None,
                 out = mesh_spmv(rows, mv_cols, tiles, X, *halo)
                 return out + noise_diag_pad[:, None] * X
 
-            return _cg_fixed(matvec, RHS, cg_iters,
-                             M=lambda X: _block_apply(Minv, X),
-                             tol=cg_tol, mv_dtype=solver_dtype)
+            return _cg_fixed(matvec, RHS, cg_iters, M=_M_for(pdata),
+                             tol=cg_tol, mv_dtype=solver_dtype,
+                             with_iters=True)
 
         return assemble_mesh, solve
 
@@ -1088,9 +1177,13 @@ def make_committed_solver(kernel_fn, nb, B, *, cg_iters=96, solver_dtype=None,
                                         rows_c, cols_c, live, xb, mask)
         Minv, _ = _diag_precond_blocks(kernel_fn, B, precond_width, hps,
                                        xb, mask, noise_diag_pad, 0)
+        if ptype == "two_level":
+            Acinv = _coarse_inverse(tiles, rows, cols, noise_diag_pad,
+                                    nb, B, cw)
+            return tiles, (Minv, Acinv)
         return tiles, Minv
 
-    def solve(tiles, Minv, rows, cols, noise_diag_pad, RHS):
+    def solve(tiles, pdata, rows, cols, noise_diag_pad, RHS):
         # row_chunk set: ``rows`` is the PER-CHUNK row index (rowsc) from
         # row_aligned_schedule; otherwise the per-tile row list
         cols_c = jnp.minimum(cols, nb - 1)
@@ -1112,9 +1205,9 @@ def make_committed_solver(kernel_fn, nb, B, *, cg_iters=96, solver_dtype=None,
                 out = flat_spmv(rows_c, cols_c, tiles, X)
             return out + noise_diag_pad[:, None] * X
 
-        return _cg_fixed(matvec, RHS, cg_iters,
-                         M=lambda X: _block_apply(Minv, X),
-                         tol=cg_tol, mv_dtype=solver_dtype)
+        return _cg_fixed(matvec, RHS, cg_iters, M=_M_for(pdata),
+                         tol=cg_tol, mv_dtype=solver_dtype,
+                         with_iters=True)
 
     return assemble, solve
 

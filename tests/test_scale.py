@@ -1891,3 +1891,65 @@ def test_pred_bucket_padding_roundtrip():
         k_direct = np.asarray(gp.prior.compute_covariances(
             xd, xp, gp.hyperparameters))
         np.testing.assert_allclose(np.asarray(k), k_direct, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# committed-solver preconditioner types (two-level / AMG-class)
+# ---------------------------------------------------------------------------
+
+def _precond_gp(ptype=None, use_mesh=False, **extra):
+    x, y = _sparse_dataset()
+    args = {"gp2Scale_block_size": 64, "sparse_cg_tol": 1e-10}
+    if ptype is not None:
+        args["gp2Scale_posterior_precond"] = ptype
+    args.update(extra)
+    return GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+              linalg_mode="sparseCGpre", args=args)
+
+
+@pytest.mark.slow
+def test_committed_two_level_precond_parity(eight_devices):
+    """gp2Scale_posterior_precond='two_level' (the AMG-class Galerkin
+    correction, ops/sparse_lml._coarse_inverse) changes only the CG
+    iteration path: posteriors match block-Jacobi and the dense oracle on
+    one device AND on the 8-device mesh."""
+    xp = np.random.default_rng(7).uniform(0, 40, (9, 2))
+    gp_bj = _precond_gp()
+    m_ref = gp_bj.posterior_mean(xp)["m(x)"]
+    v_ref = gp_bj.posterior_covariance(xp)["v(x)"]
+
+    gp_tl = _precond_gp("amg", gp2Scale_posterior_coarse_width=1)
+    np.testing.assert_allclose(gp_tl.posterior_mean(xp)["m(x)"], m_ref,
+                               atol=1e-7)
+    np.testing.assert_allclose(gp_tl.posterior_covariance(xp)["v(x)"],
+                               v_ref, atol=1e-7)
+    info = gp_tl.kv.last_solve_info
+    assert info["method"] == "committed_pcg"
+    assert int(np.asarray(info["iterations"])) > 0
+
+    mesh = pmesh.make_mesh()
+    with pmesh.use_mesh(mesh):
+        gp_m = _precond_gp("two_level")
+        np.testing.assert_allclose(gp_m.posterior_mean(xp)["m(x)"], m_ref,
+                                   atol=1e-7)
+        np.testing.assert_allclose(
+            gp_m.posterior_covariance(xp)["v(x)"], v_ref, atol=1e-7)
+
+
+def test_committed_precond_unknown_type_raises():
+    gp = _precond_gp("schwartz")            # the classic typo must raise
+    with pytest.raises(Exception, match="committed-solver preconditioner"):
+        gp.posterior_mean(np.zeros((2, 2)))
+
+
+def test_committed_solver_iteration_accounting():
+    """last_solve_info carries the executed PCG trip count; a looser
+    tolerance must not need more iterations than a tight one."""
+    xp = np.random.default_rng(7).uniform(0, 40, (5, 2))
+    gp_tight = _precond_gp()
+    gp_tight.posterior_mean(xp)
+    it_tight = int(np.asarray(gp_tight.kv.last_solve_info["iterations"]))
+    gp_loose = _precond_gp(sparse_cg_tol=1e-3)
+    gp_loose.posterior_mean(xp)
+    it_loose = int(np.asarray(gp_loose.kv.last_solve_info["iterations"]))
+    assert 0 < it_loose <= it_tight
