@@ -96,7 +96,7 @@ class GPMarginalLikelihood:
         mean_default = prior._default_mean
         mean_fn = prior.mean_function
         m_n = prior.m_n_params
-        mean_const = float(np.mean(self.y_data)) if mean_default else None
+        mean_const = float(np.mean(self.y_data)) if mean_default else 0.0
         noise_mode = likelihood._mode
         v_n = likelihood.v_n_params
         noise_fn = likelihood.noise_function
@@ -105,9 +105,27 @@ class GPMarginalLikelihood:
                                                          self.hyperparameters),
                                   dtype=dtype)
         else:
-            V_const = None
+            # placeholder operand (the callable branch never reads it):
+            # the data tuple keeps a fixed pytree structure either way
+            V_const = jnp.zeros((0,), dtype=dtype)
 
-        def lml(hps):
+        # x/y/V/mean_const are jit ARGUMENTS, not closure constants:
+        # constants are baked into the program (and its compile-cache
+        # hash), so every update_gp_data at the same N recompiled the
+        # dense pipeline, and the relayed TPU compile service serializes
+        # the constants with the program — at N=10⁴ that was the dominant
+        # first-eval cost.  A same-shape data refresh now reuses the live
+        # jitted program (the program cache below), and across processes
+        # the persistent compile cache key no longer churns with the data.
+        self._lml_data = (x, y, V_const,
+                          jnp.asarray(mean_const, dtype=dtype))
+        pkey = (n, int(y.shape[1]), str(dtype), id(kernel), k_n,
+                mean_default, id(mean_fn), m_n, noise_mode, id(noise_fn),
+                v_n, V_const.ndim, id(args_dict))
+        if pkey == getattr(self, "_lml_pkey", None):
+            return                       # programs still valid; data refreshed
+
+        def lml_on(hps, x, y, V_arg, mc):
             if k_n == 3:
                 K = kernel(x, x, hps)
             else:
@@ -115,13 +133,13 @@ class GPMarginalLikelihood:
             if noise_mode == "callable":
                 V = noise_fn(x, hps) if v_n == 2 else noise_fn(x, hps, args_dict)
             else:
-                V = V_const
+                V = V_arg
             if V.ndim == 1:
                 KV = dops.add_diagonal(K, V)
             else:
                 KV = K + V
             if mean_default:
-                m = jnp.full((n,), mean_const, dtype=dtype)
+                m = jnp.full((n,), mc, dtype=dtype)
             else:
                 m = mean_fn(x, hps) if m_n == 2 else mean_fn(x, hps, args_dict)
             L = jnp.linalg.cholesky(KV)
@@ -131,9 +149,13 @@ class GPMarginalLikelihood:
             logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
             return -0.5 * (l1 + logdet + n * jnp.log(2.0 * jnp.pi))
 
-        self._lml_raw = lml
-        self._lml_jit = jax.jit(lml)
-        self._lml_vg = jax.jit(jax.value_and_grad(lml))
+        jit_fn = jax.jit(lml_on)
+        vg_fn = jax.jit(jax.value_and_grad(lml_on))   # argnums=0: hps only
+        self._lml_pkey = pkey
+        self._lml_on = lml_on
+        self._lml_raw = lambda h: lml_on(h, *self._lml_data)
+        self._lml_jit = lambda h: jit_fn(h, *self._lml_data)
+        self._lml_vg = lambda h: vg_fn(h, *self._lml_data)
         self._lml_vmap = None
         self._bvg_dev = None
         self._lml_hess = None
@@ -146,8 +168,11 @@ class GPMarginalLikelihood:
             return None
         self._get_traced()
         if self._lml_vmap is None:
-            self._lml_vmap = jax.jit(jax.vmap(lambda h: -self._lml_raw(h)))
-        vals = self._lml_vmap(config.asarray(np.asarray(P)))
+            self._lml_vmap = jax.jit(jax.vmap(
+                lambda h, *d: -self._lml_on(h, *d),
+                in_axes=(0, None, None, None, None)))
+        vals = self._lml_vmap(config.asarray(np.asarray(P)),
+                              *self._lml_data)
         return config.to_numpy(vals)
 
     def batched_value_and_grad_device(self):
@@ -159,8 +184,11 @@ class GPMarginalLikelihood:
             return None
         self._get_traced()
         if getattr(self, "_bvg_dev", None) is None:
-            self._bvg_dev = jax.jit(jax.vmap(
-                jax.value_and_grad(lambda h: -self._lml_raw(h))))
+            bvg = jax.jit(jax.vmap(
+                jax.value_and_grad(                   # argnums=0: hps only
+                    lambda h, *d: -self._lml_on(h, *d)),
+                in_axes=(0, None, None, None, None)))
+            self._bvg_dev = lambda P: bvg(P, *self._lml_data)
         return self._bvg_dev
 
     def invalidate_traced(self):
@@ -1018,8 +1046,9 @@ class GPMarginalLikelihood:
         if self._traced_ready():
             self._get_traced()
             if getattr(self, "_lml_hess", None) is None:
-                self._lml_hess = jax.jit(
-                    jax.hessian(lambda h: -self._lml_raw(h)))
+                hess = jax.jit(jax.hessian(     # argnums=0: hps only
+                    lambda h, *d: -self._lml_on(h, *d)))
+                self._lml_hess = lambda h: hess(h, *self._lml_data)
             Hm = self._lml_hess(config.asarray(np.asarray(hyperparameters)))
             return np.asarray(Hm, dtype=np.float64)
         H = len(hyperparameters)

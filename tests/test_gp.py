@@ -329,3 +329,35 @@ def test_async_linalg_gate_lives_with_the_run(small_data):
             _time.sleep(0.05)
         opt.actor.join(5)
     assert gp.args["sparse_krylov_warm_start"] is True
+
+
+def test_traced_lml_program_survives_same_shape_data_update():
+    """x/y/noise are jit ARGUMENTS of the traced dense LML, not closure
+    constants: a same-shape update_gp_data refreshes the data tuple and
+    REUSES the live compiled program (round 5 — constants churned the
+    compile-cache key and recompiled the N×N pipeline per dataset)."""
+    rng = np.random.default_rng(8)
+    x = rng.uniform(0, 10, (60, 2))
+    y = np.sin(x[:, 0])
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 1.0, 1.0]),
+            linalg_mode="Chol")
+    ml = gp.marginal_likelihood
+    l1 = gp.log_likelihood(gp.hyperparameters)
+    prog = ml._lml_on
+    x2 = rng.uniform(0, 10, (60, 2))
+    y2 = np.cos(x2[:, 0])
+    gp.update_gp_data(x2, y2, append=False)
+    l2 = gp.log_likelihood(gp.hyperparameters)
+    assert ml._lml_on is prog, "same-shape update must not rebuild the program"
+    assert abs(l1 - l2) > 1e-6          # and the data really changed
+    gp_fresh = GP(x2, y2, init_hyperparameters=np.array([1.0, 1.0, 1.0]),
+                  linalg_mode="Chol")
+    np.testing.assert_allclose(
+        l2, gp_fresh.log_likelihood(gp_fresh.hyperparameters), rtol=1e-12)
+    # value_and_grad agrees with the fresh model too (the vg program is
+    # also reused)
+    v, g = ml.log_likelihood_value_and_gradient(gp.hyperparameters)
+    v2, g2 = gp_fresh.marginal_likelihood.log_likelihood_value_and_gradient(
+        gp_fresh.hyperparameters)
+    np.testing.assert_allclose(v, v2, rtol=1e-12)
+    np.testing.assert_allclose(g, g2, rtol=1e-10)
