@@ -714,9 +714,12 @@ class GPkv:
                args.get("gp2Scale_solver_dtype"),
                args.get("gp2Scale_posterior_cg_tol"),
                args.get("sparse_cg_tol"),
+               args.get("sparse_minres_tol"),
                args.get("gp2Scale_posterior_maxiter"),
                args.get("sparse_cg_maxiter",
                         args.get("sparse_krylov_maxiter")),
+               args.get("sparse_minres_maxiter"),
+               args.get("gp2Scale_dcn_ici_ratio"),
                args.get("sparse_direct_dense_cutoff"),
                bool(args.get("gp2Scale_posterior_fused_spmm", True)),
                bool(args.get("gp2Scale_tile_filter", True)),
@@ -836,9 +839,41 @@ class GPkv:
             if halo_mode not in (False, "off"):
                 cols_remap, send_sel, send_mask, hS, hstats = halo_plan(
                     rows_p, cols_p, nb, n_dev, bucket=max(8, W_eff // 8))
-                if (halo_mode in (True, "on", "hier")
-                        or hstats["halo_words"]
-                        <= 0.8 * hstats["allgather_words"]):
+                # 2-D (slice, tiles) mesh: the HIERARCHICAL two-stage
+                # exchange — same cost model and selection margin as the
+                # training step (gp_marginal_likelihood), so 'hier' is
+                # never silently downgraded to the flat plan here
+                from ..parallel.mesh import SLICE_AXIS, TILE_AXIS
+                if (SLICE_AXIS in mesh.shape
+                        and int(mesh.shape[SLICE_AXIS]) > 1):
+                    from ..parallel.partition import halo_plan_hier
+                    ns = int(mesh.shape[SLICE_AXIS])
+                    ps = int(mesh.shape[TILE_AXIS])
+                    cr2, plan2, hier_stats = halo_plan_hier(
+                        rows_p, cols_p, nb, ns, ps,
+                        bucket=max(8, W_eff // 8))
+                    R = float(args.get("gp2Scale_dcn_ici_ratio", 8.0))
+                    ici_pairs = ns * ps * (ps - 1)
+                    cross_pairs = ns * ps * ps * (ns - 1)
+                    pair_w = ici_pairs + R * cross_pairs
+                    cost_ag = pair_w * W_eff
+                    cost_flat = pair_w * hS
+                    cost_hier = (hier_stats["ici_words"]
+                                 + R * hier_stats["dcn_words"])
+                    if (halo_mode == "hier"
+                            or (halo_mode in ("auto", True, "on")
+                                and cost_hier <= 0.8 * min(cost_ag,
+                                                           cost_flat))):
+                        halo_S = ("hier", hier_stats["S_ici"],
+                                  hier_stats["S_fwd"], hier_stats["S_dcn"])
+                        cols_solve = cr2
+                        halo_args = tuple(
+                            np.asarray(p) if p.dtype.kind == "i"
+                            else np.asarray(p, dtype) for p in plan2)
+                if (halo_S is None
+                        and (halo_mode in (True, "on", "hier")
+                             or hstats["halo_words"]
+                             <= 0.8 * hstats["allgather_words"])):
                     halo_S = hS
                     cols_solve = cols_remap
                     halo_args = (send_sel, np.asarray(send_mask, dtype))
@@ -878,11 +913,15 @@ class GPkv:
                 # bf16 matvec's attainable floor, not the SLQ-noise floor
                 tol = 1e-3
         tol = float(tol) if tol is not None else None
-        maxiter = int(args.get(
-            "gp2Scale_posterior_maxiter",
-            max(96, 3 * int(args.get("sparse_cg_maxiter",
-                                     args.get("sparse_krylov_maxiter", 0))
-                            or 0))))
+        # iteration budget mirrors the tolerance resolution: the MINRES
+        # modes honor their own training cap (the stored path's _tols
+        # contract) before the CG/Krylov keys
+        train_iters = args.get("sparse_cg_maxiter",
+                               args.get("sparse_krylov_maxiter", None))
+        if train_iters is None and mode.startswith("sparseMINRES"):
+            train_iters = args.get("sparse_minres_maxiter", None)
+        maxiter = int(args.get("gp2Scale_posterior_maxiter",
+                               max(96, 3 * int(train_iters or 0))))
         kern_fn = _stable_kernel_closure(self.prior)
         assemble, solver = make_committed_solver(
             kern_fn, nb, B, cg_iters=maxiter, solver_dtype=sdt,

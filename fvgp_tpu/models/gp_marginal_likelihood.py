@@ -119,10 +119,21 @@ class GPMarginalLikelihood:
         # the persistent compile cache key no longer churns with the data.
         self._lml_data = (x, y, V_const,
                           jnp.asarray(mean_const, dtype=dtype))
-        pkey = (n, int(y.shape[1]), str(dtype), id(kernel), k_n,
-                mean_default, id(mean_fn), m_n, noise_mode, id(noise_fn),
-                v_n, V_const.ndim, id(args_dict))
-        if pkey == getattr(self, "_lml_pkey", None):
+        # args-consuming callables (4-arg kernel / 3-arg mean / 3-arg
+        # noise) read args_dict AT TRACE TIME, and in-place args mutation
+        # is invisible to any key — such models rebuild on every data
+        # flush exactly as before round 5, so the reference's flush idiom
+        # (mutate args, then update_gp_data/set_hyperparameters) keeps
+        # working.  Program reuse applies only when args never enters the
+        # trace.
+        consumes_args = (k_n == 4
+                         or (not mean_default and m_n == 3)
+                         or (noise_mode == "callable" and v_n == 3))
+        pkey = None if consumes_args else (
+            n, int(y.shape[1]), str(dtype), id(kernel), k_n,
+            mean_default, id(mean_fn), m_n, noise_mode, id(noise_fn),
+            v_n, V_const.ndim)
+        if pkey is not None and pkey == getattr(self, "_lml_pkey", None):
             return                       # programs still valid; data refreshed
 
         def lml_on(hps, x, y, V_arg, mc):

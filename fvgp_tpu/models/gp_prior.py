@@ -395,11 +395,18 @@ class GPprior:
         """k(x_data, x_pred)ᵀ @ vec with the product FUSED into the chunked
         kernel sweep — the (n, n_pred) cross covariance never exists
         (``_dense_cross_product_scan``).  The posterior mean's engine under
-        gp2Scale; None when the kernel is a host callable or the inputs are
-        non-Euclidean (callers fall back to materializing k).  No memory
-        budget applies: the output is (n_pred, c)."""
+        gp2Scale; None when the kernel is a host callable, the inputs are
+        non-Euclidean, or the PER-CHUNK kernel block (R, pred_bucket) —
+        which scales with the prediction count even though the full cross
+        matrix never does — would blow the dense-cross memory budget
+        (callers fall back to the tile path)."""
         if not (self.kernel_traceable and self.Euclidean
                 and isinstance(x_pred, np.ndarray)):
+            return None
+        dtype = config.linalg_dtype(self.args)
+        budget = int(self.args.get("gp2Scale_dense_cross_budget", 4 << 30))
+        if 8192 * _pred_bucket(max(len(x_pred), 1)) \
+                * jnp.dtype(dtype).itemsize > budget:
             return None
         from ..parallel.sharded_cov import _stable_kernel_closure
         kern_fn = _stable_kernel_closure(self)

@@ -28,6 +28,18 @@ import os
 
 import numpy as np
 
+# Producer-schema token, hashed into every key: the cached artifacts are
+# OUTPUTS of morton_order / _candidate_pairs / tile_live, so a semantic
+# change to any producer must orphan old entries even though the inputs
+# hash identically.  Bump on any such change.
+_SCHEMA = b"fvgp-tpu-structure-v1|"
+
+# Directory size cap (bytes): stores during a long training run (every
+# >5%-drift lengthscale move writes fresh candidates/liveness entries
+# that are rarely re-hit) must not grow the user's cache without bound.
+# Oldest-mtime entries are evicted after each store.
+_DEFAULT_MAX_BYTES = 2 << 30
+
 
 def cache_dir(args=None):
     """Resolved cache directory, or None when disabled.  The per-GP args
@@ -49,6 +61,7 @@ def content_key(*parts):
     Arrays contribute bytes + dtype + shape (a transposed or re-typed
     array must not collide)."""
     h = hashlib.blake2b(digest_size=16)
+    h.update(_SCHEMA)
     for p in parts:
         if isinstance(p, np.ndarray):
             h.update(np.ascontiguousarray(p).tobytes())
@@ -74,7 +87,9 @@ def load(dirpath, name, key):
 
 def store(dirpath, name, key, **arrays):
     """Atomic content-addressed save; failures are swallowed (the caller
-    already holds the computed result)."""
+    already holds the computed result).  After a successful save the
+    directory is pruned oldest-first to the size cap
+    (``FVGP_TPU_STRUCTURE_CACHE_MAX_BYTES``, default 2 GiB)."""
     if not dirpath:
         return
     tmp = None
@@ -85,9 +100,42 @@ def store(dirpath, name, key, **arrays):
         with open(tmp, "wb") as f:
             np.savez(f, **arrays)
         os.replace(tmp, path)
+        _evict(dirpath, keep=path)
     except Exception:
         if tmp is not None:
             try:
                 os.unlink(tmp)
             except OSError:
                 pass
+
+
+def _evict(dirpath, keep=None):
+    """Delete oldest-mtime entries until the directory fits the cap.
+    Concurrent readers of a deleted entry degrade to a miss (load()
+    swallows the error and the caller recomputes)."""
+    try:
+        cap = int(os.environ.get("FVGP_TPU_STRUCTURE_CACHE_MAX_BYTES",
+                                 _DEFAULT_MAX_BYTES))
+        entries = []
+        total = 0
+        with os.scandir(dirpath) as it:
+            for e in it:
+                if not e.name.endswith(".npz"):
+                    continue
+                st = e.stat()
+                entries.append((st.st_mtime, st.st_size, e.path))
+                total += st.st_size
+        if total <= cap:
+            return
+        for _, size, p in sorted(entries):
+            if p == keep:
+                continue
+            try:
+                os.unlink(p)
+                total -= size
+            except OSError:
+                pass
+            if total <= cap:
+                return
+    except Exception:
+        pass

@@ -361,3 +361,30 @@ def test_traced_lml_program_survives_same_shape_data_update():
         gp_fresh.hyperparameters)
     np.testing.assert_allclose(v, v2, rtol=1e-12)
     np.testing.assert_allclose(g, g2, rtol=1e-10)
+
+
+def test_args_consuming_kernel_flush_idiom():
+    """A 4-arg kernel reads args AT TRACE TIME; after in-place args
+    mutation the documented flush (update_gp_data) must rebuild the traced
+    program — program reuse applies only when args never enters the trace
+    (review finding on the round-5 program cache)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0, 10, (40, 2))
+    y = np.sin(x[:, 0])
+
+    def kern4(x1, x2, h, args):
+        d2 = ((x1[:, None, :] - x2[None, :, :]) ** 2 / h[1] ** 2).sum(-1)
+        return args["amp"] * h[0] * jnp.exp(-0.5 * d2)
+
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 1.0]),
+            kernel_function=kern4, linalg_mode="Chol", args={"amp": 1.0})
+    l1 = gp.log_likelihood(gp.hyperparameters)
+    gp.args["amp"] = 2.0                     # in-place mutation
+    gp.update_gp_data(x, y, append=False)    # the documented flush
+    l2 = gp.log_likelihood(gp.hyperparameters)
+    gp2 = GP(x, y, init_hyperparameters=np.array([1.0, 1.0]),
+             kernel_function=kern4, linalg_mode="Chol", args={"amp": 2.0})
+    np.testing.assert_allclose(l2, gp2.log_likelihood(gp2.hyperparameters),
+                               rtol=1e-12)
+    assert abs(l1 - l2) > 1e-8               # the new amp really landed

@@ -130,8 +130,10 @@ def test_dense_cross_budget_rejection():
     m_fast = gp.posterior_mean(xp)["m(x)"]
     gp.set_args(dict(gp.args, gp2Scale_dense_cross_budget=1))
     assert gp.prior._dense_cross_or_none(xp, gp.hyperparameters) is None
+    # the fused product sweep honors the same budget (its per-chunk
+    # kernel block scales with the prediction count)
     assert gp.prior.cross_covariance_product_or_none(
-        xp, gp.hyperparameters, np.ones(300)) is not None  # no budget there
+        xp, gp.hyperparameters, np.ones(300)) is None
     np.testing.assert_allclose(gp.posterior_mean(xp)["m(x)"], m_fast,
                                rtol=1e-8)
 

@@ -1953,3 +1953,103 @@ def test_committed_solver_iteration_accounting():
     gp_loose.posterior_mean(xp)
     it_loose = int(np.asarray(gp_loose.kv.last_solve_info["iterations"]))
     assert 0 < it_loose <= it_tight
+
+
+# ---------------------------------------------------------------------------
+# round-5 review fixes: committed-solver args honored; hier halo; budgets
+# ---------------------------------------------------------------------------
+
+def test_fast_solver_key_tracks_minres_args():
+    """sparse_minres_tol/maxiter participate in the committed-solver cache
+    key and the iteration budget (review findings: a set_args change
+    silently reused the stale program; the MINRES training cap was
+    ignored)."""
+    x, y = _sparse_dataset(n=600)
+    gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+            linalg_mode="sparseMINRES",
+            args={"gp2Scale_block_size": 64, "sparse_minres_tol": 1e-1})
+    ctx1 = gp.kv._fast_sparse_solver()
+    assert ctx1 is not None
+    gp.set_args(dict(gp.args, sparse_minres_tol=1e-12))
+    ctx2 = gp.kv._fast_sparse_solver()
+    assert ctx2 is not ctx1, "tolerance change must rebuild the solver ctx"
+
+    from fvgp_tpu.ops import sparse_lml as slml
+    seen = {}
+    real = slml.make_committed_solver
+
+    def spy(*a, **k):
+        seen.update(k)
+        return real(*a, **k)
+
+    import unittest.mock as mock
+    with mock.patch.object(slml, "make_committed_solver", spy):
+        gp.set_args(dict(gp.args, sparse_minres_maxiter=40))
+        assert gp.kv._fast_sparse_solver() is not None
+    assert seen["cg_iters"] == 120          # max(96, 3*40)
+    assert seen["cg_tol"] == pytest.approx(1e-12)
+
+
+def test_committed_hier_halo_engages_on_2d_mesh():
+    """gp2Scale_halo_exchange='hier' on a (slice, tiles) mesh builds the
+    HIERARCHICAL plan in the committed posterior path (review finding: it
+    silently downgraded to the flat all-to-all) — and posteriors match the
+    meshless model."""
+    x, y = _sparse_dataset()
+    xp = np.random.default_rng(7).uniform(0, 40, (7, 2))
+    args = {"gp2Scale_block_size": 64, "sparse_cg_tol": 1e-10}
+    gp_ref = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                linalg_mode="sparseCGpre", args=args)
+    m_ref = gp_ref.posterior_mean(xp)["m(x)"]
+    m2 = pmesh.make_mesh_2d(2, 4)
+    with pmesh.use_mesh(m2):
+        gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                linalg_mode="sparseCGpre",
+                args=dict(args, gp2Scale_halo_exchange="hier"))
+        ctx = gp.kv._fast_sparse_solver()
+        assert ctx is not None
+        np.testing.assert_allclose(gp.posterior_mean(xp)["m(x)"], m_ref,
+                                   atol=1e-7)
+    # the engaged plan is hierarchical: 6 plan arrays, not the flat 2
+    assert len(ctx["halo_args"]) == 6
+
+
+def test_fused_product_budget_guard():
+    """The fused posterior-mean sweep refuses prediction counts whose
+    per-chunk kernel block would blow the dense-cross budget (review
+    finding: it OOM'd where the old path degraded to the tile path)."""
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 12, (300, 2))
+    y = np.sin(x[:, 0])
+    gp = GP(x, y, init_hyperparameters=np.array([1.0, 2.0, 2.0]),
+            gp2Scale=True, gp2Scale_batch_size=16,
+            args={"gp2Scale_block_size": 32})
+    xp = rng.uniform(0, 12, (64, 2))
+    assert gp.prior.cross_covariance_product_or_none(
+        xp, gp.hyperparameters, np.ones(300)) is not None
+    gp.set_args(dict(gp.args, gp2Scale_dense_cross_budget=8192 * 8))
+    assert gp.prior.cross_covariance_product_or_none(
+        xp, gp.hyperparameters, np.ones(300)) is None
+    # the public posterior still answers through the fallback paths
+    m = gp.posterior_mean(xp)["m(x)"]
+    assert np.all(np.isfinite(m))
+
+
+def test_structure_cache_eviction(tmp_path, monkeypatch):
+    """The disk structure cache prunes oldest entries to the size cap
+    (review finding: unbounded growth during long training runs)."""
+    import os as _os
+    import time as _time
+    from fvgp_tpu.utils import structure_cache as sc
+    monkeypatch.setenv("FVGP_TPU_STRUCTURE_CACHE_MAX_BYTES", "40000")
+    d = str(tmp_path)
+    for i in range(8):
+        sc.store(d, "candidates", f"key{i}",
+                 rows=np.arange(4000, dtype=np.int32))
+        _os.utime(_os.path.join(d, f"candidates-key{i}.npz"),
+                  (_time.time() + i, _time.time() + i))
+    files = [f for f in _os.listdir(d) if f.endswith(".npz")]
+    total = sum(_os.path.getsize(_os.path.join(d, f)) for f in files)
+    assert total <= 40000
+    assert "candidates-key7.npz" in files      # newest survives
+    assert "candidates-key0.npz" not in files  # oldest evicted
