@@ -132,8 +132,9 @@ class GPposterior:
             "usable on small problems. Consider posterior_covariance instead.")
         return self.K.to_dense()
 
-    def _cross_solve_product(self, k, chunk_size=None):
-        """kᵀ (K+V)⁻¹ k in column chunks (ref gp_posterior.py:120-136).
+    def _cross_solve_product(self, k, chunk_size=None, diag=False):
+        """kᵀ (K+V)⁻¹ k in column chunks (ref gp_posterior.py:120-136);
+        ``diag=True`` returns only its diagonal (the variance path).
 
         Under gp2Scale the chunk is additionally bounded by MEMORY, not
         just the batch size: every Krylov matvec with c right-hand sides
@@ -170,10 +171,18 @@ class GPposterior:
             else:
                 cols = kd[:, start:end]
             solved = self.kv.solve(cols)
-            if is_block_sparse(k):
+            if diag:
+                # variance path: only kᵀ(K+V)⁻¹k's DIAGONAL is consumed —
+                # the per-chunk elementwise dot replaces the (n_pred, c)
+                # full-row product, cutting O(N·n_pred²) matmul FLOPs to
+                # O(N·n_pred) and never forming the (n_pred, n_pred) S
+                parts.append(jnp.sum(jnp.asarray(cols) * solved, axis=0))
+            elif is_block_sparse(k):
                 parts.append(k.rmatmat(solved))
             else:
                 parts.append(kd.T @ solved)
+        if diag:
+            return jnp.concatenate(parts)
         return jnp.concatenate(parts, axis=1)
 
     # ------------------------------------------------------------------
@@ -277,6 +286,14 @@ class GPposterior:
             # np.asarray of a device array is a READ-ONLY view; the negative-
             # variance clip below mutates in place
             v = np.array(v)
+        elif variance_only and self.gp2Scale and self.y_data.shape[1] == 1:
+            # at-scale variance path: only the DIAGONAL of kᵀ(K+V)⁻¹k is
+            # consumed — skip the (n_pred, n_pred) S and its O(N·n_pred²)
+            # product FLOPs entirely (S is None, exactly like the
+            # explicit-inverse fast path above)
+            S = None
+            v = np.array(jnp.diagonal(kk)
+                         - self._cross_solve_product(k, diag=True))
         else:
             S = np.array(kk - self._cross_solve_product(k))
             v = np.array(np.diag(S))

@@ -117,3 +117,125 @@ def test_async_optimizer_happy_path():
         time.sleep(0.02)
     out = opt.get_final()
     assert out and np.allclose(out[0]["x"], [1.0, 2.0])
+
+
+# ---------------------------------------------------------------------------
+# sparse-LML factory validation + f32-streaming mesh paths (round 5)
+# ---------------------------------------------------------------------------
+
+def _tiny_sparse_system(nb=8, B=16, seed=0):
+    """Padded inputs + full symmetric tile schedule for a tiny system."""
+    from fvgp_tpu.ops.sparse_lml import make_padded_inputs
+    rng = np.random.default_rng(seed)
+    n = nb * B - 5
+    x = rng.uniform(0, 6.0, (n, 2))
+    y = np.sin(x[:, 0])
+    noise = np.full(n, 1e-2)
+    xb, mask, y_pad, ypad_mask, noise_pad = make_padded_inputs(
+        x, y, noise, B, dtype=jnp.float64)
+    nb_eff = int(xb.shape[0])
+    rows, cols = np.meshgrid(np.arange(nb_eff), np.arange(nb_eff),
+                             indexing="ij")
+    order = np.argsort(rows.ravel(), kind="stable")
+    return (xb, mask, y_pad, ypad_mask, noise_pad, nb_eff,
+            rows.ravel()[order].astype(np.int32),
+            cols.ravel()[order].astype(np.int32))
+
+
+def test_sparse_lml_factory_validation():
+    from fvgp_tpu.kernels import wendland_anisotropic
+    from fvgp_tpu.ops.sparse_lml import (make_committed_solver,
+                                         make_sparse_lml)
+    import jax
+    from fvgp_tpu.parallel import mesh as pmesh
+    with pytest.raises(ValueError, match="unknown sparse-LML solver"):
+        make_sparse_lml(wendland_anisotropic, 8, 16, solver="bogus")
+    mesh = pmesh.make_mesh()
+    with pytest.raises(ValueError, match="must be a multiple"):
+        make_sparse_lml(wendland_anisotropic, 7, 16, mesh=mesh)
+    with pytest.raises(ValueError, match="must be a multiple"):
+        make_committed_solver(wendland_anisotropic, 7, 16, mesh=mesh)
+    with pytest.raises(ValueError, match="cannot combine with a mesh"):
+        make_committed_solver(wendland_anisotropic, 8, 16, mesh=mesh,
+                              row_chunk=8)
+
+
+def test_mesh_paths_with_cast_streaming(eight_devices):
+    """solver_dtype=f32 on the 8-device mesh exercises the cast branches
+    of the row-partitioned / halo SpMMs and the committed solver; results
+    match the f64 meshless run to f32 accuracy."""
+    import jax
+    from fvgp_tpu.kernels import wendland_anisotropic
+    from fvgp_tpu.ops.sparse_lml import (make_committed_solver,
+                                         make_sparse_lml)
+    from fvgp_tpu.parallel import mesh as pmesh
+    from fvgp_tpu.parallel.partition import partition_schedule
+    (xb, mask, y_pad, ypad_mask, noise_pad, nb, rows, cols) = \
+        _tiny_sparse_system()
+    hps = jnp.asarray(np.array([1.0, 2.0, 2.0]))
+    Z = jax.random.rademacher(jax.random.PRNGKey(0),
+                              (nb * 16, 8), dtype=jnp.float64)
+    Z = Z * ypad_mask[:, None]
+    args64 = (jnp.asarray(rows), jnp.asarray(cols), xb, mask, y_pad,
+              ypad_mask, noise_pad, Z)
+    lml64 = make_sparse_lml(wendland_anisotropic, nb, 16, cg_iters=64,
+                            solver="mbcg")
+    ref = float(jax.jit(lml64)(hps, *args64))
+
+    mesh = pmesh.make_mesh()
+    rows_p, cols_p, _, _ = partition_schedule(rows, cols, nb, 8)
+    lml32 = make_sparse_lml(wendland_anisotropic, nb, 16, cg_iters=64,
+                            solver="mbcg", solver_dtype=jnp.float32,
+                            mesh=mesh)
+    got = float(jax.jit(lml32)(hps, jnp.asarray(rows_p),
+                               jnp.asarray(cols_p), xb, mask, y_pad,
+                               ypad_mask, noise_pad, Z))
+    assert abs(got - ref) / abs(ref) < 1e-3
+
+    # committed solver, f32 streaming on the mesh
+    assemble, solve = make_committed_solver(
+        wendland_anisotropic, nb, 16, cg_iters=128, cg_tol=1e-6,
+        solver_dtype=jnp.float32, mesh=mesh)
+    tiles, pdata = jax.jit(assemble)(hps, jnp.asarray(rows_p),
+                                     jnp.asarray(cols_p), xb, mask,
+                                     noise_pad)
+    rhs = (y_pad * ypad_mask)[:, None]
+    X, it = jax.jit(solve)(tiles, pdata, jnp.asarray(rows_p),
+                           jnp.asarray(cols_p), noise_pad, rhs)
+    assert int(it) > 0
+    # residual check against the dense oracle
+    xd = np.asarray(xb).reshape(-1, 2)
+    K = np.array(wendland_anisotropic(xd, xd, np.asarray(hps)))
+    K *= np.asarray(mask).ravel()[:, None] * np.asarray(mask).ravel()[None, :]
+    KV = K + np.diag(np.asarray(noise_pad))
+    np.testing.assert_allclose(KV @ np.asarray(X)[:, 0],
+                               np.asarray(rhs)[:, 0], atol=1e-4)
+
+
+def test_mesh_precond_width_indivisible_warns(eight_devices):
+    """gp2Scale_precond_width that does not divide the PER-DEVICE block
+    count warns and falls back to width 1 instead of failing or silently
+    changing semantics."""
+    import jax
+    from fvgp_tpu.kernels import wendland_anisotropic
+    from fvgp_tpu.ops.sparse_lml import make_sparse_lml
+    from fvgp_tpu.parallel import mesh as pmesh
+    from fvgp_tpu.parallel.partition import partition_schedule
+    (xb, mask, y_pad, ypad_mask, noise_pad, nb, rows, cols) = \
+        _tiny_sparse_system()
+    hps = jnp.asarray(np.array([1.0, 2.0, 2.0]))
+    Z = jax.random.rademacher(jax.random.PRNGKey(0),
+                              (nb * 16, 8), dtype=jnp.float64)
+    Z = Z * ypad_mask[:, None]
+    mesh = pmesh.make_mesh()
+    rows_p, cols_p, _, _ = partition_schedule(rows, cols, nb, 8)
+    lml = make_sparse_lml(wendland_anisotropic, nb, 16, cg_iters=32,
+                          solver="mbcg", mesh=mesh, precond_width=3)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        val = float(jax.jit(lml)(hps, jnp.asarray(rows_p),
+                                 jnp.asarray(cols_p), xb, mask, y_pad,
+                                 ypad_mask, noise_pad, Z))
+    assert np.isfinite(val)
+    msgs = " ".join(str(w.message) for w in rec)
+    assert "does not divide the local block count" in msgs

@@ -2053,3 +2053,18 @@ def test_structure_cache_eviction(tmp_path, monkeypatch):
     assert total <= 40000
     assert "candidates-key7.npz" in files      # newest survives
     assert "candidates-key0.npz" not in files  # oldest evicted
+
+
+def test_gp2scale_variance_only_diag_path():
+    """variance_only under gp2Scale computes only the diagonal of
+    kᵀ(K+V)⁻¹k (S is None, like the explicit-inverse fast path) and
+    matches the full-S computation."""
+    x, y = _sparse_dataset(n=600)
+    xp = np.random.default_rng(7).uniform(0, 40, (11, 2))
+    gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+            linalg_mode="sparseCGpre",
+            args={"gp2Scale_block_size": 64, "sparse_cg_tol": 1e-10})
+    res_v = gp.posterior_covariance(xp, variance_only=True)
+    assert res_v["S"] is None
+    res_S = gp.posterior_covariance(xp, variance_only=False)
+    np.testing.assert_allclose(res_v["v(x)"], res_S["v(x)"], atol=1e-9)
