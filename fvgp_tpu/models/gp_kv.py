@@ -818,7 +818,7 @@ class GPkv:
             # the tiles whose output row block it owns (same ownership
             # model as the traced training step); within-segment order
             # stays row-sorted, sentinels at each segment tail
-            from ..parallel.partition import halo_plan, partition_schedule
+            from ..parallel.partition import partition_schedule
             W_eff = nb // n_dev
             if len(rows_f):
                 cnt = np.bincount(np.minimum(rows_f // W_eff, n_dev - 1),
@@ -835,48 +835,23 @@ class GPkv:
             # criterion as the training step (gp_marginal_likelihood).
             # Assembly keeps the ORIGINAL column indices; only the solve's
             # gather reads through the remap.
-            halo_mode = args.get("gp2Scale_halo_exchange", "auto")
-            if halo_mode not in (False, "off"):
-                cols_remap, send_sel, send_mask, hS, hstats = halo_plan(
-                    rows_p, cols_p, nb, n_dev, bucket=max(8, W_eff // 8))
-                # 2-D (slice, tiles) mesh: the HIERARCHICAL two-stage
-                # exchange — same cost model and selection margin as the
-                # training step (gp_marginal_likelihood), so 'hier' is
-                # never silently downgraded to the flat plan here
-                from ..parallel.mesh import SLICE_AXIS, TILE_AXIS
-                if (SLICE_AXIS in mesh.shape
-                        and int(mesh.shape[SLICE_AXIS]) > 1):
-                    from ..parallel.partition import halo_plan_hier
-                    ns = int(mesh.shape[SLICE_AXIS])
-                    ps = int(mesh.shape[TILE_AXIS])
-                    cr2, plan2, hier_stats = halo_plan_hier(
-                        rows_p, cols_p, nb, ns, ps,
-                        bucket=max(8, W_eff // 8))
-                    R = float(args.get("gp2Scale_dcn_ici_ratio", 8.0))
-                    ici_pairs = ns * ps * (ps - 1)
-                    cross_pairs = ns * ps * ps * (ns - 1)
-                    pair_w = ici_pairs + R * cross_pairs
-                    cost_ag = pair_w * W_eff
-                    cost_flat = pair_w * hS
-                    cost_hier = (hier_stats["ici_words"]
-                                 + R * hier_stats["dcn_words"])
-                    if (halo_mode == "hier"
-                            or (halo_mode in ("auto", True, "on")
-                                and cost_hier <= 0.8 * min(cost_ag,
-                                                           cost_flat))):
-                        halo_S = ("hier", hier_stats["S_ici"],
-                                  hier_stats["S_fwd"], hier_stats["S_dcn"])
-                        cols_solve = cr2
-                        halo_args = tuple(
-                            np.asarray(p) if p.dtype.kind == "i"
-                            else np.asarray(p, dtype) for p in plan2)
-                if (halo_S is None
-                        and (halo_mode in (True, "on", "hier")
-                             or hstats["halo_words"]
-                             <= 0.8 * hstats["allgather_words"])):
-                    halo_S = hS
-                    cols_solve = cols_remap
-                    halo_args = (send_sel, np.asarray(send_mask, dtype))
+            # collective selection shares THE cost model with the training
+            # step (parallel/partition.choose_halo): flat halo vs
+            # all-gather by word volume, hierarchical two-stage on 2-D
+            # meshes by fabric-weighted volume — 'hier' is never silently
+            # downgraded here
+            from ..parallel.partition import choose_halo
+            choice = choose_halo(
+                rows_p, cols_p, nb, mesh,
+                halo_mode=args.get("gp2Scale_halo_exchange", "auto"),
+                dcn_ratio=float(args.get("gp2Scale_dcn_ici_ratio", 8.0)),
+                bucket=max(8, W_eff // 8))
+            if choice is not None and choice["engaged"] is not None:
+                halo_S = choice["halo_S"]
+                cols_solve = choice["cols_remap"]
+                halo_args = tuple(
+                    np.asarray(p) if p.dtype.kind == "i"
+                    else np.asarray(p, dtype) for p in choice["plan"])
         else:
             T_pad = _bucket(max(len(rows_f), 1))
             rows_p = np.full(T_pad, nb, np.int32)
@@ -974,6 +949,14 @@ class GPkv:
             # the same size, so charge it unconditionally
             bytes_per_col += n_pad * (np.dtype(sdt).itemsize if sdt
                                       else np.dtype(dtype).itemsize)
+            # the mesh SpMM has no tile-streaming branch: every matvec
+            # materializes the per-device flat (T_local, B, c) einsum
+            # product in the f32 accumulator (f64 in full-precision runs)
+            # — uncharged, this OOM'd wide pod-scale posteriors that the
+            # single-chip scan path would have streamed
+            acc_b = 8 if (sdt is None
+                          and np.dtype(dtype) == np.float64) else 4
+            bytes_per_col += (T_pad // n_dev) * B * acc_b
         col_budget = max(1, max(budget - fixed, budget // 8)
                          // max(bytes_per_col, 1))
         if use_fused and col_budget >= 128:

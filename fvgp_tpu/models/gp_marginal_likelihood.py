@@ -487,7 +487,6 @@ class GPMarginalLikelihood:
                  nb_eff, layout_idx, halo) = pcache[1]
             else:
                 from ..parallel.partition import (apply_block_layout,
-                                                  halo_plan,
                                                   partition_schedule,
                                                   permute_blocked,
                                                   schedule_stats,
@@ -545,64 +544,34 @@ class GPMarginalLikelihood:
                 rows_d = jax.device_put(jnp.asarray(rows_p), tile_s)
                 cols_d = jax.device_put(jnp.asarray(cols_p), tile_s)
                 # halo exchange: ship only the referenced non-local column
-                # blocks instead of all-gathering X — taken when the
-                # (padded) all-to-all volume wins with margin, or forced
-                # via args["gp2Scale_halo_exchange"]
+                # blocks instead of all-gathering X — flat or hierarchical
+                # (2-D mesh), selected by THE shared cost model
+                # (parallel/partition.choose_halo, same as the committed
+                # posterior solver), or forced via
+                # args["gp2Scale_halo_exchange"]
+                from ..parallel.partition import choose_halo
                 halo = None
                 halo_mode = args.get("gp2Scale_halo_exchange", "auto")
-                if halo_mode not in (False, "off"):
-                    cols_remap, send_sel, send_mask, hS, hstats = halo_plan(
-                        rows_p, cols_p, nb_eff, n_dev,
-                        bucket=max(8, W_eff // 8))
-                    use = (hstats["halo_words"]
-                           <= 0.8 * hstats["allgather_words"])
+                choice = choose_halo(
+                    rows_p, cols_p, nb_eff, mesh, halo_mode=halo_mode,
+                    dcn_ratio=float(args.get("gp2Scale_dcn_ici_ratio",
+                                             8.0)),
+                    bucket=max(8, W_eff // 8))
+                hstats = choice["stats"] if choice is not None else None
+                hier_stats = (choice["hier_stats"] if choice is not None
+                              else None)
+                send_mask = (choice["send_mask"] if choice is not None
+                             else None)
+                if choice is not None and choice["engaged"] is not None:
                     plan_s = NamedSharding(mesh, tile_spec(mesh, 2))
-                    # 2-D (slice, tiles) mesh: consider the HIERARCHICAL
-                    # two-stage exchange, which pads the DCN all-to-all to
-                    # the cross-slice (boundary-band) max instead of the
-                    # global max — picked when its fabric-weighted volume
-                    # wins with margin (ICI words + R·DCN words, R = the
-                    # ICI:DCN bandwidth ratio), or forced with
-                    # args["gp2Scale_halo_exchange"]="hier"
-                    from ..parallel.mesh import SLICE_AXIS, TILE_AXIS
-                    hier_stats = None
-                    if (SLICE_AXIS in mesh.shape
-                            and int(mesh.shape[SLICE_AXIS]) > 1):
-                        from ..parallel.partition import halo_plan_hier
-                        ns = int(mesh.shape[SLICE_AXIS])
-                        ps = int(mesh.shape[TILE_AXIS])
-                        cr2, plan2, hier_stats = halo_plan_hier(
-                            rows_p, cols_p, nb_eff, ns, ps,
-                            bucket=max(8, W_eff // 8))
-                        R = float(args.get("gp2Scale_dcn_ici_ratio", 8.0))
-                        ici_pairs = ns * ps * (ps - 1)
-                        cross_pairs = ns * ps * ps * (ns - 1)
-                        pair_w = ici_pairs + R * cross_pairs
-                        cost_ag = pair_w * W_eff
-                        cost_flat = pair_w * hS
-                        cost_hier = (hier_stats["ici_words"]
-                                     + R * hier_stats["dcn_words"])
-                        if (halo_mode == "hier"
-                                or (halo_mode in ("auto", True, "on")
-                                    and cost_hier <= 0.8 * min(cost_ag,
-                                                               cost_flat))):
-                            halo = tuple(
-                                jax.device_put(
-                                    jnp.asarray(p) if p.dtype.kind == "i"
-                                    else jnp.asarray(p, dtype), plan_s)
-                                for p in plan2) + (
-                                jax.device_put(jnp.asarray(cr2), tile_s),
-                                ("hier", hier_stats["S_ici"],
-                                 hier_stats["S_fwd"],
-                                 hier_stats["S_dcn"]))
-                    if halo is None and (halo_mode in (True, "on", "hier")
-                                         or use):
-                        halo = (
-                            jax.device_put(jnp.asarray(send_sel), plan_s),
-                            jax.device_put(
-                                jnp.asarray(send_mask, dtype), plan_s),
-                            jax.device_put(jnp.asarray(cols_remap), tile_s),
-                            hS)
+                    halo = tuple(
+                        jax.device_put(
+                            jnp.asarray(p) if p.dtype.kind == "i"
+                            else jnp.asarray(p, dtype), plan_s)
+                        for p in choice["plan"]) + (
+                        jax.device_put(jnp.asarray(choice["cols_remap"]),
+                                       tile_s),
+                        choice["halo_S"])
                 entry["partition_cache"] = (
                     (rows_f.copy(), cols_f.copy()),
                     (rows_d, cols_d, xb_m, mask_m, y_m, ym_m, np_m, nb_eff,

@@ -111,6 +111,27 @@ def _spmv(rows, cols, tiles, X, nb, B, mv_dtype=None):
     return out.reshape(n_pad, -1).astype(X.dtype)
 
 
+def _local_spmm_tail(mesh, W, B, tiles, Xcat, cols, rows, mv_dtype,
+                     out_dtype):
+    """Shared per-device tail of the three shard_map SpMM bodies
+    (row-partitioned / flat halo / hierarchical halo): optional streaming
+    cast of the tiles, the tiled einsum against the gathered X blocks, the
+    row-ownership guard (foreign rows cannot occur under a correct
+    partition; clamped sentinels route to the dropped segment), and the
+    local segment-sum.  One copy so the accumulator and guard semantics
+    cannot diverge between the collectives."""
+    from ..parallel.mesh import flat_tile_index
+    acc = out_dtype if out_dtype == jnp.float64 else jnp.float32
+    if mv_dtype is not None:
+        tiles = tiles.astype(mv_dtype)
+    prod = jnp.einsum("tij,tjk->tik", tiles, Xcat[cols],
+                      preferred_element_type=acc)
+    row0 = flat_tile_index(mesh) * W
+    r_loc = jnp.where((rows >= row0) & (rows < row0 + W), rows - row0, W)
+    out = jax.ops.segment_sum(prod, r_loc, num_segments=W)
+    return out.reshape(W * B, -1).astype(out_dtype)
+
+
 def _rowpart_spmv_factory(nb, B, mesh, mv_dtype=None):
     """Row-ownership SpMM over a device mesh (the scale path's collective
     design; see parallel/partition.py for the comm model).
@@ -123,7 +144,7 @@ def _rowpart_spmv_factory(nb, B, mesh, mv_dtype=None):
     position-sharded tiles, and the output lands row-sharded for the next
     (local) vector op of CG.
     """
-    from ..parallel.mesh import flat_tile_index, tile_device_count, tile_spec
+    from ..parallel.mesh import tile_device_count, tile_spec
     n_dev = tile_device_count(mesh)
     if nb % n_dev:
         raise ValueError(f"row-partitioned SpMM needs nb ({nb}) divisible by "
@@ -131,22 +152,10 @@ def _rowpart_spmv_factory(nb, B, mesh, mv_dtype=None):
     nb_local = nb // n_dev
 
     def local_spmv(rows, cols, tiles, X):
-        acc = X.dtype if X.dtype == jnp.float64 else jnp.float32
-        if mv_dtype is not None:
-            tiles = tiles.astype(mv_dtype)
-            Xc = X.astype(mv_dtype)
-        else:
-            Xc = X
+        Xc = X.astype(mv_dtype) if mv_dtype is not None else X
         Xb = Xc.reshape(nb, B, -1)
-        prod = jnp.einsum("tij,tjk->tik", tiles, Xb[cols],
-                          preferred_element_type=acc)
-        row0 = flat_tile_index(mesh) * nb_local
-        # foreign rows cannot occur under a correct partition; the guard
-        # routes clamped sentinels (and any misuse) to the dropped segment
-        r_loc = jnp.where((rows >= row0) & (rows < row0 + nb_local),
-                          rows - row0, nb_local)
-        out = jax.ops.segment_sum(prod, r_loc, num_segments=nb_local)
-        return out.reshape(nb_local * B, -1).astype(X.dtype)
+        return _local_spmm_tail(mesh, nb_local, B, tiles, Xb, cols, rows,
+                                mv_dtype, X.dtype)
 
     return jax.shard_map(local_spmv, mesh=mesh,
                          in_specs=(tile_spec(mesh), tile_spec(mesh),
@@ -164,8 +173,7 @@ def _halo_spmv_factory(nb, B, mesh, halo_S, mv_dtype=None):
     ``n·(n-1)·W``.  X stays row-sharded end to end; cols arrive REMAPPED to
     positions in ``concat([local blocks, received blocks])``.
     """
-    from ..parallel.mesh import (flat_tile_index, tile_axes,
-                                 tile_device_count, tile_spec)
+    from ..parallel.mesh import tile_axes, tile_device_count, tile_spec
     n_dev = tile_device_count(mesh)
     axes = tile_axes(mesh)
     a2a_axis = axes[0] if len(axes) == 1 else axes
@@ -175,25 +183,15 @@ def _halo_spmv_factory(nb, B, mesh, halo_S, mv_dtype=None):
     W = nb // n_dev
 
     def local_spmv(rows, cols_remap, tiles, X, send_sel, send_mask):
-        acc = X.dtype if X.dtype == jnp.float64 else jnp.float32
-        if mv_dtype is not None:
-            tiles = tiles.astype(mv_dtype)
-            Xc = X.astype(mv_dtype)
-        else:
-            Xc = X
+        Xc = X.astype(mv_dtype) if mv_dtype is not None else X
         k = Xc.shape[1]
         Xb = Xc.reshape(W, B, k)
         send = Xb[send_sel[0]] * send_mask[0][..., None, None].astype(Xc.dtype)
         recv = jax.lax.all_to_all(send, a2a_axis, 0, 0, tiled=True)
         Xcat = jnp.concatenate([Xb, recv.reshape(n_dev * halo_S, B, k)],
                                axis=0)
-        prod = jnp.einsum("tij,tjk->tik", tiles, Xcat[cols_remap],
-                          preferred_element_type=acc)
-        row0 = flat_tile_index(mesh) * W
-        r_loc = jnp.where((rows >= row0) & (rows < row0 + W),
-                          rows - row0, W)
-        out = jax.ops.segment_sum(prod, r_loc, num_segments=W)
-        return out.reshape(W * B, -1).astype(X.dtype)
+        return _local_spmm_tail(mesh, W, B, tiles, Xcat, cols_remap, rows,
+                                mv_dtype, X.dtype)
 
     return jax.shard_map(local_spmv, mesh=mesh,
                          in_specs=(tile_spec(mesh), tile_spec(mesh),
@@ -216,7 +214,7 @@ def _halo_hier_spmv_factory(nb, B, mesh, halo_spec, mv_dtype=None):
     ``S_dcn``) — so DCN carries only the slice-boundary band instead of
     the global pad (docs/source/comm_model.md).
     """
-    from ..parallel.mesh import (SLICE_AXIS, TILE_AXIS, flat_tile_index,
+    from ..parallel.mesh import (SLICE_AXIS, TILE_AXIS,
                                  tile_device_count, tile_spec)
     _, S_ici, S_fwd, S_dcn = halo_spec
     n_dev = tile_device_count(mesh)
@@ -232,12 +230,7 @@ def _halo_hier_spmv_factory(nb, B, mesh, halo_spec, mv_dtype=None):
 
     def local_spmv(rows, cols_remap, tiles, X,
                    sel_ici, m_ici, sel_fwd, m_fwd, fwd_sel, m_dcn):
-        acc = X.dtype if X.dtype == jnp.float64 else jnp.float32
-        if mv_dtype is not None:
-            tiles = tiles.astype(mv_dtype)
-            Xc = X.astype(mv_dtype)
-        else:
-            Xc = X
+        Xc = X.astype(mv_dtype) if mv_dtype is not None else X
         k = Xc.shape[1]
         Xb = Xc.reshape(W, B, k)
         # stage 1: same-slice remote blocks, direct over ICI
@@ -253,13 +246,8 @@ def _halo_hier_spmv_factory(nb, B, mesh, halo_spec, mv_dtype=None):
         Xcat = jnp.concatenate(
             [Xb, recv1.reshape(ps * S_ici, B, k),
              recv3.reshape(ns * S_dcn, B, k)], axis=0)
-        prod = jnp.einsum("tij,tjk->tik", tiles, Xcat[cols_remap],
-                          preferred_element_type=acc)
-        row0 = flat_tile_index(mesh) * W
-        r_loc = jnp.where((rows >= row0) & (rows < row0 + W),
-                          rows - row0, W)
-        out = jax.ops.segment_sum(prod, r_loc, num_segments=W)
-        return out.reshape(W * B, -1).astype(X.dtype)
+        return _local_spmm_tail(mesh, W, B, tiles, Xcat, cols_remap, rows,
+                                mv_dtype, X.dtype)
 
     return jax.shard_map(local_spmv, mesh=mesh,
                          in_specs=(tile_spec(mesh), tile_spec(mesh),
@@ -586,7 +574,10 @@ def _slq_fixed(matvec, Z, degree):
             alpha = jnp.dot(w, v)
             w = w - alpha * v - beta_prev * v_prev
             beta = jnp.linalg.norm(w)
-            v_next = w / jnp.maximum(beta, 1e-300)
+            # breakdown guard in the WORKING dtype: the literal 1e-300
+            # underflows to 0.0 in f32, turning an exact Lanczos breakdown
+            # (diagonal K+V: w == 0 at step 1) into 0/0 = NaN logdet
+            v_next = w / jnp.maximum(beta, jnp.finfo(v.dtype).tiny)
             return (v, v_next, beta), (alpha, beta)
 
         _, (alphas, betas) = jax.lax.scan(
@@ -724,6 +715,8 @@ def _mbcg_factory(nb, B, iters, mv_dtype=None, mesh=None, halo_S=None,
         return out
 
     def _fwd(od, Minv, Lm, ym, U):
+        assert Lm.shape == Minv.shape, \
+            "mBCG backward substitutes zeros_like(Minv) for Lm's cotangent"
         Z = lm_apply(Lm, U)
         RHS = jnp.concatenate([ym[:, None], Z], axis=1)
         X, alphas, betas = _pcg_coeffs(od, Minv, RHS)
@@ -747,6 +740,11 @@ def _mbcg_factory(nb, B, iters, mv_dtype=None, mesh=None, halo_S=None,
         _, vjp_fn = jax.vjp(lambda o: mv(o, Xp), od)
         od_bar, = vjp_fn(Cot)
         ym_bar = (2.0 * qb) * x
+        # the second zeros_like(Minv) is the Lm cotangent: Lm is not kept
+        # in the residuals (it would pin another (nb, P, P) buffer), and
+        # _diag_precond_blocks guarantees Lm.shape == Minv.shape — the
+        # forward asserts that so a future shape divergence fails loudly
+        # here, not as a custom_vjp structure error
         return (od_bar, jnp.zeros_like(Minv), jnp.zeros_like(Minv),
                 ym_bar, jnp.zeros_like(S))
 
@@ -825,8 +823,11 @@ def make_sparse_lml(kernel_fn, nb, B, *, cg_iters=64, slq_degree=20,
         lml(hps, rows, cols, xb, mask, y_pad, ypad_mask, noise_diag_pad, Z
             [, send_sel, send_mask, cols_remap])
 
-    With ``halo_S`` set (mesh path), ``cols`` must arrive REMAPPED and the
-    trailing halo-plan arrays are required, cols_remap LAST: an int
+    With ``halo_S`` set (mesh path), the ``cols`` positional keeps the
+    ORIGINAL block indices (tile ASSEMBLY reads it — a remapped list there
+    would silently build kernel tiles for the wrong point-block pairs);
+    the REMAPPED column list rides as the LAST trailing halo argument, and
+    only the solve-side gather reads it.  An int
     ``halo_S`` takes ``(send_sel, send_mask, cols_remap)``
     (parallel/partition.halo_plan); a ``("hier", S_ici, S_fwd, S_dcn)``
     tuple takes the six ``halo_plan_hier`` plan arrays + cols_remap.  The
@@ -1186,6 +1187,12 @@ def make_committed_solver(kernel_fn, nb, B, *, cg_iters=96, solver_dtype=None,
     def solve(tiles, pdata, rows, cols, noise_diag_pad, RHS):
         # row_chunk set: ``rows`` is the PER-CHUNK row index (rowsc) from
         # row_aligned_schedule; otherwise the per-tile row list
+        if row_chunk is not None and RHS.dtype == jnp.float64:
+            raise ValueError(
+                "make_committed_solver(row_chunk=...): the fused "
+                "row-aligned SpMM accumulates in f32 — f64 (direct-"
+                "semantics) solves must keep row_chunk=None so the scan "
+                "path preserves full precision")
         cols_c = jnp.minimum(cols, nb - 1)
         c = RHS.shape[1]
         T = int(cols.shape[0])

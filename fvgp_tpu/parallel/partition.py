@@ -483,3 +483,68 @@ def schedule_stats(rows, cols, nb, n_dev, block_size, n_rhs=1, elt_bytes=4):
         "allgather_bytes": int(frac * nb * word),
         "halo_bytes": int(halo_blocks * word),
     }
+
+
+def choose_halo(rows_p, cols_p, nb, mesh, halo_mode="auto", dcn_ratio=8.0,
+                bucket=None):
+    """Pick the CG-iterate gather collective for a partitioned schedule —
+    THE shared cost model of the training step and the committed posterior
+    solver (it lived as two near-verbatim copies before; a margin or
+    pair-weighting change in one silently diverged the paths).
+
+    Returns None when ``halo_mode`` disables halos, else a dict:
+
+    * ``engaged``: None (all-gather wins), ``"flat"``, or ``"hier"``
+    * ``halo_S``: the SpMM-program key — the flat pad size (int) or the
+      ``("hier", S_ici, S_fwd, S_dcn)`` tuple
+    * ``cols_remap``: the solve-side column list for the engaged plan
+    * ``plan``: the plan arrays, in the SpMM's trailing-argument order —
+      ``(send_sel, send_mask)`` flat, the six ``halo_plan_hier`` arrays
+      hierarchical.  Callers cast the non-int arrays to the solver dtype
+      and device_put with their own shardings.
+    * ``stats`` / ``hier_stats`` / ``send_mask``: volume accounting for
+      the debug logs (``dcn_split``).
+
+    Selection: the flat plan engages when its word volume beats the
+    all-gather by the 0.8 margin (or is forced); on a 2-D (slice, tiles)
+    mesh the hierarchical two-stage plan is preferred when its
+    fabric-weighted volume (ICI words + R·DCN words, R = ``dcn_ratio``)
+    beats BOTH, or ``halo_mode == "hier"`` forces it."""
+    if halo_mode in (False, "off"):
+        return None
+    from .mesh import SLICE_AXIS, TILE_AXIS, tile_device_count
+    n_dev = tile_device_count(mesh)
+    W = nb // n_dev
+    if bucket is None:
+        bucket = max(8, W // 8)
+    cols_remap, send_sel, send_mask, hS, hstats = halo_plan(
+        rows_p, cols_p, nb, n_dev, bucket=bucket)
+    out = {"engaged": None, "halo_S": None, "cols_remap": None,
+           "plan": (), "stats": hstats, "hier_stats": None,
+           "send_mask": send_mask}
+    if SLICE_AXIS in mesh.shape and int(mesh.shape[SLICE_AXIS]) > 1:
+        ns = int(mesh.shape[SLICE_AXIS])
+        ps = int(mesh.shape[TILE_AXIS])
+        cr2, plan2, hier_stats = halo_plan_hier(rows_p, cols_p, nb, ns, ps,
+                                                bucket=bucket)
+        out["hier_stats"] = hier_stats
+        R = float(dcn_ratio)
+        ici_pairs = ns * ps * (ps - 1)
+        cross_pairs = ns * ps * ps * (ns - 1)
+        pair_w = ici_pairs + R * cross_pairs
+        cost_ag = pair_w * W
+        cost_flat = pair_w * hS
+        cost_hier = hier_stats["ici_words"] + R * hier_stats["dcn_words"]
+        if (halo_mode == "hier"
+                or (halo_mode in ("auto", True, "on")
+                    and cost_hier <= 0.8 * min(cost_ag, cost_flat))):
+            out.update(engaged="hier",
+                       halo_S=("hier", hier_stats["S_ici"],
+                               hier_stats["S_fwd"], hier_stats["S_dcn"]),
+                       cols_remap=cr2, plan=tuple(plan2))
+            return out
+    if (halo_mode in (True, "on", "hier")
+            or hstats["halo_words"] <= 0.8 * hstats["allgather_words"]):
+        out.update(engaged="flat", halo_S=hS, cols_remap=cols_remap,
+                   plan=(send_sel, send_mask))
+    return out

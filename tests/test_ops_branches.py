@@ -239,3 +239,46 @@ def test_mesh_precond_width_indivisible_warns(eight_devices):
     assert np.isfinite(val)
     msgs = " ".join(str(w.message) for w in rec)
     assert "does not divide the local block count" in msgs
+
+
+def test_slq_f32_lanczos_breakdown_no_nan():
+    """Exact Lanczos breakdown (diagonal operator: w == 0 at step 1) in
+    f32 must not NaN the logdet — the old 1e-300 guard underflowed to 0.0
+    in f32 (review finding, reproduced)."""
+    import jax
+    from fvgp_tpu.ops.sparse_lml import _slq_fixed
+    n = 64
+    Z = jax.random.rademacher(jax.random.PRNGKey(0), (n, 4),
+                              dtype=jnp.float32)
+    ld, _ = _slq_fixed(lambda X: 2.0 * X, Z, degree=8)
+    assert np.isfinite(float(ld))
+    np.testing.assert_allclose(float(ld), n * np.log(2.0), rtol=1e-5)
+
+
+def test_committed_fused_path_rejects_f64():
+    """row_chunk (the fused f32-accumulating SpMM) must refuse f64 solves
+    instead of silently truncating the documented full-precision
+    semantics."""
+    import jax
+    from fvgp_tpu.kernels import wendland_anisotropic
+    from fvgp_tpu.ops.sparse_lml import (make_committed_solver,
+                                         make_padded_inputs)
+    rng = np.random.default_rng(0)
+    n, B = 59, 16
+    x = rng.uniform(0, 6.0, (n, 2))
+    xb, mask, y_pad, ypad_mask, noise_pad = make_padded_inputs(
+        x, np.zeros(n), np.full(n, 1e-2), B, dtype=jnp.float64)
+    nb = int(xb.shape[0])
+    rows = np.repeat(np.arange(nb), nb).astype(np.int32)
+    cols = np.tile(np.arange(nb), nb).astype(np.int32)
+    assemble, solve = make_committed_solver(wendland_anisotropic, nb, B,
+                                            row_chunk=4)
+    hps = jnp.asarray(np.array([1.0, 2.0, 2.0]))
+    from fvgp_tpu.ops.pallas_kernels import row_aligned_schedule
+    rows_p, cols_p, rowsc, _ = row_aligned_schedule(rows, cols, nb, C=4)
+    tiles, pdata = jax.jit(assemble)(hps, jnp.asarray(rows_p),
+                                     jnp.asarray(cols_p), xb, mask,
+                                     noise_pad)
+    with pytest.raises(ValueError, match="accumulates in f32"):
+        solve(tiles, pdata, jnp.asarray(rowsc), jnp.asarray(cols_p),
+              noise_pad, (y_pad * ypad_mask)[:, None])
