@@ -940,7 +940,10 @@ class GPkv:
             nbg = -(-nb // (int(coarse_w) if coarse_w
                             else max(1, -(-nb // 4096))))
             fixed += 3 * nbg * nbg * 4
-        bytes_per_col = n_pad * (6 * np.dtype(dtype).itemsize
+        # 5 live CG-state buffers (X, R, P, Z, Ap — the RHS is DONATED into
+        # the solve, so R aliases it) + the matvec's cast copy + the
+        # scan-SpMM accumulator
+        bytes_per_col = n_pad * (5 * np.dtype(dtype).itemsize
                                  + (np.dtype(sdt).itemsize if sdt else 0)
                                  + 4) // n_dev           # scan accumulator
         if mesh is not None:
@@ -981,7 +984,8 @@ class GPkv:
                 jax.device_put(jnp.asarray(h),
                                NamedSharding(mesh, tile_spec(mesh, 2)))
                 for h in halo_args)
-            ctx = {"key": key, "fn": jax.jit(solver), "mode": mode,
+            ctx = {"key": key,
+                   "fn": jax.jit(solver, donate_argnums=(5,)), "mode": mode,
                    "assemble": jax.jit(assemble), "tiles": None,
                    "Minv": None, "arows": arows, "rows": arows,
                    "cols": acols, "scols": scols, "halo_args": halo_dev,
@@ -994,7 +998,8 @@ class GPkv:
             self._fast_solver_ctx = ctx
             return ctx
         arows = jnp.asarray(rows_p)
-        ctx = {"key": key, "fn": jax.jit(solver), "mode": mode,
+        ctx = {"key": key, "fn": jax.jit(solver, donate_argnums=(5,)),
+               "mode": mode,
                "assemble": jax.jit(assemble), "tiles": None, "Minv": None,
                "arows": arows,              # per-tile rows (assembly)
                "rows": (solver_rows if solver_rows is not None else arows),

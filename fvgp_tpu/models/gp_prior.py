@@ -387,8 +387,24 @@ class GPprior:
         kern_fn = _stable_kernel_closure(self)
         xc, xp, hps, n_pred = self._cross_scan_inputs(x_pred,
                                                       hyperparameters)
-        out = _dense_cross_scan(kern_fn, xc, xp, hps)
-        return out[:n, :n_pred]
+        try:
+            out = _dense_cross_scan(kern_fn, xc, xp, hps)
+            return jax.block_until_ready(out)[:n, :n_pred]
+        except jax.errors.JaxRuntimeError as exc:
+            # the static budget cannot see the device's ACTUAL residents
+            # (committed tiles + preconditioner + solver state vary with
+            # args), and relayed backends hide memory_stats — when the
+            # dense sweep genuinely does not fit, fall back to the
+            # memory-bounded tile-structure path instead of surfacing the
+            # allocator error (seen at N=1M with a width-2 preconditioner)
+            if "RESOURCE_EXHAUSTED" not in str(exc):
+                raise
+            warnings.warn(
+                "gp2Scale dense cross-covariance sweep exhausted device "
+                "memory; falling back to the block-sparse cross path "
+                "(lower args['gp2Scale_dense_cross_budget'] to skip the "
+                "attempt)")
+            return None
 
     def cross_covariance_product_or_none(self, x_pred, hyperparameters,
                                          vec):

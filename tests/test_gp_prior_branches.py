@@ -138,6 +138,44 @@ def test_dense_cross_budget_rejection():
                                rtol=1e-8)
 
 
+def test_dense_cross_oom_falls_back(monkeypatch):
+    """A device RESOURCE_EXHAUSTED inside the dense sweep returns None
+    (callers fall back to the memory-bounded tile path) with a warning;
+    other runtime errors re-raise.  The static budget cannot see the
+    device's actual residents, so the allocator is the final arbiter."""
+    import warnings
+
+    import jax
+
+    from fvgp_tpu.models import gp_prior as gpp
+
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 12, (300, 2))
+    y = np.sin(x[:, 0])
+    xp = rng.uniform(0, 12, (5, 2))
+    gp = _scale_gp(x, y)
+
+    def oom(*a, **k):
+        raise jax.errors.JaxRuntimeError(
+            "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted).")
+
+    monkeypatch.setattr(gpp, "_dense_cross_scan", oom)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert gp.prior._dense_cross_or_none(xp, gp.hyperparameters) is None
+    assert any("exhausted device memory" in str(w.message) for w in rec)
+    # the public posterior still serves (tile-structure cross path)
+    m = gp.posterior_mean(xp)["m(x)"]
+    assert np.all(np.isfinite(m))
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError("INTERNAL: something else")
+
+    monkeypatch.setattr(gpp, "_dense_cross_scan", boom)
+    with pytest.raises(jax.errors.JaxRuntimeError, match="something else"):
+        gp.prior._dense_cross_or_none(xp, gp.hyperparameters)
+
+
 def test_cross_product_none_for_host_kernel():
     """cross_covariance_product_or_none: None for host callables (callers
     materialize k instead), and 1-d vectors are promoted to one column."""
