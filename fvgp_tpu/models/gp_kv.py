@@ -698,7 +698,13 @@ class GPkv:
         args = self.args
         B = int(args.get("gp2Scale_block_size",
                          min(self.prior.batch_size, 256)))
-        pwidth = max(1, int(args.get("gp2Scale_precond_width", 1)))
+        # posterior width may differ from the training width: the committed
+        # solve is pure PCG, where a support-spanning factor (width 4 at the
+        # bench geometry) cuts ~20% of the trips (docs/source/precond_study
+        # "posterior width study"), while the training mBCG measured width 1
+        # optimal — one shared knob forced both to the same value
+        pwidth = max(1, int(args.get("gp2Scale_posterior_precond_width",
+                                     args.get("gp2Scale_precond_width", 1))))
         # posterior-solve preconditioner type (block_jacobi | two_level/amg;
         # the training step's fused mBCG is structurally block-diagonal-only
         # — see ops/sparse_lml.make_committed_solver)

@@ -1936,6 +1936,34 @@ def test_committed_two_level_precond_parity(eight_devices):
             gp_m.posterior_covariance(xp)["v(x)"], v_ref, atol=1e-7)
 
 
+def test_committed_posterior_precond_width_override():
+    """gp2Scale_posterior_precond_width widens the committed solver's
+    factors independently of the training width: posteriors match the
+    width-1 answers (the preconditioner changes only the iteration path)
+    and a set_args toggle takes effect on the next solve (cache key)."""
+    xp = np.random.default_rng(7).uniform(0, 40, (7, 2))
+    gp_ref = _precond_gp()
+    m_ref = gp_ref.posterior_mean(xp)["m(x)"]
+    v_ref = gp_ref.posterior_covariance(xp)["v(x)"]
+
+    gp_w = _precond_gp(gp2Scale_posterior_precond_width=2)
+    ctx = gp_w.kv._fast_sparse_solver()
+    assert ctx is not None
+    np.testing.assert_allclose(gp_w.posterior_mean(xp)["m(x)"], m_ref,
+                               atol=1e-7)
+    np.testing.assert_allclose(gp_w.posterior_covariance(xp)["v(x)"],
+                               v_ref, atol=1e-7)
+    it_w2 = int(np.asarray(gp_w.kv.last_solve_info["iterations"]))
+    assert it_w2 > 0
+    # the override must resolve into the solver context (a new cache key),
+    # not silently reuse the width-1 program
+    gp_w.set_args(dict(gp_w.args, gp2Scale_posterior_precond_width=1))
+    ctx1 = gp_w.kv._fast_sparse_solver()
+    assert ctx1 is not ctx
+    np.testing.assert_allclose(gp_w.posterior_mean(xp)["m(x)"], m_ref,
+                               atol=1e-7)
+
+
 def test_committed_precond_unknown_type_raises():
     gp = _precond_gp("schwartz")            # the classic typo must raise
     with pytest.raises(Exception, match="committed-solver preconditioner"):
