@@ -730,7 +730,8 @@ class GPkv:
                bool(args.get("gp2Scale_posterior_fused_spmm", True)),
                bool(args.get("gp2Scale_tile_filter", True)),
                args.get("gp2Scale_halo_exchange", "auto"),
-               args.get("gp2Scale_posterior_budget"))
+               args.get("gp2Scale_posterior_budget"),
+               args.get("gp2Scale_posterior_col_budget"))
         ctx = self._fast_solver_ctx
         if ctx is not None and ctx["key"] == key:
             return ctx if ctx.get("fn") is not None else None
@@ -973,6 +974,15 @@ class GPkv:
             # minor dimension to 128 lanes, so a k=42 chunk streams 3x the
             # X bytes it uses — multiples of 128 waste nothing
             col_budget = (col_budget // 128) * 128
+        # explicit width override: each CG trip streams the SAME tile bytes
+        # regardless of column count (the SpMM is tile-read-bound,
+        # docs/source/roofline.md), so fewer, wider chunks amortize the
+        # passes — callers who know their HBM headroom can push past the
+        # conservative buffer model (the solve retreats to narrower
+        # chunks on a device OOM, _fast_solve below)
+        override = args.get("gp2Scale_posterior_col_budget", None)
+        if override is not None:
+            col_budget = max(1, int(override))
         if mesh is not None:
             # device placement mirrors the training step: tile-list arrays
             # and noise row-sharded, points/hps replicated
@@ -1087,20 +1097,44 @@ class GPkv:
                     ctx["mask"], ctx["noise_pad"])
         solve_cols = ctx["scols"] if ctx.get("scols") is not None \
             else ctx["cols"]
-        outs, its, s = [], [], 0
-        for c_eff in widths:
-            c = min(c_total - s, c_eff)
-            rhs_pad = jnp.zeros((n_pad, c_eff), dtype).at[:n, :c].set(
-                b[:, s:s + c])
-            if ctx.get("rhs_sharding") is not None:
-                rhs_pad = jax.device_put(rhs_pad, ctx["rhs_sharding"])
-            X, it = ctx["fn"](ctx["tiles"], ctx["Minv"], ctx["rows"],
-                              solve_cols, ctx["noise_pad"], rhs_pad,
-                              *ctx.get("halo_args", ()))
-            outs.append(X[:n, :c])
-            its.append(it)
-            s += c
-        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        while True:
+            outs, its, s = [], [], 0
+            try:
+                for c_eff in widths:
+                    c = min(c_total - s, c_eff)
+                    rhs_pad = jnp.zeros((n_pad, c_eff), dtype) \
+                        .at[:n, :c].set(b[:, s:s + c])
+                    if ctx.get("rhs_sharding") is not None:
+                        rhs_pad = jax.device_put(rhs_pad,
+                                                 ctx["rhs_sharding"])
+                    X, it = ctx["fn"](ctx["tiles"], ctx["Minv"],
+                                      ctx["rows"], solve_cols,
+                                      ctx["noise_pad"], rhs_pad,
+                                      *ctx.get("halo_args", ()))
+                    outs.append(X[:n, :c])
+                    its.append(it)
+                    s += c
+                out = outs[0] if len(outs) == 1 \
+                    else jnp.concatenate(outs, axis=1)
+                # force inside the try: dispatch is async, so an OOM
+                # raised lazily at a downstream consumer would escape the
+                # retreat below (multi-chunk dispatch still overlaps — the
+                # sync is once, on the final dependent value)
+                out.block_until_ready()
+                break
+            except Exception as e:      # device OOM: retreat to narrower
+                #                         chunks (the buffer model is a
+                #                         heuristic; overrides may overshoot)
+                if "RESOURCE_EXHAUSTED" not in str(e) or cb <= 8:
+                    raise
+                del outs
+                cb = max(8, cb // 2)
+                ctx["col_budget"] = cb
+                warnings.warn(
+                    "committed solver: device OOM at chunk width "
+                    f"{widths[0]}; retrying at {cb} columns per solve")
+                widths = ([min(max(8, 1 << (c_total - 1).bit_length()), cb)]
+                          if c_total <= cb else [cb] * (-(-c_total // cb)))
         # iteration accounting for the preconditioner payoff studies —
         # device scalars, NOT forced here (a host sync inside the solve
         # path would serialize chunk dispatch); consumers int() them

@@ -2096,3 +2096,71 @@ def test_gp2scale_variance_only_diag_path():
     assert res_v["S"] is None
     res_S = gp.posterior_covariance(xp, variance_only=False)
     np.testing.assert_allclose(res_v["v(x)"], res_S["v(x)"], atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# round 5: explicit posterior column-budget override + OOM retreat
+# ---------------------------------------------------------------------------
+
+def test_posterior_col_budget_override_chunks_and_parity():
+    """gp2Scale_posterior_col_budget forces the committed solver's chunk
+    width (each CG trip streams the same tile bytes regardless of column
+    count, so wider chunks amortize the passes — docs/source/roofline.md);
+    the override participates in the ctx cache key, the solve chunks to
+    it, and posteriors stay exact."""
+    x, y = _sparse_dataset(n=600)
+    xp = np.random.default_rng(5).uniform(0, 40, (40, 2))
+    base = {"gp2Scale_block_size": 64, "sparse_cg_tol": 1e-10}
+    gp_ref = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                linalg_mode="sparseCGpre", args=base)
+    v_ref = gp_ref.posterior_covariance(xp, variance_only=True)["v(x)"]
+    gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+            linalg_mode="sparseCGpre",
+            args=dict(base, gp2Scale_posterior_col_budget=16))
+    ctx = gp.kv._fast_sparse_solver()
+    assert ctx is not None and ctx["col_budget"] == 16
+    v = gp.posterior_covariance(xp, variance_only=True)["v(x)"]
+    np.testing.assert_allclose(v, v_ref, atol=1e-8)
+    # a direct wide solve (bypassing the posterior's upstream chunking)
+    # splits at the forced width and matches the unforced solver
+    rhs = np.random.default_rng(6).standard_normal((600, 40))
+    X = np.asarray(gp.kv.solve(rhs))
+    assert gp.kv.last_solve_info["chunks"] == 3          # ceil(40/16)
+    np.testing.assert_allclose(X, np.asarray(gp_ref.kv.solve(rhs)),
+                               atol=1e-8)
+    # the override participates in the cache key
+    gp.set_args(dict(gp.args, gp2Scale_posterior_col_budget=32))
+    ctx2 = gp.kv._fast_sparse_solver()
+    assert ctx2 is not ctx and ctx2["col_budget"] == 32
+
+
+def test_fast_solve_oom_retreats_to_narrower_chunks():
+    """A device RESOURCE_EXHAUSTED during the wide solve halves the chunk
+    width and retries instead of failing (the column-budget model is a
+    heuristic; explicit overrides may overshoot the real HBM headroom)."""
+    x, y = _sparse_dataset(n=600)
+    xp = np.random.default_rng(5).uniform(0, 40, (24, 2))
+    gp = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+            linalg_mode="sparseCGpre",
+            args={"gp2Scale_block_size": 64, "sparse_cg_tol": 1e-10,
+                  "gp2Scale_posterior_col_budget": 32})
+    ctx = gp.kv._fast_sparse_solver()
+    real_fn, calls = ctx["fn"], {"n": 0}
+
+    def failing(*a):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Error allocating device buffer")
+        return real_fn(*a)
+
+    ctx["fn"] = failing
+    with pytest.warns(UserWarning, match="retrying at 16"):
+        v = gp.posterior_covariance(xp, variance_only=True)["v(x)"]
+    assert ctx["col_budget"] == 16
+    assert gp.kv.last_solve_info["chunks"] == 2          # ceil(24/16)
+    gp_ref = GP(x, y, init_hyperparameters=HPS, gp2Scale=True,
+                linalg_mode="sparseCGpre",
+                args={"gp2Scale_block_size": 64, "sparse_cg_tol": 1e-10})
+    v_ref = gp_ref.posterior_covariance(xp, variance_only=True)["v(x)"]
+    np.testing.assert_allclose(v, v_ref, atol=1e-8)
