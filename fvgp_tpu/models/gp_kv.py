@@ -1118,23 +1118,34 @@ class GPkv:
                     else jnp.concatenate(outs, axis=1)
                 # force inside the try: dispatch is async, so an OOM
                 # raised lazily at a downstream consumer would escape the
-                # retreat below (multi-chunk dispatch still overlaps — the
-                # sync is once, on the final dependent value)
-                out.block_until_ready()
+                # retreat below.  Materialize ONE dependent element (the
+                # relayed TPU backend's block_until_ready is not a
+                # reliable execution barrier) — multi-chunk dispatch still
+                # overlaps; the sync is once, on the final value
+                np.asarray(out[-1:, -1:])
                 break
             except Exception as e:      # device OOM: retreat to narrower
                 #                         chunks (the buffer model is a
                 #                         heuristic; overrides may overshoot)
                 if "RESOURCE_EXHAUSTED" not in str(e) or cb <= 8:
                     raise
-                del outs
+                old_width = widths[0]
                 cb = max(8, cb // 2)
                 ctx["col_budget"] = cb
-                warnings.warn(
-                    "committed solver: device OOM at chunk width "
-                    f"{widths[0]}; retrying at {cb} columns per solve")
                 widths = ([min(max(8, 1 << (c_total - 1).bit_length()), cb)]
                           if c_total <= cb else [cb] * (-(-c_total // cb)))
+                # drop every buffer the failed attempt still references
+                # and give the allocator a sync point before the retry
+                # (best effort: some backends cannot reclaim the state of
+                # a failed execution until the process exits)
+                outs = its = rhs_pad = X = it = None      # noqa: F841
+                import gc
+                gc.collect()
+                with contextlib.suppress(Exception):
+                    np.asarray(jnp.zeros((), dtype))
+                warnings.warn(
+                    "committed solver: device OOM at chunk width "
+                    f"{old_width}; retrying at {cb} columns per solve")
         # iteration accounting for the preconditioner payoff studies —
         # device scalars, NOT forced here (a host sync inside the solve
         # path would serialize chunk dispatch); consumers int() them
