@@ -1033,14 +1033,23 @@ class GPMarginalLikelihood:
             return np.asarray(Hm, dtype=np.float64)
         H = len(hyperparameters)
         d2 = np.zeros((H, H))
-        eps = 1e-6
-        g0 = self.neg_log_likelihood_gradient(hyperparameters=hyperparameters)
+        # CENTRAL differences with a noise-aware step: the host gradient
+        # itself carries FD-kernel noise (~1e-5 after the _fd_dk_dh step
+        # fix), so a 1e-6 forward difference of it amplified that noise
+        # ~10⁶× into a garbage Hessian; eps ~ 1e-3·|h| keeps the
+        # amplification at ~1% against O(1) curvatures (measured on the
+        # squared-exponential host-kernel oracle, tests/
+        # test_host_callable_branches.py)
         for i in range(H):
-            hps = np.array(hyperparameters, dtype=np.float64)
-            hps[i] += eps
-            d2[i, i:] = ((self.neg_log_likelihood_gradient(hyperparameters=hps)
-                          - g0) / eps)[i:]
-        return d2 + d2.T - np.diag(np.diag(d2))
+            eps = 1e-3 * max(1.0, abs(float(hyperparameters[i])))
+            hp = np.array(hyperparameters, dtype=np.float64)
+            hm = np.array(hyperparameters, dtype=np.float64)
+            hp[i] += eps
+            hm[i] -= eps
+            d2[i] = (self.neg_log_likelihood_gradient(hyperparameters=hp)
+                     - self.neg_log_likelihood_gradient(hyperparameters=hm)
+                     ) / (2.0 * eps)
+        return 0.5 * (d2 + d2.T)
 
     def test_log_likelihood_gradient(self, hyperparameters, epsilon=1e-6):
         """FD vs analytic gradient self-test

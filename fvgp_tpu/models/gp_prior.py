@@ -552,7 +552,14 @@ class GPprior:
                           for i in range(len(hyperparameters))])
 
     def _fd_dk_dh(self, x1, x2, hyperparameters, direction):
-        eps = 1e-8
+        # central-difference step near the f64 optimum eps ~ cbrt(machine
+        # eps), scaled by the hyperparameter's magnitude.  A smaller step
+        # (this was 1e-8) floods dK with ~1e-8 roundoff per entry, which
+        # the formula gradient amplifies through b = (K+V)⁻¹(y-m) — at
+        # low measurement noise that turned an exact-formula gradient
+        # into one wrong in the third digit
+        h0 = float(np.asarray(hyperparameters, np.float64)[direction])
+        eps = 1e-6 * max(1.0, abs(h0))
         h1 = np.array(hyperparameters, dtype=np.float64)
         h2 = np.array(hyperparameters, dtype=np.float64)
         h1[direction] += eps

@@ -185,3 +185,35 @@ def test_lazy_prior_m_property(data):
             gp2Scale=True, args={"gp2Scale_block_size": 16})
     m = gp.prior.m
     assert np.asarray(m).shape == (len(x),)
+
+
+def test_host_kernel_value_and_gradient_path(data):
+    """A numpy (non-traceable) kernel routes log_likelihood_value_and_
+    gradient through the shared-factorization host path: the value matches
+    log_likelihood and the formula gradient matches central finite
+    differences of the value (ref gp_marginal_likelihood.py:224-309)."""
+    x, y = data
+    gp = GP(x, y, init_hyperparameters=HPS, kernel_function=_np_sqexp)
+    ml = gp.marginal_likelihood
+    val, grad = ml.log_likelihood_value_and_gradient(HPS)
+    assert val == pytest.approx(gp.log_likelihood(HPS), rel=1e-10)
+    eps = 1e-5
+    for i in range(len(HPS)):
+        hp, hm = HPS.copy(), HPS.copy()
+        hp[i] += eps
+        hm[i] -= eps
+        fd = (gp.log_likelihood(hp) - gp.log_likelihood(hm)) / (2 * eps)
+        assert grad[i] == pytest.approx(fd, rel=2e-4, abs=1e-6)
+
+
+def test_host_kernel_fd_hessian_matches_exact_traced(data):
+    """The FD-of-gradient Hessian engine (host kernels, ref only has this)
+    agrees with the EXACT jax.hessian of the traced path on the same
+    model."""
+    x, y = data
+    gp_h = GP(x, y, init_hyperparameters=HPS, kernel_function=_np_sqexp)
+    gp_t = GP(x, y, init_hyperparameters=HPS, kernel_function=_jnp_sqexp)
+    Hh = gp_h.marginal_likelihood.neg_log_likelihood_hessian(HPS)
+    Ht = gp_t.marginal_likelihood.neg_log_likelihood_hessian(HPS)
+    assert Hh.shape == Ht.shape == (2, 2)
+    np.testing.assert_allclose(Hh, Ht, rtol=5e-2, atol=5e-3)

@@ -341,3 +341,101 @@ def test_sparse_cg_tol_threads_through_facade():
     v_loose, g_loose = value({"sparse_cg_tol": 1e-3})
     assert np.isfinite(v_loose) and np.all(np.isfinite(g_loose))
     assert abs(v_loose - v_def) / abs(v_def) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# wide-solve streaming SpMM (_spmv_scan) — the N~1M committed-solve matvec
+# ---------------------------------------------------------------------------
+
+def _block_schedule(nb, B, seed=0):
+    """Row-sorted tridiagonal block schedule + dense oracle."""
+    rng = np.random.default_rng(seed)
+    rows, cols = [], []
+    for r in range(nb):
+        for c in (r - 1, r, r + 1):
+            if 0 <= c < nb:
+                rows.append(r)
+                cols.append(c)
+    rows = np.array(rows, np.int32)
+    cols = np.array(cols, np.int32)
+    order = np.argsort(rows, kind="stable")
+    rows, cols = rows[order], cols[order]
+    tiles = rng.standard_normal((len(rows), B, B))
+    A = np.zeros((nb * B, nb * B))
+    for t, (r, c) in enumerate(zip(rows, cols)):
+        A[r * B:(r + 1) * B, c * B:(c + 1) * B] = tiles[t]
+    return rows, cols, tiles, A
+
+
+def test_spmv_scan_matches_dense_and_drops_sentinels():
+    """_spmv_scan (the tile-streaming SpMM wide committed solves run at
+    N~1M, where the flat per-tile product would be tens of GB) matches the
+    dense product, and sentinel tiles (row == nb) contribute NOTHING even
+    when they carry non-zero values."""
+    nb, B = 6, 8
+    rows, cols, tiles, A = _block_schedule(nb, B)
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((nb * B, 5))
+    out = np.asarray(SL._spmv_scan(jnp.asarray(rows), jnp.asarray(cols),
+                                   jnp.asarray(tiles), jnp.asarray(X),
+                                   nb, B))
+    np.testing.assert_allclose(out, A @ X, rtol=1e-12, atol=1e-12)
+    # sentinel padding: unclamped row/col == nb with POISON tile values
+    pad = 2
+    rows_p = np.concatenate([rows, np.full(pad, nb, np.int32)])
+    cols_p = np.concatenate([cols, np.full(pad, nb, np.int32)])
+    tiles_p = np.concatenate([tiles, np.full((pad, B, B), 1e6)])
+    out_p = np.asarray(SL._spmv_scan(jnp.asarray(rows_p),
+                                     jnp.asarray(cols_p),
+                                     jnp.asarray(tiles_p), jnp.asarray(X),
+                                     nb, B))
+    np.testing.assert_allclose(out_p, A @ X, rtol=1e-12, atol=1e-12)
+
+
+def test_spmv_scan_mv_dtype_cast():
+    """mv_dtype=float32 streams the tiles and X through f32 (the bf16/f32
+    solver regime) while returning X's dtype, to f32 accuracy."""
+    nb, B = 4, 8
+    rows, cols, tiles, A = _block_schedule(nb, B, seed=3)
+    X = np.random.default_rng(2).standard_normal((nb * B, 3))
+    out = np.asarray(SL._spmv_scan(jnp.asarray(rows), jnp.asarray(cols),
+                                   jnp.asarray(tiles), jnp.asarray(X),
+                                   nb, B, mv_dtype=jnp.float32))
+    assert out.dtype == X.dtype
+    np.testing.assert_allclose(out, A @ X, rtol=1e-5, atol=1e-5)
+
+
+def test_committed_solver_wide_rhs_takes_scan_branch(monkeypatch):
+    """Above the flat-SpMM byte budget the committed solve streams tiles
+    through _spmv_scan; forcing the budget to zero must not change the
+    solution."""
+    import warnings as _w
+
+    from fvgp_tpu import GP
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0, 30, (400, 2))
+    y = np.sin(x[:, 0])
+    kw = dict(init_hyperparameters=np.array([1.0, 1.5, 1.5]),
+              gp2Scale=True, linalg_mode="sparseCG",
+              args={"gp2Scale_block_size": 32, "sparse_cg_tol": 1e-10})
+    rhs = rng.standard_normal((400, 6))
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        gp_flat = GP(x, y, **kw)
+        X_flat = np.asarray(gp_flat.kv.solve(rhs))
+        monkeypatch.setattr(SL, "_SPMV_FLAT_BUDGET", 0)
+        gp_scan = GP(x, y, **kw)
+        X_scan = np.asarray(gp_scan.kv.solve(rhs))
+    np.testing.assert_allclose(X_scan, X_flat, rtol=1e-8, atol=1e-10)
+
+
+def test_mesh_spmv_divisibility_guards(eight_devices):
+    """The row-partitioned / halo SpMM factories reject a block count that
+    does not divide over the mesh, with actionable padding guidance."""
+    from fvgp_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh(8)
+    with pytest.raises(ValueError, match="divisible"):
+        SL._spmv_for(nb=9, B=8, mesh=mesh)
+    with pytest.raises(ValueError, match="divisible"):
+        SL._spmv_for(nb=9, B=8, mesh=mesh, halo_S=4)
