@@ -217,3 +217,31 @@ def test_host_kernel_fd_hessian_matches_exact_traced(data):
     Ht = gp_t.marginal_likelihood.neg_log_likelihood_hessian(HPS)
     assert Hh.shape == Ht.shape == (2, 2)
     np.testing.assert_allclose(Hh, Ht, rtol=5e-2, atol=5e-3)
+
+
+def test_gradient_self_test_and_gp2scale_host_gradient_guard(data):
+    """test_log_likelihood_gradient returns (FD, analytic) in agreement on
+    the host path; gp2Scale with a non-traceable kernel refuses the
+    gradient with the reference's guidance (train via MCMC/BO instead)."""
+    x, y = data
+    gp = GP(x, y, init_hyperparameters=HPS, kernel_function=_np_sqexp)
+    fd, an = gp.marginal_likelihood.test_log_likelihood_gradient(HPS)
+    np.testing.assert_allclose(fd, an, rtol=1e-3, atol=1e-4)
+
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(0, 30, (300, 2))
+    ys = np.sin(xs[:, 0])
+
+    def np_wendland_like(x1, x2, h):
+        x1 = np.asarray(x1)
+        x2 = np.asarray(x2)
+        d = np.sqrt(((x1[:, None, :] / h[1:] - x2[None, :, :] / h[1:]) ** 2)
+                    .sum(-1))
+        return h[0] * np.clip(1 - d, 0, None) ** 2
+
+    gp2 = GP(xs, ys, init_hyperparameters=np.array([1.0, 5.0, 5.0]),
+             gp2Scale=True, kernel_function=np_wendland_like,
+             args={"gp2Scale_block_size": 32})
+    with pytest.raises(Exception, match="non-traceable"):
+        gp2.marginal_likelihood.neg_log_likelihood_gradient(
+            hyperparameters=np.array([1.0, 5.0, 5.0]))
