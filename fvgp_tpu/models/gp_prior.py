@@ -389,7 +389,12 @@ class GPprior:
                                                       hyperparameters)
         try:
             out = _dense_cross_scan(kern_fn, xc, xp, hps)
-            return jax.block_until_ready(out)[:n, :n_pred]
+            # force execution by materializing ONE dependent element —
+            # relayed TPU backends' block_until_ready is not a reliable
+            # barrier, and a lazily-raised RESOURCE_EXHAUSTED would escape
+            # this except and crash the caller instead of falling back
+            np.asarray(out[-1:, -1:])
+            return out[:n, :n_pred]
         except jax.errors.JaxRuntimeError as exc:
             # the static budget cannot see the device's ACTUAL residents
             # (committed tiles + preconditioner + solver state vary with
